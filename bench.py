@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes end-to-end into the noop sink (full plan runs,
+nothing collected to the driver, no output I/O measured).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative, scale-stressing subset of the catalog: scan+agg, big
+# self-join, window top-k, left-join rollup, fuzzy ER join, dedup
+# family, ANN, sessionization, streaming's batch twin.
+HEADLINE = [
+    "pricing_summary",
+    "customer_order_stats",
+    "top_orders_per_customer",
+    "shared_supplier_pairs",
+    "fuzzy_match_customers",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_brute_topk",
+    "user_sessions",
+    "hourly_event_rollup",
+]
+
+
+def main() -> None:
+    from database_convertor_spark.plans.catalog import CATALOG
+    from database_convertor_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # warm up the JVM + parquet footer caches outside the timed region
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = CATALOG[name]
+        t0 = time.perf_counter()
+        spec.builder(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

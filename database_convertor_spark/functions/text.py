@@ -1,0 +1,116 @@
+"""Text-analysis building blocks for the training-data pipeline layer:
+tokenization, token counting, quality scoring, language-ID heuristics,
+document fingerprinting. All pure column expressions (JVM-side) so a
+100 TB corpus pass stays inside WholeStageCodegen — no Python in the
+hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Deliberately small and deterministic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "es"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is",
+                "it", "that", "for", "on", "with", "as"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization, empty-safe."""
+    return F.filter(F.split(col, r"\s+"), lambda x: x != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-flavored token estimate: count word pieces + digits + punct
+    runs via regexp matching (a deterministic proxy for a real BPE
+    vocab, which isn't shipped in this image)."""
+    pieces = F.regexp_count(col, F.lit(r"[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]"))
+    return pieces.cast("long")
+
+
+def punct_ratio(col: Column) -> Column:
+    """Punctuation chars / total chars."""
+    total = F.length(col).cast("double")
+    punct = F.regexp_count(col, F.lit(r"[^\w\s]")).cast("double")
+    return F.when(total == 0, F.lit(0.0)).otherwise(punct / total)
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    """Stopword tokens / total tokens."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    toks = tokens(F.lower(col))
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
+    n = F.size(toks).cast("double")
+    return F.when(n == 0, F.lit(0.0)).otherwise(hits / n)
+
+
+def mean_token_length(col: Column) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + F.length(t))
+    n = F.size(toks).cast("double")
+    return F.when(n == 0, F.lit(0.0)).otherwise(total / n)
+
+
+def quality_score(col: Column) -> Column:
+    """0-100 composite quality score, reference-style additive points
+    (data_enrichment.py:166-184 scores 20 pts x 5 fields + bonus; here
+    the fields are text-quality signals):
+      25 pts: >= 20 tokens, 25 pts: mean token length in [3, 12],
+      25 pts: punctuation ratio < 0.2, 25 pts: stopword ratio > 0.01.
+    """
+    pts = (
+        F.when(token_count(col) >= 20, 25).otherwise(0)
+        + F.when(mean_token_length(col).between(3.0, 12.0), 25).otherwise(0)
+        + F.when(punct_ratio(col) < 0.2, 25).otherwise(0)
+        + F.when(stopword_ratio(col) > 0.01, 25).otherwise(0)
+    )
+    return pts.cast("int")
+
+
+def lang_marker_hits(col: Column, lang: str) -> Column:
+    """# distinct marker words of ``lang`` present in the text."""
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(tokens(F.lower(col))), markers))
+
+
+def detect_language(col: Column) -> Column:
+    """Argmax over per-language marker hits; 'und' when no marker hits.
+    Ties break by language code order (deterministic)."""
+    langs = sorted(LANG_MARKERS)
+    scores = {lang: lang_marker_hits(col, lang) for lang in langs}
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.lit("und")
+    # build reversed so earlier langs win ties
+    for lang in reversed(langs):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(col: Column) -> Column:
+    """Normalized-text MD5 fingerprint (content-addressed dedup key)."""
+    norm = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    return F.md5(norm)
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string> — the MinHash input.
+    Pure expression: transform over token index positions."""
+    toks = tokens(F.lower(col))
+    k = F.size(toks) - (n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(k, F.lit(0)))
+    return F.when(F.size(toks) < n,
+                  F.array(F.array_join(toks, " "))
+                  ).otherwise(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))

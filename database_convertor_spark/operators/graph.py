@@ -1,0 +1,60 @@
+"""Graph layer — SURVEY J3/J4/A8: the reference's shared-officer
+company network (database.py:666-695 on-the-fly; database.py:937-970
+materialized), transposed to the driver schema as "suppliers sharing
+parts" (lineitem is the appointments-style M:N edge list).
+
+Scale design:
+- distinct (part, supplier) FIRST — the self-join input is the distinct
+  edge list, not the raw fact table (lineitem rows per (part,supp) > 1
+  would otherwise multiply join output quadratically);
+- the self-join shuffles both sides on the join key (partkey): hot
+  parts (celebrity keys) are the skew risk — AQE skew-join splits them;
+  an explicit salting path is warranted if one key exceeds executor
+  memory;
+- countDistinct after the pair groupBy is exact, matching the
+  reference's COUNT(DISTINCT officer_id); approx_count_distinct is the
+  documented fallback at extreme scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def shared_supplier_pairs(lineitem: DataFrame, min_shared: int = 3) -> DataFrame:
+    """Pairs of suppliers sharing >= min_shared distinct parts.
+    Port of the shared-officer edge computation (J3 + A8 + HAVING)."""
+    edges = lineitem.select("l_partkey", "l_suppkey").distinct()
+    a = edges.alias("a")
+    b = edges.alias("b")
+    pairs = a.join(b, (F.col("a.l_partkey") == F.col("b.l_partkey"))
+                   & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+    return (pairs.groupBy(F.col("a.l_suppkey").alias("supp_a"),
+                          F.col("b.l_suppkey").alias("supp_b"))
+            .agg(F.countDistinct(F.col("a.l_partkey")).alias("shared_parts"))
+            .filter(F.col("shared_parts") >= min_shared))
+
+
+def materialize_edges(lineitem: DataFrame, path: str, min_shared: int = 3) -> None:
+    """Full-refresh materialization of the edge table (the reference's
+    update_shared_officer_edges DELETE + INSERT...SELECT becomes an
+    overwrite — database.py:937-970)."""
+    shared_supplier_pairs(lineitem, min_shared).write.mode("overwrite").parquet(path)
+
+
+def supplier_neighborhood(lineitem: DataFrame, supplier: DataFrame,
+                          suppkey: int, min_shared: int = 2) -> DataFrame:
+    """Neighborhood lookup on the edge relation (SURVEY J4,
+    database.py:985-1011) — the reference does an N+1 per-edge detail
+    fetch; here it is one join. The suppkey filter is applied BEFORE the
+    name join, and supplier (the dimension) broadcasts."""
+    edges = shared_supplier_pairs(lineitem, min_shared)
+    mine = edges.filter((F.col("supp_a") == suppkey) | (F.col("supp_b") == suppkey))
+    neighbor = F.when(F.col("supp_a") == suppkey,
+                      F.col("supp_b")).otherwise(F.col("supp_a"))
+    mine = mine.select(neighbor.alias("neighbor_suppkey"), "shared_parts")
+    return (mine.join(F.broadcast(supplier),
+                      mine.neighbor_suppkey == supplier.s_suppkey)
+            .select("neighbor_suppkey", F.col("s_name").alias("neighbor_name"),
+                    "shared_parts"))

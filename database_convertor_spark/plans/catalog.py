@@ -1,0 +1,744 @@
+"""Query catalog: the single source of truth binding every implemented
+operator (SURVEY.md §2 + the training-data pipeline layer) to
+
+  (a) a Spark builder  ``(spark, sf_dir) -> DataFrame``  and
+  (b) a DuckDB oracle SQL string over the same parquet tables
+      (None for genuinely non-SQL-expressible operators — those get the
+      driver's weaker rows-only check).
+
+Cross-engine determinism rules applied throughout (both sides):
+- aggregated/computed doubles are rounded in-query (floating-point
+  addition is non-associative; a distributed partial aggregate cannot
+  match a serial oracle to the last ulp),
+- timestamps are never emitted raw — always formatted to strings or
+  split into int parts (Spark session TZ pinned to UTC),
+- DuckDB integer SUMs are cast to BIGINT (DuckDB widens to HUGEINT,
+  Spark to LONG),
+- every computed column is aliased identically in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import (
+    dedup,
+    entity_resolution,
+    graph,
+    relational,
+    similarity_search,
+    text_analysis,
+)
+from ..sources.readers import read_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    survey_ids: str
+    description: str
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [read_table(spark, sf_dir, n) for n in names]
+
+
+# DuckDB-side normalize_company_name (mirrors functions.cleaning)
+_NORM = ("trim(regexp_replace(regexp_replace(lower({c}), "
+         "'[^a-z0-9\\s''\\-]', ' ', 'g'), '\\s+', ' ', 'g'))")
+# DuckDB-side distinct non-empty token list
+_TOKS = "list_filter(list_distinct(string_split_regex({c}, '\\s+')), t -> t <> '')"
+# DuckDB-side non-distinct token list
+_TOKS_ALL = "list_filter(string_split_regex({c}, '\\s+'), t -> t <> '')"
+
+
+def _jaccard(a: str, b: str) -> str:
+    union = f"len(list_distinct(list_concat({a}, {b})))"
+    inter = f"len(list_filter({a}, t -> list_contains({b}, t)))"
+    return (f"(CASE WHEN {union} = 0 THEN 0.0 "
+            f"ELSE CAST({inter} AS DOUBLE) / {union} END)")
+
+
+_SPECS: list[QuerySpec] = []
+
+
+def _add(name: str, builder, oracle: str | None, survey_ids: str, desc: str):
+    _SPECS.append(QuerySpec(name, builder, oracle, survey_ids, desc))
+
+
+# ===================================================================== A6 / Q1
+_add(
+    "pricing_summary",
+    lambda spark, sf: relational.pricing_summary(*_t(spark, sf, "lineitem")),
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "A6",
+    "TPC-H Q1-shaped multi-aggregate roll-up",
+)
+
+# ========================================================================= J2
+_add(
+    "market_segment_revenue",
+    lambda spark, sf: relational.market_segment_revenue(
+        *_t(spark, sf, "orders", "customer")),
+    """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority
+    """,
+    "J2,F9",
+    "filtered inner join + agg, broadcast dimension",
+)
+
+# ========================================================================= J1
+_add(
+    "customer_order_stats",
+    lambda spark, sf: relational.customer_order_stats(
+        *_t(spark, sf, "customer", "orders")),
+    """
+    SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+    "J1,A1",
+    "left outer join + per-key roll-up (pre-aggregated before join)",
+)
+
+# ========================================================================= J6
+_add(
+    "customers_without_orders",
+    lambda spark, sf: relational.customers_without_orders(
+        *_t(spark, sf, "customer", "orders")),
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND year(o_orderdate) = 1995)
+    """,
+    "J6",
+    "anti-join (incremental-dedup filter)",
+)
+
+# ========================================================================= F1
+_add(
+    "part_search_ilike",
+    lambda spark, sf: relational.multi_column_search(*_t(spark, sf, "part")),
+    """
+    SELECT p_partkey, p_name, p_brand, p_type FROM part
+    WHERE lower(p_name) LIKE '%widget%'
+       OR lower(p_type) LIKE '%widget%'
+       OR lower(p_brand) LIKE '%widget%'
+    """,
+    "F1,F2",
+    "multi-column ILIKE OR filter",
+)
+
+# ========================================================================= F3
+_add(
+    "open_orders",
+    lambda spark, sf: relational.open_orders(*_t(spark, sf, "orders")),
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 1000.0
+    """,
+    "F3,P1",
+    "status + numeric predicates pushed to scan",
+)
+
+# ==================================================================== F7 / C16
+_add(
+    "shipments_by_month",
+    lambda spark, sf: relational.shipments_by_month(*_t(spark, sf, "lineitem")),
+    """
+    SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           count(*) AS n_items, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    "F7,C16",
+    "date-range predicate + month bucketing",
+)
+
+# ==================================================================== A4 / A5
+_add(
+    "event_type_counts",
+    lambda spark, sf: relational.event_type_counts(*_t(spark, sf, "events")),
+    "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    "A4,A5",
+    "group-by count ordered desc",
+)
+
+# ============================================================ A1/A2/A3/A9
+_add(
+    "order_stats_summary",
+    lambda spark, sf: relational.order_stats_summary(*_t(spark, sf, "orders")),
+    """
+    SELECT count(*) AS n_orders,
+           count(DISTINCT o_custkey) AS n_customers_with_orders,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           round(100.0 * sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+                 / count(*), 4) AS open_rate_pct
+    FROM orders
+    """,
+    "A1,A2,A3,A9",
+    "single-pass stats roll-up with distinct count + derived rate",
+)
+
+# ======================================================================== A11
+_add(
+    "event_funnel",
+    lambda spark, sf: relational.event_funnel(*_t(spark, sf, "events")),
+    """
+    WITH counts AS (SELECT event_type, count(*) AS n FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           round(100.0 * n / lag(n) OVER (ORDER BY n DESC, event_type), 2) AS pct_of_prev
+    FROM counts
+    """,
+    "A11",
+    "funnel conversion via lag window over stage counts",
+)
+
+# ========================================================================= W1
+_add(
+    "top_orders",
+    lambda spark, sf: relational.top_orders(*_t(spark, sf, "orders")),
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "W1,W6",
+    "ORDER BY DESC LIMIT n (TakeOrderedAndProject)",
+)
+
+# ========================================================================= W2
+_add(
+    "top_orders_per_customer",
+    lambda spark, sf: relational.top_orders_per_customer(*_t(spark, sf, "orders")),
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+    "W2,W4",
+    "top-N per group via row_number window",
+)
+
+# ========================================================================= W3
+_add(
+    "priority_order_pick",
+    lambda spark, sf: relational.priority_order_pick(*_t(spark, sf, "orders")),
+    """
+    SELECT o_custkey, o_orderkey, o_orderstatus,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date FROM (
+      SELECT *, row_number() OVER (
+          PARTITION BY o_custkey
+          ORDER BY CASE WHEN o_orderstatus = 'O' THEN 0 ELSE 1 END,
+                   o_orderdate DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn = 1
+    """,
+    "W3",
+    "priority-pick / argmax-by-predicate per group",
+)
+
+# ========================================================================= D1
+_add(
+    "orders_union_dedup",
+    lambda spark, sf: relational.orders_union_dedup(*_t(spark, sf, "orders")),
+    """
+    SELECT DISTINCT o_orderkey FROM (
+      SELECT o_orderkey FROM orders WHERE year(o_orderdate) = 1995
+      UNION ALL
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0)
+    """,
+    "D1",
+    "union of overlapping scans + dedup by id",
+)
+
+# ========================================================================= D2
+_add(
+    "distinct_customer_priorities",
+    lambda spark, sf: relational.distinct_customer_priorities(
+        *_t(spark, sf, "orders")),
+    "SELECT DISTINCT o_custkey, o_orderpriority FROM orders",
+    "D2",
+    "dedup on composite business key",
+)
+
+# ========================================================================= D3
+_add(
+    "active_customer_keys",
+    lambda spark, sf: relational.active_customer_keys(
+        *_t(spark, sf, "orders", "customer")),
+    """
+    SELECT DISTINCT custkey FROM (
+      SELECT o_custkey AS custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      UNION ALL
+      SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000.0)
+    """,
+    "D3",
+    "two-source union + distinct",
+)
+
+# =================================================================== J10 / S15
+_add(
+    "nation_customer_rollup",
+    lambda spark, sf: relational.nation_customer_rollup(
+        *_t(spark, sf, "nation", "customer")),
+    """
+    SELECT n_name, count(c_custkey) AS n_customers,
+           coalesce(string_agg(c_name, ',' ORDER BY c_name), '') AS customer_names
+    FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+    "J10,S15",
+    "LEFT JOIN + sorted GROUP_CONCAT",
+)
+
+# =================================================================== C23 / C24
+_add(
+    "customer_tiering",
+    lambda spark, sf: relational.customer_tiering(*_t(spark, sf, "customer")),
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal > 7500 THEN 'platinum'
+                WHEN c_acctbal > 5000 THEN 'gold'
+                WHEN c_acctbal > 2500 THEN 'silver'
+                ELSE 'bronze' END AS tier,
+           CAST((CASE WHEN c_name IS NOT NULL THEN 25 ELSE 0 END)
+              + (CASE WHEN c_acctbal > 0 THEN 25 ELSE 0 END)
+              + (CASE WHEN c_mktsegment IN ('BUILDING','AUTOMOBILE','MACHINERY')
+                      THEN 25 ELSE 0 END)
+              + (CASE WHEN c_nationkey IS NOT NULL THEN 25 ELSE 0 END)
+             AS INTEGER) AS quality_score
+    FROM customer
+    """,
+    "C23,C24,F3",
+    "tier classification + additive quality score",
+)
+
+# ============================================================== C2/C3/C5/C6
+_add(
+    "scalar_cleaning",
+    lambda spark, sf: relational.scalar_cleaning_demo(*_t(spark, sf, "customer")),
+    f"""
+    SELECT c_custkey,
+           {_NORM.format(c='c_name')} AS norm_name,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded_key,
+           regexp_matches(lpad(CAST(c_custkey AS VARCHAR), 8, '0'), '^\\d{{8}}$')
+               AS is_valid_number
+    FROM customer
+    """,
+    "C2,C3,C5,C6",
+    "name normalization + key padding + shape validation",
+)
+
+# ==================================================================== C15-C18
+_add(
+    "order_date_dimensions",
+    lambda spark, sf: relational.order_date_dimensions(*_t(spark, sf, "orders")),
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)  AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_month,
+           strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day
+    FROM orders
+    """,
+    "C15,C16,C17,C18",
+    "date-part extraction + week-boundary math",
+)
+
+# ======================================================================== C27
+_add(
+    "event_props_extract",
+    lambda spark, sf: relational.event_props_extract(*_t(spark, sf, "events")),
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+           count(*) AS n, round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1
+    """,
+    "C27",
+    "JSON payload extraction + bucketed agg",
+)
+
+# ================================================================ sessionization
+_add(
+    "user_sessions",
+    lambda spark, sf: relational.user_sessions(*_t(spark, sf, "events")),
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events)
+    SELECT user_id,
+           CAST(sum(CASE WHEN prev IS NULL
+                          OR date_diff('second', prev, ts) > 1800
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+    "T5,W2",
+    "gap-based sessionization (lag + conditional sum)",
+)
+
+# ========================================================================= T7
+_add(
+    "hourly_event_rollup",
+    lambda spark, sf: relational.hourly_event_rollup(*_t(spark, sf, "events")),
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    "T7",
+    "tumbling 1-hour window aggregate (batch twin of streaming agg)",
+)
+
+# ==================================================================== J3 / A8
+_add(
+    "shared_supplier_pairs",
+    lambda spark, sf: graph.shared_supplier_pairs(*_t(spark, sf, "lineitem")),
+    """
+    WITH edges AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+           count(DISTINCT a.l_partkey) AS shared_parts
+    FROM edges a JOIN edges b
+      ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+    HAVING count(DISTINCT a.l_partkey) >= 3
+    """,
+    "J3,A8",
+    "shared-officer-style graph edges: self-join + countDistinct + HAVING",
+)
+
+# ========================================================================= J4
+_add(
+    "supplier_neighborhood",
+    lambda spark, sf: graph.supplier_neighborhood(
+        *_t(spark, sf, "lineitem", "supplier"), suppkey=1, min_shared=2),
+    """
+    WITH edges AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+             count(DISTINCT a.l_partkey) AS shared_parts
+      FROM edges a JOIN edges b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT a.l_partkey) >= 2),
+    mine AS (
+      SELECT CASE WHEN supp_a = 1 THEN supp_b ELSE supp_a END AS neighbor_suppkey,
+             shared_parts
+      FROM pairs WHERE supp_a = 1 OR supp_b = 1)
+    SELECT neighbor_suppkey, s_name AS neighbor_name, shared_parts
+    FROM mine JOIN supplier ON s_suppkey = neighbor_suppkey
+    """,
+    "J4",
+    "edge-table neighborhood lookup as one join (reference does N+1)",
+)
+
+# ========================================================================= J5
+_FUZZY_ORACLE = f"""
+    WITH c AS (SELECT c_custkey, {_NORM.format(c='c_name')} AS n FROM customer),
+    s AS (SELECT s_suppkey, {_NORM.format(c='s_name')} AS n FROM supplier),
+    pairs AS (
+      SELECT c.c_custkey, s.s_suppkey, c.n AS cn, s.n AS sn,
+             {_TOKS.format(c='c.n')} AS ct, {_TOKS.format(c='s.n')} AS st
+      FROM c CROSS JOIN s),
+    scored AS (
+      SELECT c_custkey, s_suppkey, cn, sn,
+             {_jaccard('ct', 'st')} AS jac_raw,
+             ((len(list_filter(ct, t -> NOT list_contains(st, t))) = 0
+               OR len(list_filter(st, t -> NOT list_contains(ct, t))) = 0)
+              AND len(ct) > 0 AND len(st) > 0) AS subset,
+             CASE WHEN greatest(length(cn), length(sn)) = 0 THEN 1.0
+                  ELSE 1.0 - CAST(levenshtein(cn, sn) AS DOUBLE)
+                             / greatest(length(cn), length(sn)) END AS lev
+      FROM pairs),
+    conf AS (
+      SELECT c_custkey, s_suppkey,
+             round(CASE WHEN cn = sn THEN 1.0
+                   ELSE greatest(least(jac_raw + CASE WHEN subset THEN 0.2 ELSE 0.0 END, 1.0),
+                                 lev) END, 4) AS confidence,
+             CASE WHEN cn = sn THEN 'exact_name'
+                  WHEN least(jac_raw + CASE WHEN subset THEN 0.2 ELSE 0.0 END, 1.0) >= lev
+                       THEN 'token_match'
+                  ELSE 'fuzzy_name' END AS match_method
+      FROM scored),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY confidence DESC, s_suppkey) AS rn
+      FROM conf WHERE confidence >= 0.5)
+    SELECT c_custkey, s_suppkey, match_method, confidence,
+           CAST(rn AS INTEGER) AS match_rank
+    FROM ranked WHERE rn <= 1
+"""
+_add(
+    "fuzzy_match_customers",
+    lambda spark, sf: entity_resolution.match_customers_to_suppliers(
+        *_t(spark, sf, "customer", "supplier")),
+    _FUZZY_ORACLE,
+    "J5,C20,C22,C23,W4",
+    "fuzzy similarity join (entity resolution) with ladder scoring + top-k",
+)
+
+# ================================================================ exact dedup
+_add(
+    "dedup_exact",
+    lambda spark, sf: dedup.exact_dedup(*_t(spark, sf, "documents")),
+    """
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+    "D5,dedup",
+    "exact dedup by content fingerprint (hash groupBy)",
+)
+
+# ======================================================= n-gram Jaccard dedup
+_NGRAM_ORACLE = f"""
+    WITH d AS (
+      SELECT doc_id, lang, CAST(n_chars // 100 AS INTEGER) AS band,
+             {_TOKS.format(c='lower(text)')} AS toks
+      FROM documents)
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round({_jaccard('a.toks', 'b.toks')}, 4) AS jaccard
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.5
+"""
+_add(
+    "dedup_ngram_jaccard",
+    lambda spark, sf: dedup.ngram_jaccard_pairs(*_t(spark, sf, "documents")),
+    _NGRAM_ORACLE,
+    "dedup,C22",
+    "near-dup pairs by word-set Jaccard within (lang, length-band) blocks",
+)
+
+# ================================================================ MinHash LSH
+_add(
+    "dedup_minhash_lsh",
+    lambda spark, sf: dedup.minhash_lsh_pairs(*_t(spark, sf, "documents")),
+    None,  # xxhash64 signatures are Spark-side only -> rows-only check
+    "dedup",
+    "MinHash+LSH near-dup candidates verified by exact shingle Jaccard",
+)
+
+# ==================================================================== SimHash
+_add(
+    "dedup_simhash",
+    lambda spark, sf: dedup.simhash_pairs(*_t(spark, sf, "documents")),
+    None,  # xxhash64-based bits -> rows-only check
+    "dedup",
+    "SimHash near-dup pairs via 16-bit chunk banding (pigeonhole)",
+)
+
+# ===================================================== embedding near-dup
+_COS = ("(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        " / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+        " * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[])))))")
+_add(
+    "dedup_embedding_cosine",
+    lambda spark, sf: dedup.embedding_neardup_pairs(*_t(spark, sf, "embeddings"),
+                                                    threshold=0.35),
+    f"""
+    SELECT vec_a, vec_b, cosine FROM (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round({_COS.format(a='a.embedding', b='b.embedding')}, 4) AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id)
+    WHERE cosine >= 0.35
+    """,
+    "dedup",
+    "embedding-cosine near-dup within IVF (label) buckets",
+)
+
+# ====================================================== ANN: brute force top-k
+def _ann_brute(spark, sf):
+    emb, = _t(spark, sf, "embeddings")
+    queries = emb.filter(emb.vec_id < 5)
+    return similarity_search.brute_force_topk(queries, emb, k=5)
+
+
+_add(
+    "ann_brute_topk",
+    _ann_brute,
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_COS.format(a='q.q_emb', b='e.embedding')} AS sim
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank,
+           round(sim, 4) AS cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM pairs) WHERE rn <= 5
+    """,
+    "similarity-search",
+    "exact cosine top-k (brute force baseline)",
+)
+
+
+# ============================================================= ANN: IVF top-k
+def _ann_ivf(spark, sf):
+    emb, = _t(spark, sf, "embeddings")
+    queries = emb.filter(emb.vec_id < 5)
+    return similarity_search.ivf_topk(queries, emb, k=5)
+
+
+_add(
+    "ann_ivf_topk",
+    _ann_ivf,
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS q_label
+               FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_COS.format(a='q.q_emb', b='e.embedding')} AS sim
+      FROM embeddings e JOIN q
+        ON e.label = q.q_label AND e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank,
+           round(sim, 4) AS cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM pairs) WHERE rn <= 5
+    """,
+    "similarity-search",
+    "IVF-bucketed cosine top-k (scale path: probe one bucket)",
+)
+
+# =============================================================== text quality
+_STOPWORDS_SQL = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as']"
+_add(
+    "doc_quality",
+    lambda spark, sf: text_analysis.doc_quality(*_t(spark, sf, "documents")),
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             {_TOKS_ALL.format(c='text')} AS toks,
+             {_TOKS_ALL.format(c='lower(text)')} AS ltoks
+      FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                       / len(toks) END AS mtl,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                       / length(text) END AS pr,
+             CASE WHEN len(ltoks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(ltoks,
+                            x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE)
+                       / len(ltoks) END AS sr
+      FROM t)
+    SELECT doc_id,
+           CAST(n_tokens AS INTEGER) AS n_tokens,
+           round(mtl, 4) AS mean_token_len,
+           round(pr, 4) AS punct_ratio,
+           round(sr, 4) AS stopword_ratio,
+           CAST((CASE WHEN n_tokens >= 20 THEN 25 ELSE 0 END)
+              + (CASE WHEN mtl BETWEEN 3.0 AND 12.0 THEN 25 ELSE 0 END)
+              + (CASE WHEN pr < 0.2 THEN 25 ELSE 0 END)
+              + (CASE WHEN sr > 0.01 THEN 25 ELSE 0 END) AS INTEGER) AS quality_score
+    FROM m
+    """,
+    "text-analysis,C24",
+    "per-document quality signals + composite score",
+)
+
+# ==================================================================== lang id
+_LANG_MARKERS_SQL = {
+    "en": "['the','and','of','to','is']",
+    "es": "['el','la','de','que','es']",
+    "de": "['der','die','und','das','ist']",
+    "fr": "['le','la','et','les','est']",
+    "zh": "['的','是','了','在','我']",
+}
+_hits = {lang: (f"len(list_filter(dtoks, x -> list_contains({arr}, x)))")
+         for lang, arr in _LANG_MARKERS_SQL.items()}
+_best = f"greatest({_hits['de']}, {_hits['en']}, {_hits['es']}, {_hits['fr']}, {_hits['zh']})"
+_add(
+    "lang_detect",
+    lambda spark, sf: text_analysis.lang_detect(*_t(spark, sf, "documents")),
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKS.format(c='lower(text)')} AS dtoks
+      FROM documents),
+    g AS (
+      SELECT doc_id, lang,
+             CASE WHEN {_best} = 0 THEN 'und'
+                  WHEN {_hits['de']} = {_best} THEN 'de'
+                  WHEN {_hits['en']} = {_best} THEN 'en'
+                  WHEN {_hits['es']} = {_best} THEN 'es'
+                  WHEN {_hits['fr']} = {_best} THEN 'fr'
+                  ELSE 'zh' END AS detected_lang
+      FROM t)
+    SELECT doc_id, lang AS labeled_lang, detected_lang,
+           detected_lang = lang AS agrees
+    FROM g
+    """,
+    "text-analysis",
+    "marker-word language ID vs labeled lang",
+)
+
+# ================================================================ token stats
+_add(
+    "token_stats_by_lang",
+    lambda spark, sf: text_analysis.token_stats_by_lang(*_t(spark, sf, "documents")),
+    f"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           round(avg(n), 4) AS avg_tokens
+    FROM (SELECT lang, len({_TOKS_ALL.format(c='text')}) AS n FROM documents)
+    GROUP BY lang
+    """,
+    "text-analysis,A4",
+    "corpus token statistics per language",
+)
+
+# ============================================================== fingerprints
+_add(
+    "doc_fingerprints",
+    lambda spark, sf: text_analysis.fingerprint_docs(*_t(spark, sf, "documents")),
+    """
+    WITH f AS (SELECT doc_id,
+                      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+               FROM documents)
+    SELECT doc_id, fp,
+           count(*) OVER (PARTITION BY fp) AS n_same_content,
+           (count(*) OVER (PARTITION BY fp)) > 1 AS is_duplicate
+    FROM f
+    """,
+    "text-analysis,dedup",
+    "content fingerprint + duplicate flag",
+)
+
+CATALOG: dict[str, QuerySpec] = {s.name: s for s in _SPECS}

@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for this engine.
+
+Local-mode defaults mirror what a cluster deployment would set
+per-executor; the scale-relevant knobs (AQE, skew join handling,
+shuffle partition sizing, Arrow) are on so the same plans survive a
+100x scale-up: AQE re-coalesces the 32 local shuffle partitions today
+and re-splits skewed partitions on a 1000-executor cluster tomorrow.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "database_convertor_spark",
+              master: str | None = None,
+              shuffle_partitions: str | int | None = None) -> SparkSession:
+    """Build (or reuse) the tuned SparkSession.
+
+    Pinned session timezone (UTC) keeps timestamp semantics identical
+    to UTC-naive engines (the DuckDB correctness oracle). Arrow is on
+    for every pandas-UDF boundary.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,77 @@
+"""Sinks — SURVEY §2.1 S17-S19.
+
+The reference leans on PostgreSQL ``INSERT ... ON CONFLICT DO UPDATE``
+for every write (database.py:260-279, 573-615, 1296-1376). Vanilla
+parquet has no MERGE, so ``merge_upsert`` implements the standard
+dedup-union-overwrite pattern: new rows win over existing rows on the
+key, exactly one row per key survives.
+
+Scale notes: the anti-join inside merge_upsert broadcasts the incoming
+batch when it is small (the common incremental case — a weekly batch
+against a 100 TB table), so the existing table is never shuffled; only
+rewritten partitions pay I/O. With a transactional table format
+(Delta/Iceberg — jars not in this image) the same contract maps 1:1 to
+``MERGE INTO``; the key contracts in schemas.MERGE_KEYS are
+format-independent.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def write_table(df: DataFrame, path: str, mode: str = "overwrite",
+                partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """CSV export sink (reference S18, app.py:1584-1597). ``single_file``
+    coalesces to one partition — only for small download-style outputs."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", "true").csv(path)
+
+
+def dedup_latest(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """Keep the newest row per key (deterministic upsert semantics)."""
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def merge_upsert(spark: SparkSession, target_path: str, updates: DataFrame,
+                 keys: list[str], broadcast_updates: bool = True) -> DataFrame:
+    """MERGE-equivalent on parquet: rows in ``updates`` replace rows in
+    the target with the same key; unmatched update rows are inserted.
+
+    Implements the reference's ON CONFLICT DO UPDATE contract (S19);
+    key sets per table live in ``schemas.MERGE_KEYS``.
+    """
+    updates = updates.dropDuplicates(keys)  # idempotent within a batch
+    if os.path.exists(target_path):
+        existing = spark.read.parquet(target_path)
+        upd_keys = updates.select(*keys)
+        if broadcast_updates:
+            upd_keys = F.broadcast(upd_keys)
+        kept = existing.join(upd_keys, keys, "left_anti")
+        merged = kept.unionByName(updates.select(*existing.columns))
+    else:
+        merged = updates
+    # Parquet can't overwrite a path it is currently reading; stage then swap.
+    staging = tempfile.mkdtemp(prefix="merge_stage_",
+                               dir=os.path.dirname(target_path) or ".")
+    merged.write.mode("overwrite").parquet(staging)
+    if os.path.exists(target_path):
+        shutil.rmtree(target_path)
+    os.rename(staging, target_path)
+    # drop the session's cached file listing for the rewritten path
+    spark.catalog.refreshByPath(target_path)
+    return spark.read.parquet(target_path)

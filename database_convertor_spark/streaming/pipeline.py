@@ -1,0 +1,114 @@
+"""Incremental / streaming layer — SURVEY §2.8.
+
+The reference's streaming surface is (T1) a push webhook that maps
+event types to statuses and upserts keyed rows
+(webhook_handler.py:30-115), (T2) weekly incremental micro-batches
+with a lookback window, (T3/T4) replay dedup, (T7) weekly tumbling
+windows. Spark-natively:
+
+- readStream over a file source (the events parquet stands in for the
+  webhook feed; swap format("kafka") in production — the plan is
+  identical downstream of the source),
+- when/otherwise event-type -> status mapping,
+- withWatermark + dropDuplicates on event_id = replay/late dedup,
+- windowed aggregation with watermark for late data,
+- foreachBatch MERGE into a parquet sink (idempotent upsert — the
+  ON CONFLICT contract, T3),
+- Trigger.AvailableNow = the scheduled weekly micro-batch pattern:
+  drain everything new, checkpoint, exit (crash recovery T6 is the
+  checkpoint).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import TESTDATA_SCHEMAS
+
+# T1: LinkedHelper event-type -> connection-status mapping
+# (webhook_handler.py:30-88), transposed to the driver's event types.
+EVENT_STATUS = {
+    "signup": "new",
+    "view": "engaged",
+    "click": "engaged",
+    "purchase": "converted",
+    "error": "failed",
+}
+
+
+def event_status_mapping(col: Column) -> Column:
+    expr = F.lit("unknown")
+    for event_type, status in EVENT_STATUS.items():
+        expr = F.when(col == event_type, F.lit(status)).otherwise(expr)
+    return expr
+
+
+def stage_event_landing(spark: SparkSession, sf_dir: str, landing_dir: str) -> str:
+    """Land the events table into a streaming source directory (the
+    file-stream source consumes directories of files — the landing-zone
+    pattern a webhook/Kafka feed would write into). Also normalizes the
+    nanosecond timestamps to Spark-native micros."""
+    from ..sources.readers import read_table
+
+    read_table(spark, sf_dir, "events").write.mode("overwrite").parquet(landing_dir)
+    return landing_dir
+
+
+def read_event_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream over an event landing directory (webhook feed
+    stand-in). maxFilesPerTrigger bounds micro-batch size (backpressure
+    — the reference's batch-of-50 throttling, app.py:336-380)."""
+    return (spark.readStream
+            .schema(TESTDATA_SCHEMAS["events"])
+            .option("maxFilesPerTrigger", 8)
+            .parquet(landing_dir))
+
+
+def run_events_stream(spark: SparkSession, sf_dir: str, out_path: str,
+                      checkpoint: str) -> DataFrame:
+    """T1+T3: map event->status, dedup replays on event_id within the
+    watermark, MERGE each micro-batch into the sink keyed by event_id.
+    AvailableNow: drains all pending input then stops (the weekly job)."""
+    from ..sources.writers import merge_upsert
+
+    landing = stage_event_landing(spark, sf_dir, checkpoint + "_landing")
+    stream = (read_event_stream(spark, landing)
+              .withWatermark("ts", "1 hour")
+              .dropDuplicates(["event_id"])
+              .withColumn("status", event_status_mapping(F.col("event_type"))))
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_upsert(spark, out_path, batch_df, keys=["event_id"])
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.read.parquet(out_path)
+
+
+def run_windowed_stream(spark: SparkSession, sf_dir: str,
+                        checkpoint: str, window: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """T7: tumbling-window counts with a watermark for late rows,
+    drained synchronously into an in-memory sink (test harness); the
+    batch twin (relational.hourly_event_rollup) is the oracle."""
+    landing = stage_event_landing(spark, sf_dir, checkpoint + "_landing")
+    stream = (read_event_stream(spark, landing)
+              .withWatermark("ts", watermark)
+              .groupBy(F.window("ts", window), "event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 2).alias("sum_value")))
+    q = (stream.writeStream.outputMode("complete")
+         .format("memory").queryName("windowed_events")
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.sql("""
+        SELECT date_format(window.start, 'yyyy-MM-dd HH:mm:ss') AS window_start,
+               event_type, n, sum_value
+        FROM windowed_events
+    """)

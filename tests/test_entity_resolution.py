@@ -1,0 +1,70 @@
+"""Entity-resolution semantics on reference-shaped data: the
+applicant -> company flow with the reference's thresholds
+(test vectors modeled on DatabaseConverter/test_pipeline.py:26-59:
+company applicants match, individuals are skipped, dedup applies)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_convertor_spark.operators.entity_resolution import (
+    fuzzy_join,
+    is_likely_individual,
+)
+
+
+def _applicants(spark):
+    return spark.createDataFrame(
+        [(1, "Barratt Homes Limited"),
+         (2, "Taylor Wimpey PLC"),
+         (3, "John Smith"),                 # individual -> skipped
+         (4, "Barratt  Homes  Ltd"),        # near-dup of 1 after normalize
+         (5, "Persimmon Homes Ltd")],   # suffix -> company, subset of 103
+        ["applicant_id", "name"])
+
+
+def _companies(spark):
+    return spark.createDataFrame(
+        [(101, "BARRATT HOMES LIMITED"),
+         (102, "TAYLOR WIMPEY PLC"),
+         (103, "PERSIMMON HOMES LIMITED"),
+         (104, "BERKELEY GROUP HOLDINGS PLC")],
+        ["company_id", "company_name"])
+
+
+def test_individual_filter_then_fuzzy_join(spark):
+    apps = _applicants(spark).filter(~is_likely_individual(F.col("name")))
+    assert {r.applicant_id for r in apps.collect()} == {1, 2, 4, 5}
+
+    matches = fuzzy_join(apps, _companies(spark),
+                         "name", "company_name",
+                         "applicant_id", "company_id",
+                         threshold=0.7, top_k=3, broadcast_right=True)
+    got = {(r.applicant_id, r.company_id): (r.match_method, r.confidence)
+           for r in matches.filter(F.col("match_rank") == 1).collect()}
+    # exact normalized match -> confidence 1.0
+    assert got[(1, 101)] == ("exact_name", 1.0)
+    assert got[(2, 102)] == ("exact_name", 1.0)
+    # whitespace-variant still exact after normalization? 'barratt homes
+    # ltd' vs 'barratt homes limited' differs -> token/fuzzy rung >= 0.7
+    method, conf = got[(4, 101)]
+    assert conf >= 0.7
+    # near match: 'persimmon homes ltd' vs 'persimmon homes limited'
+    method, conf = got[(5, 103)]
+    assert method in ("token_match", "fuzzy_name") and conf >= 0.7
+
+
+def test_blocking_path_agrees_with_broadcast(spark):
+    apps = _applicants(spark).filter(~is_likely_individual(F.col("name")))
+    kw = dict(threshold=0.7, top_k=3)
+    a = fuzzy_join(apps, _companies(spark), "name", "company_name",
+                   "applicant_id", "company_id", broadcast_right=True, **kw)
+    b = fuzzy_join(apps, _companies(spark), "name", "company_name",
+                   "applicant_id", "company_id", broadcast_right=False, **kw)
+    # token blocking may only DROP pairs that share no non-stopword token;
+    # every surviving (high-confidence) match must agree here
+    sa = {tuple(r) for r in a.collect()}
+    sb = {tuple(r) for r in b.collect()}
+    assert sb <= sa
+    # and on this data nothing above threshold shares zero tokens
+    assert sa == sb

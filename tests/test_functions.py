@@ -1,0 +1,126 @@
+"""Unit vectors for the scalar function library — the golden cases
+SURVEY §5 extracts from the reference (name cleaning, company-number
+validation, individual-vs-company classification, similarity ladder)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_convertor_spark.functions import cleaning, similarity, text
+from database_convertor_spark.operators.entity_resolution import is_likely_individual
+
+
+def _eval(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0].v
+
+
+def _eval_on(spark, data, fn):
+    df = spark.createDataFrame([(d,) for d in data], ["s"])
+    return [r.v for r in df.select(fn(F.col("s")).alias("v")).collect()]
+
+
+def test_clean_officer_name(spark):
+    # reference golden cases: app.py:805-842 ("MR JOHN MICHAEL SMITH" ->
+    # "John Smith"; "Smith, John" -> "John Smith")
+    out = _eval_on(spark, ["MR JOHN MICHAEL SMITH", "Smith, John", "DR JANE DOE OBE",
+                           "MADONNA"], cleaning.clean_officer_name)
+    assert out == ["John Smith", "John Smith", "Jane Doe", "Madonna"]
+
+
+def test_clean_company_name(spark):
+    out = _eval_on(spark, ["Acme Widgets Limited", "FOO BAR LTD.", "Plain Name"],
+                   cleaning.clean_company_name)
+    assert out == ["ACME WIDGETS", "FOO BAR", "PLAIN NAME"]
+
+
+def test_normalize_company_name(spark):
+    out = _eval_on(spark, ["  Acme,  Widgets! Ltd ", "O'Brien & Co-Op"],
+                   cleaning.normalize_company_name)
+    assert out == ["acme widgets ltd", "o'brien co-op"]
+
+
+def test_validate_company_number(spark):
+    # utils.py:18-24 patterns: 8 digits | 2 letters + 6 digits | letter + 7 digits
+    out = _eval_on(spark, ["12345678", "SC123456", "R1234567", "1234", "ABC12345"],
+                   cleaning.validate_company_number)
+    assert out == [True, True, True, False, False]
+
+
+def test_pad_company_number(spark):
+    assert _eval_on(spark, ["1234"], cleaning.pad_company_number) == ["00001234"]
+
+
+def test_extract_postcode(spark):
+    out = _eval_on(spark, ["10 Downing St, London SW1A 2AA", "no postcode here"],
+                   cleaning.extract_postcode)
+    assert out == ["SW1A 2AA", ""]
+
+
+def test_is_likely_individual(spark):
+    # applicant_processor.py:104-125: title prefix OR (no suffix AND 2-3 words)
+    out = _eval_on(spark, ["Mr John Smith", "John Smith", "Acme Developments Limited",
+                           "John", "Barratt Homes Eastern Counties Division"],
+                   is_likely_individual)
+    assert out == [True, True, False, False, False]
+
+
+def test_levenshtein_similarity(spark):
+    df = spark.createDataFrame([("kitten", "sitting"), ("abc", "abc")], ["a", "b"])
+    out = [round(r.v, 4) for r in df.select(
+        similarity.levenshtein_similarity(F.col("a"), F.col("b")).alias("v")).collect()]
+    assert out == [round(1 - 3 / 7, 4), 1.0]
+
+
+def test_token_jaccard_subset_boost(spark):
+    df = spark.createDataFrame([("acme widgets", "acme widgets limited"),
+                                ("alpha beta", "gamma delta")], ["a", "b"])
+    ts = similarity.token_set
+    out = [round(r.v, 4) for r in df.select(
+        similarity.token_jaccard_with_subset_boost(
+            ts(F.col("a")), ts(F.col("b"))).alias("v")).collect()]
+    # 2/3 + 0.2 subset boost; 0 overlap
+    assert out == [round(2 / 3 + 0.2, 4), 0.0]
+
+
+def test_sequence_ratio_matches_difflib(spark):
+    from difflib import SequenceMatcher
+    pairs = [("acme widgets", "acme wigets"), ("abc", "xyz")]
+    df = spark.createDataFrame(pairs, ["a", "b"])
+    out = [r.v for r in df.select(
+        similarity.sequence_ratio(F.col("a"), F.col("b")).alias("v")).collect()]
+    expected = [SequenceMatcher(None, a, b).ratio() for a, b in pairs]
+    assert out == pytest.approx(expected)
+
+
+def test_cosine_similarity(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])],
+                               ["a", "b"])
+    out = [round(r.v, 6) for r in df.select(
+        similarity.cosine_similarity(F.col("a"), F.col("b")).alias("v")).collect()]
+    assert out == [0.0, 1.0]
+
+
+def test_shingles(spark):
+    out = _eval_on(spark, ["a b c d", "a b"], lambda c: text.shingles(c, 3))
+    assert out == [["a b c", "b c d"], ["a b"]]
+
+
+def test_detect_language(spark):
+    out = _eval_on(spark, ["the cat and the dog is here", "el perro es de la casa",
+                           "xyzzy plugh"], text.detect_language)
+    assert out == ["en", "es", "und"]
+
+
+def test_format_address(spark):
+    df = spark.createDataFrame([("1 Main St", "", "London")], ["a", "b", "c"])
+    out = df.select(cleaning.format_address(
+        F.col("a"), F.col("b"), F.col("c")).alias("v")).collect()[0].v
+    assert out == "1 Main St, London"
+
+
+def test_render_array_preview(spark):
+    df = spark.createDataFrame([(["a", "b", "c", "d", "e"],), (["a"],)], ["arr"])
+    out = [r.v for r in df.select(
+        cleaning.render_array_preview(F.col("arr")).alias("v")).collect()]
+    assert out == ["a b c +2 more", "a"]

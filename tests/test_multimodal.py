@@ -1,0 +1,70 @@
+"""Multimodal column plumbing: schema, mapInPandas batch shapes,
+deterministic fake decode, metadata-only column pruning."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from database_convertor_spark.operators.multimodal import (
+    DecodeBackend,
+    FakeDecodeBackend,
+    MEDIA_SCHEMA,
+    extract_features,
+    media_metadata_stats,
+    sample_frames,
+)
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "image", bytes([10, 20, 30, 40]), (64, 48, None, "png")),
+        (2, "audio", bytes(range(100)), (None, None, 2500, "wav")),
+        (3, "video", bytes(range(255, 0, -1)), (320, 240, 9000, "mp4")),
+        (4, "image", None, (None, None, None, None)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_shapes(media):
+    out = extract_features(media).collect()
+    assert {r.media_id for r in out} == {1, 2, 3, 4}
+    by_id = {r.media_id: r for r in out}
+    assert by_id[1].n_bytes == 4
+    assert by_id[1].checksum == hashlib.md5(bytes([10, 20, 30, 40])).hexdigest()
+    assert len(by_id[1].feature) == 8
+    assert by_id[1].feature[7] == 1.0      # image flag
+    assert by_id[4].n_bytes == 0           # null payload handled
+    # deterministic across runs
+    again = {r.media_id: r.feature for r in extract_features(media).collect()}
+    assert again == {r.media_id: r.feature for r in out}
+
+
+def test_sample_frames_fanout(media):
+    out = sample_frames(media, n_frames=4).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.media_id, []).append(r)
+    assert all(len(v) == 4 for v in per.values())
+    assert sorted(r.frame_idx for r in per[3]) == [0, 1, 2, 3]
+
+
+def test_metadata_stats_prunes_payload(media, spark, tmp_path):
+    # column pruning is observable on a real parquet scan (ReadSchema),
+    # not on an in-memory LocalRelation — write/read through parquet
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+    df = media_metadata_stats(spark.read.parquet(path))
+    rows = {r.kind: r.n for r in df.collect()}
+    assert rows == {"image": 2, "audio": 1, "video": 1}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan_lines and all("payload" not in ln for ln in scan_lines)
+
+
+def test_real_backend_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        DecodeBackend().features(b"x", "image")
+    assert FakeDecodeBackend().features(b"", "image") == [0.0] * 8

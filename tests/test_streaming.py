@@ -1,0 +1,52 @@
+"""Structured Streaming layer (SURVEY §2.8): event-status mapping,
+replay dedup + foreachBatch MERGE, windowed agg vs its batch twin."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from database_convertor_spark.operators.relational import hourly_event_rollup
+from database_convertor_spark.sources.readers import read_table
+from database_convertor_spark.streaming.pipeline import (
+    event_status_mapping,
+    run_events_stream,
+    run_windowed_stream,
+)
+
+from .conftest import SF_SMALL
+
+
+def test_event_status_mapping(spark):
+    df = spark.createDataFrame(
+        [("signup",), ("purchase",), ("error",), ("mystery",)], ["event_type"])
+    out = [r.s for r in df.select(
+        event_status_mapping(F.col("event_type")).alias("s")).collect()]
+    assert out == ["new", "converted", "failed", "unknown"]
+
+
+def test_events_stream_merge_sink(spark, tmp_path):
+    out_path = os.path.join(tmp_path, "sink")
+    ckpt = os.path.join(tmp_path, "ckpt")
+    result = run_events_stream(spark, SF_SMALL, out_path, ckpt)
+    batch = read_table(spark, SF_SMALL, "events")
+    expected = batch.select("event_id").distinct().count()
+    # every event lands exactly once (dedup + MERGE keyed by event_id)
+    n_first = result.count()
+    assert n_first == expected
+    assert result.filter(F.col("status") == "unknown").count() == 0
+    # replay the whole stream with a fresh checkpoint -> still exactly-once
+    # (result df is rebound: the MERGE rewrites the sink files)
+    ckpt2 = os.path.join(tmp_path, "ckpt2")
+    replayed = run_events_stream(spark, SF_SMALL, out_path, ckpt2)
+    assert replayed.count() == n_first == expected
+
+
+def test_windowed_stream_matches_batch_twin(spark, tmp_path):
+    ckpt = os.path.join(tmp_path, "wckpt")
+    stream_out = run_windowed_stream(spark, SF_SMALL, ckpt)
+    batch_out = hourly_event_rollup(read_table(spark, SF_SMALL, "events"))
+    s = {tuple(r) for r in stream_out.collect()}
+    b = {tuple(r) for r in batch_out.collect()}
+    assert s == b

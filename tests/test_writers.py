@@ -1,0 +1,40 @@
+"""MERGE-upsert sink contract (reference S19: ON CONFLICT DO UPDATE)."""
+
+from __future__ import annotations
+
+import os
+
+from database_convertor_spark.sources.writers import dedup_latest, merge_upsert
+
+
+def test_merge_upsert_insert_then_update(spark, tmp_path):
+    target = os.path.join(tmp_path, "companies")
+    base = spark.createDataFrame(
+        [("001", "Acme", 1), ("002", "Beta", 1)],
+        ["company_number", "company_name", "version"])
+    merge_upsert(spark, target, base, keys=["company_number"])
+
+    updates = spark.createDataFrame(
+        [("002", "Beta Renamed", 2), ("003", "Gamma", 1)],
+        ["company_number", "company_name", "version"])
+    result = merge_upsert(spark, target, updates, keys=["company_number"])
+
+    rows = {r.company_number: (r.company_name, r.version)
+            for r in result.collect()}
+    assert rows == {"001": ("Acme", 1), "002": ("Beta Renamed", 2),
+                    "003": ("Gamma", 1)}
+
+
+def test_merge_upsert_idempotent(spark, tmp_path):
+    target = os.path.join(tmp_path, "t")
+    batch = spark.createDataFrame([("a", 1)], ["k", "v"])
+    merge_upsert(spark, target, batch, keys=["k"])
+    result = merge_upsert(spark, target, batch, keys=["k"])  # replay
+    assert result.count() == 1
+
+
+def test_dedup_latest(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 30)], ["k", "ts", "v"])
+    out = {r.k: r.v for r in dedup_latest(df, ["k"], "ts").collect()}
+    assert out == {"a": 20, "b": 30}
