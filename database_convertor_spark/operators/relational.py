@@ -305,6 +305,115 @@ def user_sessions(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
                  F.count(F.lit(1)).alias("n_events")))
 
 
+# ----------------------------------------------------------- multi-table join
+def regional_revenue(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                     nation: DataFrame, region: DataFrame,
+                     region_name: str = "ASIA",
+                     date_from: str = "1996-01-01",
+                     date_to: str = "1998-01-01") -> DataFrame:
+    """TPC-H Q5-shaped multi-join: revenue per nation for one region and
+    date window. Join strategy at scale: nation⋈region collapses to a
+    tiny broadcast dim; customer joins it broadcast; the two fact
+    tables (orders, lineitem) shuffle-join on their natural keys with
+    the date filter pushed to the orders scan first."""
+    dim = (nation.join(F.broadcast(region),
+                       nation.n_regionkey == region.r_regionkey)
+           .filter(F.col("r_name") == region_name)
+           .select("n_nationkey", "n_name"))
+    cust = customer.join(F.broadcast(dim),
+                         customer.c_nationkey == dim.n_nationkey)
+    ords = orders.filter((F.col("o_orderdate") >= F.lit(date_from))
+                         & (F.col("o_orderdate") < F.lit(date_to)))
+    joined = (ords.join(cust, ords.o_custkey == cust.c_custkey)
+              .join(lineitem, ords.o_orderkey == lineitem.l_orderkey))
+    return (joined.groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("revenue"),
+                 F.countDistinct("o_orderkey").alias("n_orders")))
+
+
+# ---------------------------------------------------------------- rollup/cube
+def orders_rollup(orders: DataFrame) -> DataFrame:
+    """ROLLUP (year, priority): per-(year,priority), per-year and grand
+    totals in one pass — Spark plans a single expand + hash aggregate."""
+    return (orders
+            .withColumn("order_year", F.year("o_orderdate").cast("int"))
+            .rollup("order_year", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+# -------------------------------------------------------------------- pivot
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def event_pivot_by_month(events: DataFrame) -> DataFrame:
+    """Month × event-type count matrix via pivot (explicit value list so
+    the schema is static — required for a one-pass plan AND for a
+    deterministic oracle)."""
+    return (events
+            .withColumn("month", F.date_format("ts", "yyyy-MM"))
+            .groupBy("month").pivot("event_type", EVENT_TYPES).count()
+            .na.fill(0, EVENT_TYPES))
+
+
+# ---------------------------------------------------------------- percentiles
+def event_value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact percentiles (median/p90) per event type. Spark's exact
+    `percentile` matches ANSI interpolation (quantile_cont); the
+    documented scale fallback is approx_percentile with an error bound
+    when an exact sort-based percentile is too expensive."""
+    return (events.groupBy("event_type")
+            .agg(F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+                 F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+                 F.round(F.avg("value"), 4).alias("mean")))
+
+
+# ---------------------------------------------------------------- A14 buckets
+def event_value_histogram(events: DataFrame, bucket_width: int = 50) -> DataFrame:
+    """Bucketed histogram (SURVEY A14: cache-age buckets): floor
+    bucketing + count, one aggregate."""
+    return (events
+            .withColumn("bucket",
+                        F.floor(F.col("value") / bucket_width).cast("int"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+
+
+# ------------------------------------------------------------------ S7 / A10
+def top_event_types(events: DataFrame, k: int = 3) -> DataFrame:
+    """Terms aggregation (ES aggs.terms pushdown in the reference,
+    investigate_app_types.py): top-k categories by count."""
+    return (events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "event_type").limit(k))
+
+
+# ---------------------------------------------------------------------- W5
+def orders_page(orders: DataFrame, page: int = 3, page_size: int = 20) -> DataFrame:
+    """Keyless pagination via row_number (SURVEY W5: UI page slices).
+    At scale prefer keyset pagination (WHERE key > last_seen LIMIT n) —
+    row_number pagination is O(offset); kept here because it is the
+    reference's exact semantics."""
+    w = Window.orderBy("o_orderkey")
+    lo, hi = (page - 1) * page_size, page * page_size
+    return (orders.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") > lo) & (F.col("rn") <= hi))
+            .select("o_orderkey", "o_custkey", "o_totalprice",
+                    F.col("rn").cast("int").alias("rn")))
+
+
+# ---------------------------------------------------------------------- A13
+def daily_spend(events: DataFrame, day: str = "2024-01-15") -> DataFrame:
+    """Budget roll-up for one day (SURVEY A13: COALESCE(SUM(amount),0)
+    WHERE date=:d). The date-equality predicate prunes partitions on a
+    date-partitioned landing table."""
+    return (events
+            .filter((F.to_date("ts") == F.lit(day))
+                    & (F.col("event_type") == "purchase"))
+            .agg(F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2)
+                 .alias("total_spend"),
+                 F.count(F.lit(1)).alias("n_purchases")))
+
+
 # ------------------------------------------------------------------------- T7
 def hourly_event_rollup(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour window aggregate — batch twin of the streaming

@@ -25,6 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import (
+    asof,
     dedup,
     entity_resolution,
     graph,
@@ -739,6 +740,146 @@ _add(
     """,
     "text-analysis,dedup",
     "content fingerprint + duplicate flag",
+)
+
+# ============================================================== as-of join
+_add(
+    "asof_purchase_last_click",
+    lambda spark, sf: asof.purchases_with_last_click(*_t(spark, sf, "events")),
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+    SELECT p.event_id AS purchase_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           c.click_id AS last_click_id
+    FROM purchases p ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "asof-join",
+    "as-of join: most recent prior click per purchase (union+window impl)",
+)
+
+# ====================================================== TPC-H Q5-shaped join
+_add(
+    "regional_revenue",
+    lambda spark, sf: relational.regional_revenue(
+        *_t(spark, sf, "customer", "orders", "lineitem", "nation", "region")),
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(DISTINCT o_orderkey) AS n_orders
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    "J1,J2,A6",
+    "5-table star join: revenue per nation (broadcast dims + fact shuffle)",
+)
+
+# ==================================================================== rollup
+_add(
+    "orders_rollup",
+    lambda spark, sf: relational.orders_rollup(*_t(spark, sf, "orders")),
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, o_orderpriority,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (order_year, o_orderpriority)
+    """,
+    "A6,rollup",
+    "ROLLUP (year, priority): subtotal + grand-total hierarchy in one pass",
+)
+
+# ===================================================================== pivot
+_PIVOT_CASES = ",\n           ".join(
+    f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS \"{t}\""
+    for t in relational.EVENT_TYPES)
+_add(
+    "event_pivot_by_month",
+    lambda spark, sf: relational.event_pivot_by_month(*_t(spark, sf, "events")),
+    f"""
+    SELECT strftime(ts, '%Y-%m') AS month,
+           {_PIVOT_CASES}
+    FROM events GROUP BY 1
+    """,
+    "pivot,A4",
+    "month x event-type pivot with a static value list",
+)
+
+# ================================================================ percentiles
+_add(
+    "event_value_percentiles",
+    lambda spark, sf: relational.event_value_percentiles(*_t(spark, sf, "events")),
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90,
+           round(avg(value), 4) AS mean
+    FROM events GROUP BY event_type
+    """,
+    "A6,percentile",
+    "exact interpolated percentiles per group",
+)
+
+# ================================================================= histogram
+_add(
+    "event_value_histogram",
+    lambda spark, sf: relational.event_value_histogram(*_t(spark, sf, "events")),
+    """
+    SELECT CAST(floor(value / 50) AS INTEGER) AS bucket, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    "A14",
+    "bucketed value histogram (floor bucketing + count)",
+)
+
+# ================================================================== S7 / A10
+_add(
+    "top_event_types",
+    lambda spark, sf: relational.top_event_types(*_t(spark, sf, "events")),
+    """
+    SELECT event_type, count(*) AS n FROM events
+    GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3
+    """,
+    "S7,A10",
+    "terms aggregation: top-k categories by count",
+)
+
+# ======================================================================== W5
+_add(
+    "orders_page",
+    lambda spark, sf: relational.orders_page(*_t(spark, sf, "orders")),
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, CAST(rn AS INTEGER) AS rn FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders) WHERE rn > 40 AND rn <= 60
+    """,
+    "W5",
+    "row_number pagination (page 3, size 20)",
+)
+
+# ======================================================================= A13
+_add(
+    "daily_spend",
+    lambda spark, sf: relational.daily_spend(*_t(spark, sf, "events")),
+    """
+    SELECT round(coalesce(sum(value), 0), 2) AS total_spend,
+           count(*) AS n_purchases
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-15' AND event_type = 'purchase'
+    """,
+    "A13,F8",
+    "single-day budget roll-up with COALESCE(SUM,0)",
 )
 
 CATALOG: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
