@@ -156,9 +156,29 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
             "match_method",
             F.when(near & (F.col("confidence") >= THRESHOLD_FUZZY),
                    F.lit("fuzzy_name")).otherwise(F.col("match_method")))
+    survivors = scored.filter(F.col("confidence") >= threshold)
+    if top_k == 1:
+        # argmax per left key as an aggregate, not a window: max(struct)
+        # is partial-aggregable, so the map side combines candidate
+        # pairs down to one row per left key BEFORE the shuffle —
+        # a window would shuffle every surviving pair.
+        # struct ordering = (confidence desc ≡ max, right_key asc ≡
+        # max of negated key); negation is the tie-break inversion.
+        best = survivors.groupBy(left_key).agg(
+            F.max(F.struct(
+                F.col("confidence"),
+                (-F.col(right_key)).alias("_negk"),
+                F.col(right_key).alias("_rk"),
+                F.col("match_method").alias("_mm"))).alias("_b"))
+        return best.select(
+            left_key,
+            F.col("_b._rk").alias(right_key),
+            F.col("_b.confidence").alias("confidence"),
+            F.col("_b._mm").alias("match_method"),
+            F.lit(1).cast("int").alias("match_rank"))
     w = Window.partitionBy(left_key).orderBy(
         F.desc("confidence"), F.asc(right_key))
-    return (scored.filter(F.col("confidence") >= threshold)
+    return (survivors
             .withColumn("match_rank", F.row_number().over(w).cast("int"))
             .filter(F.col("match_rank") <= top_k)
             .drop("_lnorm", "_rnorm"))

@@ -23,6 +23,7 @@ from collections.abc import Callable
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import (
     asof,
@@ -880,6 +881,45 @@ _add(
     """,
     "A13,F8",
     "single-day budget roll-up with COALESCE(SUM,0)",
+)
+
+# ======================================================= enrichment map (S3)
+def _enrich_suppliers(spark, sf):
+    from ..sources.enrichment import MockCompanyResolver, enrich
+    supplier, = _t(spark, sf, "supplier")
+    return enrich(
+        supplier.select(F.col("s_suppkey").cast("string").alias("key")),
+        "key", MockCompanyResolver,
+        {"status": "string", "n_officers": "int", "has_charges": "boolean"},
+        num_partitions=8)
+
+
+_add(
+    "enrich_suppliers_mock",
+    _enrich_suppliers,
+    None,  # mapInPandas + resolver: not SQL-expressible -> rows-only
+    "S3,S4,S10",
+    "rate-limited mapInPandas enrichment stage (deterministic mock resolver)",
+)
+
+
+# ===================================================== multimodal plumbing
+def _multimodal_features(spark, sf):
+    from ..operators.multimodal import extract_features
+    docs, = _t(spark, sf, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"))
+    return extract_features(media)
+
+
+_add(
+    "multimodal_features_mock",
+    _multimodal_features,
+    None,  # binary decode stage -> rows-only
+    "multimodal",
+    "binary-column decode/feature-extract via mapInPandas (fake backend)",
 )
 
 CATALOG: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
