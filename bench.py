@@ -32,6 +32,8 @@ HEADLINE = [
     "ann_brute_topk",
     "user_sessions",
     "hourly_event_rollup",
+    "asof_purchase_last_click",
+    "regional_revenue",
 ]
 
 

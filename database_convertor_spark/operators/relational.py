@@ -414,6 +414,40 @@ def daily_spend(events: DataFrame, day: str = "2024-01-15") -> DataFrame:
                  F.count(F.lit(1)).alias("n_purchases")))
 
 
+# -------------------------------------------------------------------- C8
+def email_pattern_candidates(customer: DataFrame) -> DataFrame:
+    """UDTF-style fan-out (SURVEY C8: 6 candidate email patterns per
+    contact, contact_enrichment.py:226-268): explode over an array of
+    format_string expressions — a generator, not a UDF."""
+    first = F.lower(F.regexp_extract("c_name", r"^([A-Za-z]+)", 1))
+    num = F.regexp_extract("c_name", r"(\d+)", 1).cast("long").cast("string")
+    domain = F.concat(first, F.lit(".example.com"))
+    patterns = F.array(
+        F.concat_ws("@", F.concat(first, F.lit("."), num), domain),
+        F.concat_ws("@", F.concat(first, num), domain),
+        F.concat_ws("@", num, domain),
+    )
+    return (customer
+            .select("c_custkey", F.posexplode(patterns).alias("pattern_id", "email"))
+            .select("c_custkey", F.col("pattern_id").cast("int").alias("pattern_id"),
+                    "email"))
+
+
+# -------------------------------------------------------------------- F10
+def event_validation_split(events: DataFrame) -> DataFrame:
+    """Validation predicate split (SURVEY F10): required fields present,
+    JSON payload parseable, value in range — counts per disposition.
+    The invalid side is a side-output, never an error."""
+    k = F.get_json_object("props", "$.k").cast("int")
+    valid = (F.col("user_id").isNotNull() & k.isNotNull()
+             & (F.col("value") >= 0) & (F.col("value") <= 180))
+    return (events
+            .withColumn("disposition", F.when(valid, "valid").otherwise("invalid"))
+            .groupBy("disposition")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("value"), 4).alias("avg_value")))
+
+
 # ------------------------------------------------------------------------- T7
 def hourly_event_rollup(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour window aggregate — batch twin of the streaming

@@ -883,6 +883,47 @@ _add(
     "single-day budget roll-up with COALESCE(SUM,0)",
 )
 
+# ======================================================================== C8
+_add(
+    "email_pattern_candidates",
+    lambda spark, sf: relational.email_pattern_candidates(
+        *_t(spark, sf, "customer")),
+    """
+    WITH base AS (
+      SELECT c_custkey,
+             lower(regexp_extract(c_name, '^([A-Za-z]+)', 1)) AS first,
+             CAST(CAST(regexp_extract(c_name, '(\\d+)', 1) AS BIGINT) AS VARCHAR) AS num
+      FROM customer),
+    pats AS (
+      SELECT c_custkey,
+             [first || '.' || num || '@' || first || '.example.com',
+              first || num || '@' || first || '.example.com',
+              num || '@' || first || '.example.com'] AS patterns
+      FROM base)
+    SELECT c_custkey, CAST(t.i AS INTEGER) AS pattern_id,
+           patterns[CAST(t.i AS INTEGER) + 1] AS email
+    FROM pats, range(3) t(i)
+    """,
+    "C8",
+    "UDTF-style email-pattern fan-out (posexplode over generated array)",
+)
+
+# ======================================================================= F10
+_add(
+    "event_validation_split",
+    lambda spark, sf: relational.event_validation_split(*_t(spark, sf, "events")),
+    """
+    SELECT CASE WHEN user_id IS NOT NULL
+                 AND CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL
+                 AND value >= 0 AND value <= 180
+                THEN 'valid' ELSE 'invalid' END AS disposition,
+           count(*) AS n, round(avg(value), 4) AS avg_value
+    FROM events GROUP BY 1
+    """,
+    "F10",
+    "validation predicate split with error side-output counts",
+)
+
 # ======================================================= enrichment map (S3)
 def _enrich_suppliers(spark, sf):
     from ..sources.enrichment import MockCompanyResolver, enrich
