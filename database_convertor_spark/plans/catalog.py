@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..operators import (
     asof,
+    components,
     dedup,
     entity_resolution,
     graph,
@@ -540,6 +541,39 @@ _add(
     _NGRAM_ORACLE,
     "dedup,C22",
     "near-dup pairs by word-set Jaccard within (lang, length-band) blocks",
+)
+
+# ============================================== dedup clusters (components)
+_add(
+    "dedup_clusters_ngram",
+    lambda spark, sf: components.dedup_clusters(
+        dedup.ngram_jaccard_pairs(*_t(spark, sf, "documents")),
+        "doc_a", "doc_b"),
+    f"""
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id, lang, CAST(n_chars // 100 AS INTEGER) AS band,
+             {_TOKS.format(c='lower(text)')} AS toks
+      FROM documents),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round({_jaccard('a.toks', 'b.toks')}, 4) AS jaccard
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.5),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a)
+    SELECT node AS doc_id, min(r) AS cluster_id,
+           (min(r) = node) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+    "dedup,graph",
+    "near-dup pairs -> duplicate clusters via distributed connected components",
 )
 
 # ================================================================ MinHash LSH

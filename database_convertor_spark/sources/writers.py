@@ -40,6 +40,22 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     out.write.mode("overwrite").option("header", "true").csv(path)
 
 
+def write_excel(df: DataFrame, path: str, sheet_name: str = "Export",
+                max_rows: int = 1_000_000) -> None:
+    """Excel export sink (reference S17: openpyxl styled workbook,
+    utils.py:60-163). Excel is a driver-side, small-output format by
+    nature: hard-capped, collected via Arrow, written with pandas.
+    Gated on openpyxl being importable."""
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "Excel export needs openpyxl; write CSV instead "
+            "(write_csv) for this environment") from exc
+    pdf = df.limit(max_rows).toPandas()
+    pdf.to_excel(path, sheet_name=sheet_name, index=False)
+
+
 def dedup_latest(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     """Keep the newest row per key (deterministic upsert semantics)."""
     w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())

@@ -1,0 +1,56 @@
+"""Connected components / dedup clustering vs a driver-side union-find
+(small data ground truth)."""
+
+from __future__ import annotations
+
+from database_convertor_spark.operators.components import (
+    connected_components,
+    dedup_clusters,
+    drop_near_duplicates,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+EDGES = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20), (3, 4)]
+
+
+def test_connected_components_matches_union_find(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == _union_find(EDGES)
+
+
+def test_dedup_clusters_canonical_flags(spark):
+    pairs = spark.createDataFrame(EDGES, ["doc_a", "doc_b"])
+    rows = dedup_clusters(pairs, "doc_a", "doc_b").collect()
+    canon = {r.doc_id for r in rows if r.is_canonical}
+    assert canon == {1, 10, 20}
+
+
+def test_drop_near_duplicates(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]],
+        ["doc_id", "text"])
+    pairs = spark.createDataFrame(EDGES, ["doc_a", "doc_b"])
+    kept = {r.doc_id for r in drop_near_duplicates(docs, pairs).collect()}
+    # one canonical per cluster + untouched singletons
+    assert kept == {1, 10, 20, 99}
