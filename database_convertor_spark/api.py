@@ -1,0 +1,186 @@
+"""User-facing facade: the reference platform's query surface
+(DatabaseConverter/database.py + app.py read paths) over a parquet
+warehouse laid out per ``schemas.WAREHOUSE_SCHEMAS``.
+
+A user of the reference interacts through: company search, stats
+roll-ups, enrichment-joined views, the shared-officer network, contact
+breakdowns, incremental upserts, CSV/Excel exports, and the weekly
+automation run. Each has a method here delegating to the operator
+layers; everything returns a lazy DataFrame (callers decide when to
+materialize)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .schemas import MERGE_KEYS, WAREHOUSE_SCHEMAS
+from .sources.writers import merge_upsert, write_csv, write_excel
+
+
+class Engine:
+    def __init__(self, spark: SparkSession, warehouse_dir: str):
+        self.spark = spark
+        self.warehouse_dir = warehouse_dir
+
+    # ------------------------------------------------------------- plumbing
+    def _path(self, table: str) -> str:
+        return os.path.join(self.warehouse_dir, table)
+
+    def table(self, name: str) -> DataFrame:
+        """Read a warehouse table; empty-but-typed if never written
+        (the reference's fresh-database behavior). Tables written with a
+        partial schema (e.g. migrated legacy data) are conformed to the
+        declared schema with typed nulls, so every facade query works
+        regardless of which optional columns the writer supplied."""
+        if name not in WAREHOUSE_SCHEMAS:
+            raise KeyError(f"unknown warehouse table: {name}")
+        schema = WAREHOUSE_SCHEMAS[name]
+        path = self._path(name)
+        if not os.path.exists(path):
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.parquet(path)
+        missing = {f.name: F.lit(None).cast(f.dataType)
+                   for f in schema.fields if f.name not in df.columns}
+        return df.withColumns(missing) if missing else df
+
+    def sql(self, query: str) -> DataFrame:
+        """Raw SQL escape hatch (S14, database.py:506-510): warehouse
+        tables are registered as temp views."""
+        for name in WAREHOUSE_SCHEMAS:
+            self.table(name).createOrReplaceTempView(name)
+        return self.spark.sql(query)
+
+    def upsert(self, name: str, rows: DataFrame) -> DataFrame:
+        """Idempotent MERGE on the table's reference key contract (S19)."""
+        keys = MERGE_KEYS.get(name)
+        if keys is None:
+            raise KeyError(f"no merge-key contract for table: {name}")
+        return merge_upsert(self.spark, self._path(name), rows, keys)
+
+    # ---------------------------------------------------------- query paths
+    def search_companies(self, query: str, status: str | None = None,
+                         limit: int = 100) -> DataFrame:
+        """F1 multi-column ILIKE + optional F3 status filter + W1 sort
+        (database.py:292-316)."""
+        q = query.lower()
+        c = self.table("companies")
+        cond = (F.lower(F.col("company_name")).contains(q)
+                | F.lower(F.col("company_number")).contains(q)
+                | F.lower(F.coalesce("locality", F.lit(""))).contains(q))
+        out = c.filter(cond)
+        if status is not None:
+            out = out.filter(F.col("company_status") == status)
+        return (out.orderBy(F.desc("updated_at"), "company_number")
+                .limit(limit))
+
+    def companies_with_enrichment(self, provider: str | None = None) -> DataFrame:
+        """J1/J2: companies ⟕ enrichment as a provider->payload map
+        (database.py:344-378's group-to-map, one join not N+1)."""
+        e = self.table("enrichment_data")
+        if provider is not None:
+            e = e.filter(F.col("provider") == provider)
+        agg = (e.groupBy("company_id")
+               .agg(F.map_from_entries(
+                   F.collect_list(F.struct("provider", "enrichment_data")))
+                   .alias("enrichment")))
+        c = self.table("companies")
+        return c.join(agg, c.id == agg.company_id, "left").drop("company_id")
+
+    def get_stats(self) -> DataFrame:
+        """A1/A2/A3: table counts + enrichment success rate in one pass
+        per table (database.py:458-488)."""
+        counts = [self.table(t).agg(
+            F.lit(t).alias("table"), F.count(F.lit(1)).alias("n"))
+            for t in ("companies", "officers", "appointments", "contacts",
+                      "planning_applications", "applicants",
+                      "applicant_company_matches", "enrichment_data")]
+        out = counts[0]
+        for c in counts[1:]:
+            out = out.unionByName(c)
+        return out
+
+    def enrichment_success_rate(self) -> DataFrame:
+        e = self.table("enrichment_data")
+        return e.agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct(F.when(F.col("success"), F.col("company_id")))
+             .alias("n_companies_enriched"),
+            F.round(100.0 * F.sum(F.when(F.col("success"), 1).otherwise(0))
+                    / F.greatest(F.count(F.lit(1)), F.lit(1)), 2)
+             .alias("success_rate_pct"))
+
+    def refresh_officer_edges(self, min_shared: int = 1) -> DataFrame:
+        """J3 materialization (database.py:937-970): full refresh of
+        shared_officer_edges from active appointments."""
+        app = (self.table("appointments")
+               .select("officer_id", "company_id").distinct())
+        a, b = app.alias("a"), app.alias("b")
+        edges = (a.join(b, (F.col("a.officer_id") == F.col("b.officer_id"))
+                        & (F.col("a.company_id") < F.col("b.company_id")))
+                 .groupBy(F.col("a.company_id").alias("company_a_id"),
+                          F.col("b.company_id").alias("company_b_id"))
+                 .agg(F.countDistinct("a.officer_id")
+                      .alias("shared_officer_count"))
+                 .filter(F.col("shared_officer_count") >= min_shared)
+                 .withColumn("updated_at", F.current_timestamp()))
+        edges.write.mode("overwrite").parquet(self._path("shared_officer_edges"))
+        self.spark.catalog.refreshByPath(self._path("shared_officer_edges"))
+        return self.table("shared_officer_edges")
+
+    def company_network(self, company_id: int) -> DataFrame:
+        """J4: one-hop neighborhood with names, one join (the reference
+        loops per edge, database.py:985-1011)."""
+        e = self.table("shared_officer_edges")
+        mine = e.filter((F.col("company_a_id") == company_id)
+                        | (F.col("company_b_id") == company_id))
+        neighbor = F.when(F.col("company_a_id") == company_id,
+                          F.col("company_b_id")).otherwise(F.col("company_a_id"))
+        mine = mine.select(neighbor.alias("neighbor_id"), "shared_officer_count")
+        c = self.table("companies").select(
+            F.col("id").alias("neighbor_id"), "company_name")
+        return mine.join(F.broadcast(c), "neighbor_id", "left")
+
+    def contact_breakdown(self) -> DataFrame:
+        """A4: contacts by (type, source, verification_status) — the
+        reference runs three separate GROUP BYs; one cube-free pass
+        each here via a single grouping set union."""
+        c = self.table("contacts")
+        by = lambda col: (c.groupBy(F.lit(col).alias("dimension"),
+                                    F.col(col).alias("value"))
+                          .agg(F.count(F.lit(1)).alias("n")))
+        return by("contact_type").unionByName(by("source")).unionByName(
+            by("verification_status"))
+
+    def top_contacts(self, limit: int = 20) -> DataFrame:
+        """W1: newest contacts (database.py:1113-1134)."""
+        return (self.table("contacts")
+                .orderBy(F.desc("created_at"), "id").limit(limit))
+
+    def primary_contact_per_company(self) -> DataFrame:
+        """W3 priority-pick: verified first, then confidence, then id."""
+        w = Window.partitionBy("company_id").orderBy(
+            F.when(F.col("verification_status") == "verified", 0).otherwise(1),
+            F.desc("confidence_score"), "id")
+        return (self.table("contacts")
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).drop("rn"))
+
+    # -------------------------------------------------------------- exports
+    def export_csv(self, df: DataFrame, path: str) -> None:
+        write_csv(df, path, single_file=True)
+
+    def export_excel(self, df: DataFrame, path: str) -> None:
+        write_excel(df, path)
+
+    # ----------------------------------------------------------- automation
+    def run_weekly(self, discovered: DataFrame, companies: DataFrame | None = None):
+        """§3.3 weekly automation against the warehouse state."""
+        from .pipelines.weekly import run_weekly_pipeline
+        companies = companies if companies is not None else (
+            self.table("companies").select(
+                F.col("id").alias("company_id"), "company_name"))
+        existing = self.table("planning_applications")
+        return run_weekly_pipeline(discovered, existing, companies)

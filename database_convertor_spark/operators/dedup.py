@@ -52,14 +52,21 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
         "doc_id", "lang",
         F.floor(F.col("n_chars") / band_chars).cast("int").alias("band"),
         F.array_distinct(tokens(F.lower(F.col("text")))).alias("toks"))
+    docs = docs.withColumn("n_toks", F.size("toks"))
     a, b = docs.alias("a"), docs.alias("b")
     pairs = a.join(b, (F.col("a.lang") == F.col("b.lang"))
                    & (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+    # size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so any
+    # pair failing the ratio cannot reach the threshold — prunes before
+    # the (expensive) intersect without changing results
+    ratio_ok = (F.least("a.n_toks", "b.n_toks").cast("double")
+                / F.greatest("a.n_toks", "b.n_toks") >= threshold)
     sim = token_jaccard(F.col("a.toks"), F.col("b.toks"))
-    return (pairs.select(F.col("a.doc_id").alias("doc_a"),
-                         F.col("b.doc_id").alias("doc_b"),
-                         F.round(sim, 4).alias("jaccard"))
+    return (pairs.filter(ratio_ok)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.round(sim, 4).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
 
 

@@ -147,6 +147,8 @@ MERGE_KEYS: dict[str, list[str]] = {
     "planning_applications": ["borough", "reference"],
     "officers": ["ch_officer_id"],
     "appointments": ["officer_id", "company_id", "role", "appointed_on"],
+    # database.py:1014-1094 upsert_contact dedups on entity+type+value
+    "contacts": ["company_id", "contact_type", "contact_value"],
     "automation_config": ["config_key"],
     "automation_schedules": ["job_id"],
     "linkedhelper_connections": ["linkedin_url"],

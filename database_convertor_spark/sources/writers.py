@@ -35,8 +35,19 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite",
 
 def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
     """CSV export sink (reference S18, app.py:1584-1597). ``single_file``
-    coalesces to one partition — only for small download-style outputs."""
-    out = df.coalesce(1) if single_file else df
+    coalesces to one partition — only for small download-style outputs.
+    Complex columns (arrays/maps/structs) are JSON-serialized — the CSV
+    analog of the reference's flatten_dict list handling (C26)."""
+    from pyspark.sql import types as T
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            cols.append(F.to_json(F.col(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    out = df.select(*cols)
+    if single_file:
+        out = out.coalesce(1)
     out.write.mode("overwrite").option("header", "true").csv(path)
 
 
@@ -82,8 +93,9 @@ def merge_upsert(spark: SparkSession, target_path: str, updates: DataFrame,
     else:
         merged = updates
     # Parquet can't overwrite a path it is currently reading; stage then swap.
-    staging = tempfile.mkdtemp(prefix="merge_stage_",
-                               dir=os.path.dirname(target_path) or ".")
+    parent = os.path.dirname(target_path) or "."
+    os.makedirs(parent, exist_ok=True)
+    staging = tempfile.mkdtemp(prefix="merge_stage_", dir=parent)
     merged.write.mode("overwrite").parquet(staging)
     if os.path.exists(target_path):
         shutil.rmtree(target_path)

@@ -1,0 +1,122 @@
+"""The user-facing Engine facade on a reference-shaped warehouse."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from database_convertor_spark.api import Engine
+from database_convertor_spark.schemas import WAREHOUSE_SCHEMAS
+
+TS = dt.datetime(2025, 1, 1)
+
+
+def _pad(df, table):
+    """Fill the warehouse table's missing columns with typed nulls."""
+    missing = {f.name: F.lit(None).cast(f.dataType)
+               for f in WAREHOUSE_SCHEMAS[table].fields
+               if f.name not in df.columns}
+    return df.withColumns(missing)
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = Engine(spark, str(tmp_path / "warehouse"))
+    companies = spark.createDataFrame(
+        [(1, "00000001", "ACME WIDGETS LIMITED", "active", TS),
+         (2, "00000002", "BETA BUILDERS PLC", "active", TS),
+         (3, "00000003", "GAMMA HOLDINGS LTD", "dissolved", TS)],
+        ["id", "company_number", "company_name", "company_status", "updated_at"])
+    eng.upsert("companies", _pad(companies, "companies"))
+    officers = spark.createDataFrame(
+        [(10, "o10"), (11, "o11"), (12, "o12")], ["id", "ch_officer_id"])
+    eng.upsert("officers", officers)
+    appointments = spark.createDataFrame(
+        # officer 10 sits on companies 1+2; officer 11 on 2+3; 12 on 1
+        [(100, 10, 1, "director", dt.date(2020, 1, 1)),
+         (101, 10, 2, "director", dt.date(2020, 1, 1)),
+         (102, 11, 2, "secretary", dt.date(2021, 1, 1)),
+         (103, 11, 3, "director", dt.date(2021, 1, 1)),
+         (104, 12, 1, "director", dt.date(2022, 1, 1))],
+        ["id", "officer_id", "company_id", "role", "appointed_on"])
+    eng.upsert("appointments", appointments)
+    enrichment = spark.createDataFrame(
+        [(1000, 1, "hunter", True, '{"domain":"acme.com"}', TS),
+         (1001, 1, "apollo", False, None, TS),
+         (1002, 2, "hunter", True, '{"domain":"beta.com"}', TS)],
+        ["id", "company_id", "provider", "success", "enrichment_data",
+         "created_at"])
+    eng.upsert("enrichment_data", enrichment)
+    contacts = spark.createDataFrame(
+        [(1, 1, "email", "a@acme.com", "hunter", 0.9, "verified", TS),
+         (2, 1, "email", "b@acme.com", "pattern", 0.5, "unverified", TS),
+         (3, 2, "phone", "123", "scrape", 0.7, "unverified", TS)],
+        ["id", "company_id", "contact_type", "contact_value", "source",
+         "confidence_score", "verification_status", "created_at"])
+    eng.upsert("contacts", contacts)
+    return eng
+
+
+def test_search_companies(engine):
+    got = {r.company_number for r in
+           engine.search_companies("acme").collect()}
+    assert got == {"00000001"}
+    # status filter (F3)
+    got = {r.company_number for r in
+           engine.search_companies("0000000", status="active").collect()}
+    assert got == {"00000001", "00000002"}
+
+
+def test_companies_with_enrichment_map(engine):
+    rows = {r.company_number: r.enrichment
+            for r in engine.companies_with_enrichment().collect()}
+    assert set(rows["00000001"]) == {"hunter", "apollo"}
+    assert rows["00000003"] is None  # left join keeps unenriched
+
+
+def test_stats_and_success_rate(engine):
+    stats = {r.table: r.n for r in engine.get_stats().collect()}
+    assert stats["companies"] == 3 and stats["appointments"] == 5
+    rate = engine.enrichment_success_rate().collect()[0]
+    assert rate.n_total == 3
+    assert rate.n_companies_enriched == 2
+    assert rate.success_rate_pct == round(100.0 * 2 / 3, 2)
+
+
+def test_officer_network(engine):
+    engine.refresh_officer_edges(min_shared=1)
+    net = {r.neighbor_id: r.shared_officer_count
+           for r in engine.company_network(2).collect()}
+    # company 2 shares officer 10 with company 1 and officer 11 with 3
+    assert net == {1: 1, 3: 1}
+
+
+def test_contact_breakdown_and_priority_pick(engine):
+    bd = {(r.dimension, r.value): r.n
+          for r in engine.contact_breakdown().collect()}
+    assert bd[("contact_type", "email")] == 2
+    assert bd[("source", "hunter")] == 1
+    assert bd[("verification_status", "unverified")] == 2
+    primary = {r.company_id: r.contact_value
+               for r in engine.primary_contact_per_company().collect()}
+    assert primary[1] == "a@acme.com"  # verified beats higher-anything
+
+
+def test_sql_escape_hatch(engine):
+    out = engine.sql("""
+        SELECT company_status, count(*) AS n FROM companies GROUP BY 1
+    """).collect()
+    assert {(r.company_status, r.n) for r in out} == {("active", 2),
+                                                      ("dissolved", 1)}
+
+
+def test_upsert_is_idempotent_on_key(engine, spark):
+    update = spark.createDataFrame(
+        [(99, "00000001", "ACME WIDGETS (RENAMED) LIMITED", "active", TS)],
+        ["id", "company_number", "company_name", "company_status", "updated_at"])
+    merged = engine.upsert("companies", _pad(update, "companies"))
+    rows = {r.company_number: r.company_name for r in merged.collect()}
+    assert rows["00000001"] == "ACME WIDGETS (RENAMED) LIMITED"
+    assert len(rows) == 3
