@@ -448,6 +448,35 @@ def event_validation_split(events: DataFrame) -> DataFrame:
                  F.round(F.avg("value"), 4).alias("avg_value")))
 
 
+# ------------------------------------------------------- running windows
+def customer_running_totals(orders: DataFrame) -> DataFrame:
+    """Frame-window analytics per customer: running revenue (rows
+    unbounded-preceding frame) and days since the previous order (lag).
+    One shuffle on the partition key serves both window functions."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = F.sum("o_totalprice").over(
+        w.rowsBetween(Window.unboundedPreceding, 0))
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey", "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.round(running, 2).alias("running_revenue"),
+        F.datediff("o_orderdate", prev).cast("int").alias("days_since_prev"),
+    )
+
+
+# ------------------------------------------------------------ set ops
+def repeat_customers(orders: DataFrame,
+                     year_a: int = 1995, year_b: int = 1996) -> DataFrame:
+    """INTERSECT: customers active in both years (the set-op family the
+    reference approximates with Python sets)."""
+    a = (orders.filter(F.year("o_orderdate") == year_a)
+         .select(F.col("o_custkey").alias("custkey")))
+    b = (orders.filter(F.year("o_orderdate") == year_b)
+         .select(F.col("o_custkey").alias("custkey")))
+    return a.intersect(b)
+
+
 # ------------------------------------------------------------------------- T7
 def hourly_event_rollup(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour window aggregate — batch twin of the streaming

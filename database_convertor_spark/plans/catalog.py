@@ -958,6 +958,60 @@ _add(
     "validation predicate split with error side-output counts",
 )
 
+# ========================================================== running windows
+_add(
+    "customer_running_totals",
+    lambda spark, sf: relational.customer_running_totals(*_t(spark, sf, "orders")),
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING), 2) AS running_revenue,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey),
+                o_orderdate) AS INTEGER) AS days_since_prev
+    FROM orders
+    """,
+    "W1,W2,A11",
+    "running revenue + gap-to-previous-order per customer (frame windows)",
+)
+
+# ================================================================== intersect
+_add(
+    "repeat_customers",
+    lambda spark, sf: relational.repeat_customers(*_t(spark, sf, "orders")),
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    "D3,set-ops",
+    "INTERSECT: customers active in both years",
+)
+
+
+# ============================================================ salted agg
+def _salted_counts(spark, sf):
+    from ..operators.skew import salted_aggregate
+    orders, = _t(spark, sf, "orders")
+    return salted_aggregate(orders, "o_custkey", num_salts=8,
+                            sum_cols=["o_totalprice"]).select(
+        "o_custkey", "n", F.round("sum_o_totalprice", 2).alias("total"))
+
+
+_add(
+    "salted_customer_counts",
+    _salted_counts,
+    """
+    SELECT o_custkey, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY o_custkey
+    """,
+    "A4,skew",
+    "two-phase salted aggregate == plain GROUP BY (skew lever, verified)",
+)
+
 # ======================================================= enrichment map (S3)
 def _enrich_suppliers(spark, sf):
     from ..sources.enrichment import MockCompanyResolver, enrich
