@@ -67,6 +67,56 @@ def write_excel(df: DataFrame, path: str, sheet_name: str = "Export",
     pdf.to_excel(path, sheet_name=sheet_name, index=False)
 
 
+def scd2_upsert(spark: SparkSession, target_path: str, updates: DataFrame,
+                keys: list[str], ts_col: str = "effective_at") -> DataFrame:
+    """Slowly-changing-dimension type 2 on parquet (the CDC/SCD2
+    pattern MERGE would express on Delta; emulated with
+    close-open-union semantics):
+
+    - a key arriving with a new ``ts_col`` closes the currently-open
+      row (valid_to = new ts, is_current = false),
+    - the new version is appended open (valid_to = null,
+      is_current = true),
+    - unchanged keys keep their history untouched.
+
+    The reference tracks only updated_at/onupdate (models.py:26);
+    SCD2 is the warehouse-grade upgrade of that contract — full change
+    history, point-in-time queries via valid_from/valid_to."""
+    updates = dedup_latest(updates, keys, ts_col)
+    incoming = (updates
+                .withColumn("valid_from", F.col(ts_col))
+                .withColumn("valid_to", F.lit(None).cast("timestamp"))
+                .withColumn("is_current", F.lit(True)))
+    if os.path.exists(target_path):
+        existing = spark.read.parquet(target_path)
+        upd_keys = F.broadcast(updates.select(*keys).dropDuplicates())
+        touched_open = (existing.filter(F.col("is_current"))
+                        .join(upd_keys, keys, "left_semi"))
+        untouched = existing.join(
+            touched_open.select(*keys, "valid_from"),
+            keys + ["valid_from"], "left_anti")
+        new_ts = updates.select(
+            *keys, F.col(ts_col).alias("_new_ts"))
+        closed = (touched_open.join(F.broadcast(new_ts), keys)
+                  .withColumn("valid_to", F.col("_new_ts"))
+                  .withColumn("is_current", F.lit(False))
+                  .drop("_new_ts"))
+        merged = (untouched
+                  .unionByName(closed)
+                  .unionByName(incoming.select(*untouched.columns)))
+    else:
+        merged = incoming
+    parent = os.path.dirname(target_path) or "."
+    os.makedirs(parent, exist_ok=True)
+    staging = tempfile.mkdtemp(prefix="scd2_stage_", dir=parent)
+    merged.write.mode("overwrite").parquet(staging)
+    if os.path.exists(target_path):
+        shutil.rmtree(target_path)
+    os.rename(staging, target_path)
+    spark.catalog.refreshByPath(target_path)
+    return spark.read.parquet(target_path)
+
+
 def dedup_latest(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
     """Keep the newest row per key (deterministic upsert semantics)."""
     w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc())

@@ -89,6 +89,32 @@ def run_events_stream(spark: SparkSession, sf_dir: str, out_path: str,
     return spark.read.parquet(out_path)
 
 
+def run_session_window_stream(spark: SparkSession, sf_dir: str,
+                              checkpoint: str, gap: str = "30 minutes",
+                              watermark: str = "30 days") -> DataFrame:
+    """Streaming sessionization via the native session_window (dynamic
+    gap-merging windows). The batch twin is relational.user_sessions
+    (lag + conditional sum) — identical session definition: events
+    within ``gap`` of each other merge. Watermark chosen past the
+    data's full span so the complete replay emits every session."""
+    landing = stage_event_landing(spark, sf_dir, checkpoint + "_landing")
+    stream = (read_event_stream(spark, landing)
+              .withWatermark("ts", watermark)
+              .groupBy(F.session_window("ts", gap), "user_id")
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    q = (stream.writeStream.outputMode("complete")
+         .format("memory").queryName("session_windows")
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.sql("""
+        SELECT user_id, count(*) AS n_sessions,
+               CAST(sum(n_events) AS BIGINT) AS n_events
+        FROM session_windows GROUP BY user_id
+    """)
+
+
 def run_windowed_stream(spark: SparkSession, sf_dir: str,
                         checkpoint: str, window: str = "1 hour",
                         watermark: str = "2 hours") -> DataFrame:

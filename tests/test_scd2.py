@@ -1,0 +1,64 @@
+"""SCD2 history upsert: close-open-union semantics on parquet."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F
+
+from database_convertor_spark.sources.writers import scd2_upsert
+
+T1 = dt.datetime(2025, 1, 1)
+T2 = dt.datetime(2025, 2, 1)
+T3 = dt.datetime(2025, 3, 1)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, ["company_number", "company_status", "effective_at"])
+
+
+def test_scd2_history(spark, tmp_path):
+    path = os.path.join(tmp_path, "dim_companies")
+    scd2_upsert(spark, path,
+                _batch(spark, [("001", "active", T1), ("002", "active", T1)]),
+                keys=["company_number"])
+    # 001 changes status at T2; 002 untouched
+    scd2_upsert(spark, path,
+                _batch(spark, [("001", "dissolved", T2)]),
+                keys=["company_number"])
+    # 001 changes again at T3
+    hist = scd2_upsert(spark, path,
+                       _batch(spark, [("001", "restored", T3)]),
+                       keys=["company_number"])
+
+    rows = sorted(
+        ((r.company_number, r.company_status, r.valid_from, r.valid_to,
+          r.is_current) for r in hist.collect()))
+    assert rows == [
+        ("001", "active", T1, T2, False),
+        ("001", "dissolved", T2, T3, False),
+        ("001", "restored", T3, None, True),
+        ("002", "active", T1, None, True),
+    ]
+    # point-in-time query: status of 001 as of mid-February
+    asof = dt.datetime(2025, 2, 15)
+    current_then = hist.filter(
+        (F.col("company_number") == "001")
+        & (F.col("valid_from") <= asof)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > asof)))
+    assert [r.company_status for r in current_then.collect()] == ["dissolved"]
+
+
+def test_scd2_replay_same_batch_is_stable(spark, tmp_path):
+    path = os.path.join(tmp_path, "dim")
+    b = _batch(spark, [("001", "active", T1)])
+    scd2_upsert(spark, path, b, keys=["company_number"])
+    hist = scd2_upsert(spark, path, b, keys=["company_number"])
+    rows = [(r.company_status, r.valid_from, r.valid_to, r.is_current)
+            for r in hist.collect()]
+    # replaying the same version closes the old row at its own ts and
+    # re-opens identically -> still exactly one current row, same ts
+    current = [r for r in rows if r[3]]
+    assert len(current) == 1 and current[0][1] == T1

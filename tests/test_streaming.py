@@ -12,6 +12,7 @@ from database_convertor_spark.sources.readers import read_table
 from database_convertor_spark.streaming.pipeline import (
     event_status_mapping,
     run_events_stream,
+    run_session_window_stream,
     run_windowed_stream,
 )
 
@@ -41,6 +42,18 @@ def test_events_stream_merge_sink(spark, tmp_path):
     ckpt2 = os.path.join(tmp_path, "ckpt2")
     replayed = run_events_stream(spark, SF_SMALL, out_path, ckpt2)
     assert replayed.count() == n_first == expected
+
+
+def test_session_window_stream_matches_batch_sessionizer(spark, tmp_path):
+    from database_convertor_spark.operators.relational import user_sessions
+
+    ckpt = os.path.join(tmp_path, "sess_ckpt")
+    stream_out = run_session_window_stream(spark, SF_SMALL, ckpt)
+    got = {r.user_id: (r.n_sessions, r.n_events)
+           for r in stream_out.collect()}
+    batch = user_sessions(read_table(spark, SF_SMALL, "events"))
+    want = {r.user_id: (r.n_sessions, r.n_events) for r in batch.collect()}
+    assert got == want
 
 
 def test_windowed_stream_matches_batch_twin(spark, tmp_path):
