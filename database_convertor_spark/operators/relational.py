@@ -477,6 +477,25 @@ def repeat_customers(orders: DataFrame,
     return a.intersect(b)
 
 
+# ---------------------------------------------------------------- profiling
+def lineitem_profile(lineitem: DataFrame) -> DataFrame:
+    """Column profiling in a single pass (df.summary()-style but exact
+    and oracle-comparable): count / nulls / min / max / avg per metric
+    column. One aggregate, no per-column scans."""
+    def prof(col: str) -> list:
+        c = F.col(col)
+        return [
+            F.count(F.lit(1)).alias(f"{col}_count"),
+            F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("long")
+             .alias(f"{col}_nulls"),
+            F.round(F.min(c), 4).alias(f"{col}_min"),
+            F.round(F.max(c), 4).alias(f"{col}_max"),
+            F.round(F.avg(c), 4).alias(f"{col}_avg"),
+        ]
+    return lineitem.agg(*prof("l_quantity"), *prof("l_extendedprice"),
+                        *prof("l_discount"))
+
+
 # ------------------------------------------------------------------------- T7
 def hourly_event_rollup(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour window aggregate — batch twin of the streaming

@@ -1012,6 +1012,22 @@ _add(
     "two-phase salted aggregate == plain GROUP BY (skew lever, verified)",
 )
 
+# ================================================================= profiling
+_PROF_COLS = "\n           ".join(
+    f"""count(*) AS {c}_count,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS {c}_nulls,
+           round(min({c}), 4) AS {c}_min,
+           round(max({c}), 4) AS {c}_max,
+           round(avg({c}), 4) AS {c}_avg,"""
+    for c in ["l_quantity", "l_extendedprice", "l_discount"]).rstrip(",")
+_add(
+    "lineitem_profile",
+    lambda spark, sf: relational.lineitem_profile(*_t(spark, sf, "lineitem")),
+    f"SELECT {_PROF_COLS} FROM lineitem",
+    "A1,A6,profiling",
+    "single-pass exact column profiling (count/nulls/min/max/avg)",
+)
+
 # ======================================================= enrichment map (S3)
 def _enrich_suppliers(spark, sf):
     from ..sources.enrichment import MockCompanyResolver, enrich
