@@ -30,6 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
 def _wrap(builder: Callable[[SparkSession, str], DataFrame]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # the Python-data-source reader implements pushFilters, which
+        # errors if this (runtime-settable) conf is off in the host session
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
         return builder(spark, sf_dir)
     return run
 

@@ -1048,6 +1048,26 @@ _add(
 )
 
 
+# =========================================== Python data source (S1/S2)
+def _rest_source_scan(spark, sf):
+    from ..sources import restsource
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    restsource.register(spark)
+    return (spark.read.format("companies_api")
+            .option("total", "2000").load()
+            .filter(F.col("company_status") == "active")   # pushed to source
+            .groupBy("sic_code")
+            .agg(F.count(F.lit(1)).alias("n_active")))
+
+
+_add(
+    "rest_source_scan",
+    _rest_source_scan,
+    None,  # source is the mock API itself, no parquet twin -> rows-only
+    "S1,S2",
+    "paginated REST-style Python data source with server-side filter pushdown",
+)
+
 # ===================================================== multimodal plumbing
 def _multimodal_features(spark, sf):
     from ..operators.multimodal import extract_features
