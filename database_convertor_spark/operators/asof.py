@@ -51,6 +51,53 @@ def as_of_join(left: DataFrame, right: DataFrame, on: str,
     return out
 
 
+def range_join_count(left: DataFrame, right: DataFrame, on: str,
+                     left_ts: str, right_ts: str,
+                     window_seconds: int,
+                     count_alias: str = "n_in_window") -> DataFrame:
+    """Interval join: for each left row, count right rows with the same
+    key and right_ts in (left_ts - window, left_ts]. Spark has no
+    native range join, so the range predicate is bucketized: both
+    sides get a time bucket of ``window_seconds``; a right row within
+    the window lives in the left row's bucket or the one before — an
+    equi-join on (key, bucket) x {b, b-1} plus the exact residual
+    filter. Join fan-out is bounded by 2x, never O(range)."""
+    lb = left.withColumn("_b", F.floor(F.unix_timestamp(left_ts)
+                                       / window_seconds).cast("long"))
+    rb = right.withColumn("_rb", F.floor(F.unix_timestamp(right_ts)
+                                         / window_seconds).cast("long"))
+    probes = lb.withColumn("_probe", F.explode(F.array(F.col("_b"),
+                                                       F.col("_b") - 1)))
+    gap = F.unix_timestamp(F.col(f"l.{left_ts}")) - F.unix_timestamp(
+        F.col(f"r.{right_ts}"))
+    joined = (probes.alias("l")
+              .join(rb.alias("r"),
+                    (F.col(f"l.{on}") == F.col(f"r.{on}"))
+                    & (F.col("l._probe") == F.col("r._rb")), "left")
+              .withColumn("_hit",
+                          F.when((gap >= 0) & (gap < window_seconds), 1)
+                           .otherwise(0)))
+    left_cols = [F.col(f"l.{c}") for c in left.columns]
+    return (joined.groupBy(*left_cols)
+            .agg(F.sum("_hit").cast("long").alias(count_alias)))
+
+
+def clicks_before_purchase(events: DataFrame,
+                           window_seconds: int = 3600) -> DataFrame:
+    """Catalog instantiation: clicks by the same user in the hour
+    before each purchase (inclusive of the purchase instant)."""
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         "user_id", "ts"))
+    clicks = (events.filter(F.col("event_type") == "click")
+              .select("user_id", F.col("ts").alias("click_ts")))
+    out = range_join_count(purchases, clicks, "user_id", "ts", "click_ts",
+                           window_seconds, count_alias="n_clicks_1h")
+    return out.select("purchase_id", "user_id",
+                      F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+                      .alias("purchase_ts"), "n_clicks_1h")
+
+
 def purchases_with_last_click(events: DataFrame) -> DataFrame:
     """Catalog instantiation: for every purchase event, the most recent
     prior click by the same user + the gap in seconds. Click ties on

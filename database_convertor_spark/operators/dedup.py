@@ -53,7 +53,10 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
         F.floor(F.col("n_chars") / band_chars).cast("int").alias("band"),
         F.array_distinct(tokens(F.lower(F.col("text")))).alias("toks"))
     docs = docs.withColumn("n_toks", F.size("toks"))
-    a, b = docs.alias("a"), docs.alias("b")
+    # single-file inputs arrive as one partition; the (broadcast) self-
+    # join would then run on one core — spread the probe side first
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    a, b = docs.repartition(par).alias("a"), docs.alias("b")
     pairs = a.join(b, (F.col("a.lang") == F.col("b.lang"))
                    & (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -84,6 +87,10 @@ def _minhash_signature(shingle_col: Column, num_hashes: int) -> Column:
 
 def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
                        shingle_n: int = 3) -> DataFrame:
+    # signature computation is the expensive projection — spread the
+    # (possibly single-file) input before it, not after
+    documents = documents.repartition(
+        documents.sparkSession.sparkContext.defaultParallelism)
     return documents.select(
         "doc_id",
         shingles(F.col("text"), shingle_n).alias("sh")
@@ -101,7 +108,9 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5,
     hash) — no cross product at any scale. Verification recomputes
     exact Jaccard on the candidate pairs only."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(documents, num_hashes, shingle_n)
+    # materialize signatures once: the self-join below would otherwise
+    # recompute the (expensive) signature projection on both sides
+    sigs = minhash_signatures(documents, num_hashes, shingle_n).localCheckpoint()
     banded = sigs.select(
         "doc_id", "sh",
         F.posexplode(
@@ -112,7 +121,8 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5,
                         F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
                         lambda h: h.cast("string")))))
         ).alias("band_id", "band_hash"))
-    a, b = banded.alias("a"), banded.alias("b")
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    a, b = banded.repartition(par).alias("a"), banded.alias("b")
     cands = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                     & (F.col("a.band_hash") == F.col("b.band_hash"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -162,13 +172,16 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     into 4x16-bit chunks; any pair within Hamming distance <= 3 must
     agree on at least one chunk (pigeonhole), so candidates come from
     an equi-join on (chunk_id, chunk_value)."""
-    sh = documents.select("doc_id", simhash64(F.col("text")).alias("sh"))
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    sh = (documents.repartition(par)
+          .select("doc_id", simhash64(F.col("text")).alias("sh")))
     chunked = sh.select(
         "doc_id", "sh",
         F.posexplode(F.array(*[
             F.shiftright(F.col("sh"), c * 16).bitwiseAND(F.lit(0xFFFF))
             for c in range(4)])).alias("chunk_id", "chunk_val"))
-    a, b = chunked.alias("a"), chunked.alias("b")
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    a, b = chunked.repartition(par).alias("a"), chunked.alias("b")
     cands = (a.join(b, (F.col("a.chunk_id") == F.col("b.chunk_id"))
                     & (F.col("a.chunk_val") == F.col("b.chunk_val"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -190,7 +203,8 @@ def embedding_neardup_pairs(embeddings: DataFrame,
     pairs are generated only inside a bucket — the blocked join pattern
     again, this time in vector space."""
     e = embeddings.select("vec_id", "label", "embedding")
-    a, b = e.alias("a"), e.alias("b")
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    a, b = e.repartition(par).alias("a"), e.alias("b")
     pairs = a.join(b, (F.col("a.label") == F.col("b.label"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
     sim = cosine_similarity(F.col("a.embedding").cast("array<double>"),

@@ -53,6 +53,21 @@ def token_stats_by_lang(documents: DataFrame) -> DataFrame:
                  F.round(F.avg("_n"), 4).alias("avg_tokens")))
 
 
+def top_terms_per_lang(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Term-frequency top-k per language: explode tokens -> two-key
+    aggregate -> top-k window over the (small) aggregated table. The
+    explode is the only wide fan-out and feeds straight into a
+    map-side-combining aggregate."""
+    from ..functions.text import tokens
+
+    terms = documents.select(
+        "lang", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    counts = terms.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "term")
+    return (counts.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k))
+
+
 def fingerprint_docs(documents: DataFrame) -> DataFrame:
     """Content fingerprint + duplicate flag (count over the fingerprint
     window; the window shuffles on the fingerprint — same key as an

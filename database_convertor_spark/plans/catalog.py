@@ -958,6 +958,48 @@ _add(
     "validation predicate split with error side-output counts",
 )
 
+# ================================================================ range join
+_add(
+    "clicks_before_purchase",
+    lambda spark, sf: asof.clicks_before_purchase(*_t(spark, sf, "events")),
+    """
+    WITH purchases AS (
+      SELECT event_id AS purchase_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'),
+    clicks AS (
+      SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           count(c.click_ts) AS n_clicks_1h
+    FROM purchases p LEFT JOIN clicks c
+      ON p.user_id = c.user_id
+     AND date_diff('second', c.click_ts, p.ts) >= 0
+     AND date_diff('second', c.click_ts, p.ts) < 3600
+    GROUP BY 1, 2, 3
+    """,
+    "range-join",
+    "interval join via time-bucketized equi-join (bounded 2x fan-out)",
+)
+
+# ======================================================== top terms per lang
+_add(
+    "top_terms_per_lang",
+    lambda spark, sf: text_analysis.top_terms_per_lang(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH terms AS (
+      SELECT lang, t.term
+      FROM documents, unnest({_TOKS_ALL.format(c='lower(text)')}) AS t(term)),
+    counts AS (SELECT lang, term, count(*) AS n FROM terms GROUP BY 1, 2)
+    SELECT lang, term, n, CAST(rank AS INTEGER) AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY lang
+                                   ORDER BY n DESC, term) AS rank
+      FROM counts) WHERE rank <= 5
+    """,
+    "text-analysis,W2",
+    "term-frequency top-k per language (explode -> agg -> window)",
+)
+
 # ========================================================== running windows
 _add(
     "customer_running_totals",
