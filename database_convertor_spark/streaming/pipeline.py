@@ -115,6 +115,42 @@ def run_session_window_stream(spark: SparkSession, sf_dir: str,
     """)
 
 
+def run_stream_stream_join(spark: SparkSession, sf_dir: str,
+                           checkpoint: str,
+                           window_seconds: int = 3600) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: purchases
+    joined to the same user's clicks within the preceding hour. Both
+    sides carry watermarks; the time-range join condition lets Spark
+    bound the join state (clicks older than the window + watermark are
+    evicted) — the property that makes a stream-stream join viable on
+    an unbounded feed."""
+    landing = stage_event_landing(spark, sf_dir, checkpoint + "_landing")
+    purchases = (read_event_stream(spark, landing)
+                 .filter(F.col("event_type") == "purchase")
+                 .selectExpr("event_id AS purchase_id",
+                             "user_id AS p_user", "ts AS p_ts")
+                 .withWatermark("p_ts", "1 hour"))
+    clicks = (read_event_stream(spark, landing)
+              .filter(F.col("event_type") == "click")
+              .selectExpr("event_id AS click_id",
+                          "user_id AS c_user", "ts AS c_ts")
+              .withWatermark("c_ts", "2 hours"))
+    joined = purchases.join(
+        clicks,
+        F.expr(f"""p_user = c_user
+                   AND c_ts <= p_ts
+                   AND c_ts > p_ts - INTERVAL {window_seconds} SECONDS"""),
+        "inner")
+    q = (joined.writeStream.outputMode("append")
+         .format("memory").queryName("purchase_click_pairs")
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.sql(
+        "SELECT purchase_id, click_id FROM purchase_click_pairs")
+
+
 def run_windowed_stream(spark: SparkSession, sf_dir: str,
                         checkpoint: str, window: str = "1 hour",
                         watermark: str = "2 hours") -> DataFrame:

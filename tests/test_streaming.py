@@ -56,6 +56,28 @@ def test_session_window_stream_matches_batch_sessionizer(spark, tmp_path):
     assert got == want
 
 
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    from database_convertor_spark.streaming.pipeline import (
+        run_stream_stream_join,
+    )
+
+    ckpt = os.path.join(tmp_path, "ssj_ckpt")
+    got = {(r.purchase_id, r.click_id)
+           for r in run_stream_stream_join(spark, SF_SMALL, ckpt).collect()}
+
+    ev = read_table(spark, SF_SMALL, "events")
+    p = ev.filter(F.col("event_type") == "purchase").selectExpr(
+        "event_id AS purchase_id", "user_id AS pu", "ts AS pts")
+    c = ev.filter(F.col("event_type") == "click").selectExpr(
+        "event_id AS click_id", "user_id AS cu", "ts AS cts")
+    batch = p.join(c, (F.col("pu") == F.col("cu"))
+                   & (F.col("cts") <= F.col("pts"))
+                   & (F.col("cts") > F.col("pts") - F.expr(
+                       "INTERVAL 3600 SECONDS")))
+    want = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert got == want and len(got) > 0
+
+
 def test_windowed_stream_matches_batch_twin(spark, tmp_path):
     ckpt = os.path.join(tmp_path, "wckpt")
     stream_out = run_windowed_stream(spark, SF_SMALL, ckpt)
