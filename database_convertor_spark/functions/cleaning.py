@@ -117,6 +117,26 @@ def valid_linkedin_url(col: Column) -> Column:
     return col.rlike(r"^https://[a-z]{2,3}\.linkedin\.com/in/.+")
 
 
+def extract_contact_fields(col: Column) -> Column:
+    """Contact-block field extraction from scraped text (SURVEY C10,
+    api_clients.py:1340-1378): key:value regex scan with per-field
+    fallbacks, as one struct-producing expression. Returns struct
+    (name, company, telephone, email); missing fields are ''."""
+    def kv(key_pattern: str) -> Column:
+        return F.regexp_extract(
+            col, rf"(?im)^\s*(?:{key_pattern})\s*[:\-]\s*(.+?)\s*$", 1)
+
+    email = F.regexp_extract(col, r"([\w.+-]+@[\w-]+\.[\w.]+)", 1)
+    phone = F.regexp_extract(
+        col, r"(?i)(?:tel|telephone|phone)\s*[:\-]?\s*([\d ()+-]{7,})", 1)
+    return F.struct(
+        kv("name|applicant|contact").alias("name"),
+        kv("company|organisation|organization").alias("company"),
+        F.trim(phone).alias("telephone"),
+        email.alias("email"),
+    )
+
+
 def render_array_preview(col: Column, sep: str = " ", max_items: int = 3) -> Column:
     """SIC-array render with '+N more' truncation (app.py:645-650, C28)."""
     shown = F.array_join(F.slice(col, 1, max_items), sep)

@@ -30,9 +30,12 @@ def shared_supplier_pairs(lineitem: DataFrame, min_shared: int = 3) -> DataFrame
     b = edges.alias("b")
     pairs = a.join(b, (F.col("a.l_partkey") == F.col("b.l_partkey"))
                    & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+    # edges is distinct on (part, supp), so each (supp_a, supp_b, part)
+    # triple appears exactly once after the join: count(*) equals
+    # COUNT(DISTINCT part) but skips the two-phase distinct aggregate
     return (pairs.groupBy(F.col("a.l_suppkey").alias("supp_a"),
                           F.col("b.l_suppkey").alias("supp_b"))
-            .agg(F.countDistinct(F.col("a.l_partkey")).alias("shared_parts"))
+            .agg(F.count(F.lit(1)).alias("shared_parts"))
             .filter(F.col("shared_parts") >= min_shared))
 
 

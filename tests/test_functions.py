@@ -119,6 +119,21 @@ def test_format_address(spark):
     assert out == "1 Main St, London"
 
 
+def test_extract_contact_fields(spark):
+    text = ("Applicant: Jane Doe\n"
+            "Company: Acme Widgets Ltd\n"
+            "Tel: 020 7946 0000\n"
+            "reach us at jane.doe@acme.co.uk today")
+    df = spark.createDataFrame([(text,), ("no contacts here",)], ["s"])
+    out = [r.v for r in df.select(
+        cleaning.extract_contact_fields(F.col("s")).alias("v")).collect()]
+    assert out[0].name == "Jane Doe"
+    assert out[0].company == "Acme Widgets Ltd"
+    assert out[0].telephone == "020 7946 0000"
+    assert out[0].email == "jane.doe@acme.co.uk"
+    assert out[1] == ("", "", "", "")
+
+
 def test_render_array_preview(spark):
     df = spark.createDataFrame([(["a", "b", "c", "d", "e"],), (["a"],)], ["arr"])
     out = [r.v for r in df.select(

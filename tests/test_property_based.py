@@ -1,0 +1,72 @@
+"""Property-based tests (hypothesis) for the invariants the oracle
+can't reach: MERGE idempotence/key-uniqueness on arbitrary batches and
+connected-components correctness on random graphs. The reference ships
+no property tests (SURVEY §5) — these are the engine's guarantees."""
+
+from __future__ import annotations
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from database_convertor_spark.operators.components import connected_components
+from database_convertor_spark.sources.writers import merge_upsert
+
+_slow = settings(max_examples=10, deadline=None,
+                 suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+_batches = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 1000), st.text("ab", max_size=3)),
+    min_size=1, max_size=20)
+
+_edges = st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                  min_size=1, max_size=25)
+
+
+@given(batch1=_batches, batch2=_batches)
+@_slow
+def test_merge_upsert_key_unique_and_latest_wins(spark, tmp_path_factory,
+                                                 batch1, batch2):
+    path = os.path.join(tmp_path_factory.mktemp("merge"), "t")
+    df1 = spark.createDataFrame(batch1, ["k", "v", "s"])
+    df2 = spark.createDataFrame(batch2, ["k", "v", "s"])
+    merge_upsert(spark, path, df1, keys=["k"])
+    merged = merge_upsert(spark, path, df2, keys=["k"])
+    rows = merged.collect()
+    keys = [r.k for r in rows]
+    # invariant 1: exactly one row per key
+    assert len(keys) == len(set(keys))
+    # invariant 2: every key from either batch is present
+    assert set(keys) == {b[0] for b in batch1} | {b[0] for b in batch2}
+    # invariant 3: batch2 rows win on overlapping keys
+    b2_keys = {b[0] for b in batch2}
+    b2_vals = {r.k: (r.v, r.s) for r in df2.dropDuplicates(["k"]).collect()}
+    for r in rows:
+        if r.k in b2_keys:
+            assert (r.v, r.s) == b2_vals[r.k]
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@given(edges=_edges)
+@_slow
+def test_connected_components_random_graphs(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == _union_find(edges)
