@@ -46,6 +46,44 @@ def materialize_edges(lineitem: DataFrame, path: str, min_shared: int = 3) -> No
     shared_supplier_pairs(lineitem, min_shared).write.mode("overwrite").parquet(path)
 
 
+def refresh_edges_incremental(existing_edges: DataFrame, edges: DataFrame,
+                              changed_parts: DataFrame,
+                              min_shared: int = 3) -> DataFrame:
+    """Incremental edge refresh — the reference recomputes the entire
+    edge table weekly (database.py:937-970 DELETE + INSERT...SELECT);
+    at 100 TB a full self-join recompute is the bottleneck, so this
+    variant recomputes ONLY supplier pairs affected by changed parts:
+
+      affected suppliers = suppliers of changed parts
+      recompute pairs where at least one side is affected (their
+      counts may have changed); keep existing pairs untouched otherwise.
+
+    Cost scales with the touched neighborhood, not the graph.
+    ``changed_parts``: one column ``l_partkey``."""
+    edges = edges.select("l_partkey", "l_suppkey").distinct()
+    affected_supp = (edges.join(F.broadcast(changed_parts), "l_partkey")
+                     .select("l_suppkey").distinct())
+    # full pair recompute restricted to edges of affected suppliers on
+    # EITHER side: pairs (a,b) need a or b affected
+    a = edges.alias("a")
+    b = edges.alias("b")
+    pairs = (a.join(b, (F.col("a.l_partkey") == F.col("b.l_partkey"))
+                    & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
+             .select(F.col("a.l_suppkey").alias("supp_a"),
+                     F.col("b.l_suppkey").alias("supp_b"),
+                     F.col("a.l_partkey").alias("part")))
+    aff = F.broadcast(affected_supp.withColumnRenamed("l_suppkey", "s"))
+    touched_pairs = (pairs.join(aff, (pairs.supp_a == F.col("s"))
+                                | (pairs.supp_b == F.col("s")), "left_semi")
+                     .groupBy("supp_a", "supp_b")
+                     .agg(F.count(F.lit(1)).alias("shared_parts"))
+                     .filter(F.col("shared_parts") >= min_shared))
+    untouched = (existing_edges
+                 .join(aff, (existing_edges.supp_a == F.col("s"))
+                       | (existing_edges.supp_b == F.col("s")), "left_anti"))
+    return untouched.unionByName(touched_pairs)
+
+
 def supplier_neighborhood(lineitem: DataFrame, supplier: DataFrame,
                           suppkey: int, min_shared: int = 2) -> DataFrame:
     """Neighborhood lookup on the edge relation (SURVEY J4,

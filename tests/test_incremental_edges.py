@@ -1,0 +1,42 @@
+"""Incremental edge refresh must equal the full recompute for any
+change set (the scale path vs the reference's full weekly rebuild)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from database_convertor_spark.operators.graph import (
+    refresh_edges_incremental,
+    shared_supplier_pairs,
+)
+from database_convertor_spark.sources.readers import read_table
+
+from .conftest import SF_SMALL
+
+
+def test_incremental_refresh_matches_full(spark):
+    lineitem = read_table(spark, SF_SMALL, "lineitem")
+    # "last week's" state: drop lineitems of 20 parts, full-compute edges
+    changed = (lineitem.select("l_partkey").distinct()
+               .orderBy("l_partkey").limit(20))
+    old_lineitem = lineitem.join(changed, "l_partkey", "left_anti")
+    old_edges = shared_supplier_pairs(old_lineitem, min_shared=3)
+
+    # this week: the 20 parts' lineitems arrive; incremental refresh
+    new_edges_incr = refresh_edges_incremental(
+        old_edges, lineitem.select("l_partkey", "l_suppkey"),
+        changed, min_shared=3)
+    full = shared_supplier_pairs(lineitem, min_shared=3)
+
+    a = {(r.supp_a, r.supp_b): r.shared_parts for r in new_edges_incr.collect()}
+    b = {(r.supp_a, r.supp_b): r.shared_parts for r in full.collect()}
+    assert a == b
+
+
+def test_incremental_noop_changeset_keeps_edges(spark):
+    lineitem = read_table(spark, SF_SMALL, "lineitem")
+    edges = shared_supplier_pairs(lineitem, min_shared=3)
+    empty = spark.createDataFrame([], "l_partkey long")
+    out = refresh_edges_incremental(
+        edges, lineitem.select("l_partkey", "l_suppkey"), empty, min_shared=3)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, edges.collect()))

@@ -1,0 +1,68 @@
+"""Physical-plan regression guards: the properties that make these
+queries survive 100x scale must stay in the plan — losing a pushdown
+or a broadcast is a silent 10-100x regression the row-level oracle
+can't see."""
+
+from __future__ import annotations
+
+import pytest
+
+from database_convertor_spark.plans.catalog import CATALOG
+
+from .conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = CATALOG[name].builder(spark, SF_SMALL)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_predicates_push_to_scan(spark):
+    plan = _plan(spark, "open_orders")
+    assert "PushedFilters: [" in plan
+    assert "EqualTo(o_orderstatus,O)" in plan
+    # (the PushedFilters list may be truncated in the plan string)
+    assert "GreaterThan(o_total" in plan
+
+
+def test_scan_prunes_columns(spark):
+    plan = _plan(spark, "open_orders")
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "o_orderdate" not in scan  # unused column never read
+
+
+def test_dimension_joins_broadcast(spark):
+    assert "BroadcastHashJoin" in _plan(spark, "market_segment_revenue")
+    plan = _plan(spark, "regional_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation/region + customer dim
+
+
+def test_left_rollup_preaggregates_before_join(spark):
+    plan = _plan(spark, "customer_order_stats")
+    # partial aggregate must sit BELOW the join (fact never joins raw)
+    assert "partial_count" in plan
+    join_pos = plan.index("Join")
+    assert plan.index("HashAggregate", join_pos) > join_pos  # agg feeds join
+
+
+def test_top_k_avoids_global_sort(spark):
+    assert "TakeOrderedAndProject" in _plan(spark, "top_orders")
+
+
+def test_fuzzy_probe_side_parallelized(spark):
+    plan = _plan(spark, "fuzzy_match_customers")
+    assert "RoundRobinPartitioning" in plan       # probe repartitioned
+    assert "BroadcastNestedLoopJoin" in plan      # dim broadcast, as designed
+
+
+def test_pairwise_ops_have_no_cartesian(spark):
+    for name in ["dedup_ngram_jaccard", "dedup_minhash_lsh",
+                 "dedup_simhash", "dedup_embedding_cosine", "ann_ivf_topk"]:
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+
+
+@pytest.mark.parametrize("name", ["pricing_summary", "event_type_counts"])
+def test_aggregates_are_two_phase(spark, name):
+    plan = _plan(spark, name)
+    assert "partial_" in plan  # map-side combine present
