@@ -117,6 +117,62 @@ def valid_linkedin_url(col: Column) -> Column:
     return col.rlike(r"^https://[a-z]{2,3}\.linkedin\.com/in/.+")
 
 
+_KNOWN_CITIES = ["london", "manchester", "birmingham", "leeds", "bristol",
+                 "liverpool", "glasgow", "edinburgh", "cardiff", "belfast"]
+_CITY_ALIASES = {"greater london": "london", "city of london": "london",
+                 "gtr manchester": "manchester"}
+
+
+def extract_city(col: Column) -> Column:
+    """City extraction from a free-text address (SURVEY C11,
+    api_clients.py:2447-2516): known-city containment first, alias
+    table, else second-from-last comma segment title-cased."""
+    lowered = F.lower(col)
+    out = None
+    for alias, canonical in _CITY_ALIASES.items():
+        cond = lowered.contains(alias)
+        out = F.when(cond, F.initcap(F.lit(canonical))) if out is None \
+            else out.when(cond, F.initcap(F.lit(canonical)))
+    for city in _KNOWN_CITIES:
+        out = out.when(lowered.contains(city), F.initcap(F.lit(city)))
+    parts = F.split(col, ",")
+    fallback = F.when(F.size(parts) >= 2,
+                      F.initcap(F.trim(F.element_at(parts, -2)))
+                      ).otherwise(F.lit(""))
+    return out.otherwise(fallback)
+
+
+def format_officer_list(officers: Column) -> Column:
+    """'Name (Role); Name (Role)' from array<struct<name,role>>
+    (SURVEY C14, weekly_scheduler.py:955-966) — transform +
+    format_string, no explode."""
+    return F.array_join(
+        F.transform(officers,
+                    lambda o: F.format_string("%s (%s)", o["name"], o["role"])),
+        "; ")
+
+
+def friendly_date(col: Column) -> Column:
+    """'Monday 23rd June 2025' with ordinal suffix (SURVEY C17,
+    app.py:230-247)."""
+    day = F.dayofmonth(col)
+    suffix = (F.when(day.isin(11, 12, 13), "th")
+              .when(day % 10 == 1, "st")
+              .when(day % 10 == 2, "nd")
+              .when(day % 10 == 3, "rd")
+              .otherwise("th"))
+    return F.concat(F.date_format(col, "EEEE "), day.cast("string"), suffix,
+                    F.date_format(col, " MMMM yyyy"))
+
+
+def enrichment_cost(linkedin_lookups: Column, email_verifications: Column,
+                    linkedin_rate: float = 0.10,
+                    email_rate: float = 0.05) -> Column:
+    """Per-record enrichment cost (SURVEY C25, app.py:860-872)."""
+    return F.round(linkedin_lookups * linkedin_rate
+                   + email_verifications * email_rate, 2)
+
+
 def extract_contact_fields(col: Column) -> Column:
     """Contact-block field extraction from scraped text (SURVEY C10,
     api_clients.py:1340-1378): key:value regex scan with per-field

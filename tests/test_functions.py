@@ -134,6 +134,41 @@ def test_extract_contact_fields(spark):
     assert out[1] == ("", "", "", "")
 
 
+def test_extract_city(spark):
+    out = _eval_on(spark, ["1 High St, Greater London, SW1A 2AA",
+                           "5 Deansgate, Manchester M1 1AA",
+                           "Flat 2, 9 Side Rd, Sometown, XX1 1XX",
+                           "no commas no city"], cleaning.extract_city)
+    assert out == ["London", "Manchester", "Sometown", ""]
+
+
+def test_format_officer_list(spark):
+    df = spark.createDataFrame(
+        [([("Jane Doe", "director"), ("John Roe", "secretary")],)],
+        "officers: array<struct<name:string, role:string>>")
+    out = df.select(cleaning.format_officer_list(
+        F.col("officers")).alias("v")).collect()[0].v
+    assert out == "Jane Doe (director); John Roe (secretary)"
+
+
+def test_friendly_date(spark):
+    import datetime as dt
+    df = spark.createDataFrame(
+        [(dt.date(2023, 6, 23),), (dt.date(2023, 6, 1),),
+         (dt.date(2023, 6, 11),), (dt.date(2023, 6, 22),)], ["d"])
+    out = [r.v for r in df.select(
+        cleaning.friendly_date(F.col("d")).alias("v")).collect()]
+    assert out == ["Friday 23rd June 2023", "Thursday 1st June 2023",
+                   "Sunday 11th June 2023", "Thursday 22nd June 2023"]
+
+
+def test_enrichment_cost(spark):
+    df = spark.createDataFrame([(3, 10)], ["li", "em"])
+    out = df.select(cleaning.enrichment_cost(
+        F.col("li"), F.col("em")).alias("v")).collect()[0].v
+    assert out == 0.80
+
+
 def test_render_array_preview(spark):
     df = spark.createDataFrame([(["a", "b", "c", "d", "e"],), (["a"],)], ["arr"])
     out = [r.v for r in df.select(
