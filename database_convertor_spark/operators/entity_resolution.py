@@ -90,41 +90,15 @@ def similarity_score(a_norm: Column, b_norm: Column) -> tuple[Column, Column]:
     return F.round(confidence, 4), method
 
 
-def fuzzy_join(left: DataFrame, right: DataFrame,
-               left_name: str, right_name: str,
-               left_key: str, right_key: str,
-               threshold: float = MATCH_THRESHOLD,
-               top_k: int = TOP_K,
-               broadcast_right: bool = False,
-               use_difflib: bool = False) -> DataFrame:
-    """General fuzzy similarity join with blocking + ladder scoring +
-    per-left-key top-k (SURVEY J5 -> W4).
+_NUMERIC_TYPES = {"tinyint", "smallint", "int", "bigint", "float",
+                  "double", "long", "integer", "short", "byte"}
 
-    Output: (left_key, right_key, match_method, confidence, match_rank).
 
-    Performance shape: normalization and tokenization are projected
-    BELOW the join (once per input row, not once per candidate pair);
-    the per-pair expression is one array_intersect + size algebra + one
-    levenshtein. At 15M candidate pairs this is the difference between
-    ~10s and ~10min (measured at sf0.1).
-    """
-    lnorm = (left.select(F.col(left_key),
-                         normalize_company_name(F.col(left_name)).alias("_lnorm"))
-             .withColumn("_ltoks", token_set(F.col("_lnorm"))))
-    rnorm = (right.select(F.col(right_key),
-                          normalize_company_name(F.col(right_name)).alias("_rnorm"))
-             .withColumn("_rtoks", token_set(F.col("_rnorm"))))
-    if broadcast_right:
-        # the probe side usually arrives as a handful of file-splits;
-        # spread it across the cluster so the nested-loop join
-        # parallelizes (1 task x 15M pairs -> 32 tasks x 500k pairs)
-        par = lnorm.sparkSession.sparkContext.defaultParallelism
-        pairs = lnorm.repartition(par).crossJoin(F.broadcast(rnorm))
-    else:
-        pairs = _block_on_tokens(lnorm, rnorm)
-
-    # one intersect per pair; |A∪B| = |A|+|B|-|A∩B|, subset ⇔ |A∩B|=|A|
-    # (token arrays are distinct by construction)
+def _ladder_score(pairs: DataFrame) -> tuple[Column, Column]:
+    """Full scoring ladder over a candidate-pair frame carrying
+    _lnorm/_rnorm/_ltoks/_rtoks. One intersect per pair;
+    |A∪B| = |A|+|B|-|A∩B|, subset ⇔ |A∩B|=|A| (token arrays are
+    distinct by construction)."""
     i = F.size(F.array_intersect(F.col("_ltoks"), F.col("_rtoks"))).cast("double")
     na = F.size(F.col("_ltoks")).cast("double")
     nb = F.size(F.col("_rtoks")).cast("double")
@@ -139,31 +113,118 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
     method = (F.when(exact, F.lit("exact_name"))
               .when(jac_boosted >= lev, F.lit("token_match"))
               .otherwise(F.lit("fuzzy_name")))
-    scored = pairs.select(left_key, right_key,
-                          confidence.alias("confidence"),
-                          method.alias("match_method"),
-                          "_lnorm", "_rnorm")
+    return confidence, method
+
+
+def fuzzy_join(left: DataFrame, right: DataFrame,
+               left_name: str, right_name: str,
+               left_key: str, right_key: str,
+               threshold: float = MATCH_THRESHOLD,
+               top_k: int = TOP_K,
+               broadcast_right: bool = False,
+               lev_rescue: bool = True,
+               use_difflib: bool = False) -> DataFrame:
+    """General fuzzy similarity join with blocking + ladder scoring +
+    per-left-key top-k (SURVEY J5 -> W4).
+
+    Output: (left_key, right_key, match_method, confidence, match_rank).
+
+    Candidate semantics (the scale contract):
+    - default path: candidates = token-sharing pairs (the O(n)
+      equi-join on exploded non-stopword tokens), PLUS — when
+      ``lev_rescue`` — a levenshtein-only rescue rung for left rows
+      with NO token-sharing candidate at all: those residual lefts are
+      cross-joined against the broadcast right side and scored by
+      edit-distance alone. Cost is |unblocked lefts| x |right|, bounded
+      and parallel; at scales where the right side stops being
+      broadcastable, turn the rescue off and the semantics degrade
+      gracefully to token-candidates-only.
+    - ``broadcast_right=True``: the exhaustive quadratic ladder over
+      all pairs. Keep for genuinely tiny right sides only — this is
+      NOT the 100-TB path.
+
+    The hybrid equals the exhaustive join whenever each blocked left's
+    global argmax lies inside its token block (token sharing dominates
+    the score) — true for this driver schema and verified by the
+    DuckDB all-pairs oracle; the residual lefts are scored exhaustively
+    either way.
+
+    Performance shape: normalization and tokenization are projected
+    BELOW the join (once per input row, not once per candidate pair);
+    the per-pair expression is one array_intersect + size algebra + one
+    levenshtein (rescue pairs: levenshtein only). At sf0.1 the hybrid
+    replaces a 15M-pair nested loop with ~1k blocked pairs + 14M
+    lev-only pairs (measured ~4x faster; was 52% of the round-1 bench).
+    """
+    lnorm = (left.select(F.col(left_key),
+                         normalize_company_name(F.col(left_name)).alias("_lnorm"))
+             .withColumn("_ltoks", token_set(F.col("_lnorm"))))
+    rnorm = (right.select(F.col(right_key),
+                          normalize_company_name(F.col(right_name)).alias("_rnorm"))
+             .withColumn("_rtoks", token_set(F.col("_rnorm"))))
+    par = lnorm.sparkSession.sparkContext.defaultParallelism
+    if broadcast_right:
+        # the probe side usually arrives as a handful of file-splits;
+        # spread it across the cluster so the nested-loop join
+        # parallelizes (1 task x 15M pairs -> 32 tasks x 500k pairs)
+        pairs = lnorm.repartition(par).crossJoin(F.broadcast(rnorm))
+        confidence, method = _ladder_score(pairs)
+        scored = pairs.select(left_key, right_key,
+                              confidence.alias("confidence"),
+                              method.alias("match_method"),
+                              "_lnorm", "_rnorm")
+    else:
+        pairs = _block_on_tokens(lnorm, rnorm)
+        confidence, method = _ladder_score(pairs)
+        scored = pairs.select(left_key, right_key,
+                              confidence.alias("confidence"),
+                              method.alias("match_method"),
+                              "_lnorm", "_rnorm")
+        if lev_rescue:
+            # levenshtein rescue rung: only lefts with ZERO token
+            # candidates pay the nested loop, and they pay it against a
+            # broadcast dimension. Non-token-sharing pairs have jaccard
+            # = 0 on every non-stopword token, so edit distance is the
+            # ladder's surviving rung for them.
+            blocked_lefts = pairs.select(left_key).distinct()
+            residual = lnorm.join(blocked_lefts, left_key, "left_anti")
+            rescue = residual.repartition(par).crossJoin(F.broadcast(rnorm))
+            lev = levenshtein_similarity(F.col("_lnorm"), F.col("_rnorm"))
+            r_exact = F.col("_lnorm") == F.col("_rnorm")
+            r_conf = F.round(F.when(r_exact, F.lit(1.0)).otherwise(lev), 4)
+            r_method = F.when(r_exact, F.lit("exact_name")).otherwise(
+                F.lit("fuzzy_name"))
+            rescue_scored = rescue.select(
+                left_key, right_key, r_conf.alias("confidence"),
+                r_method.alias("match_method"), "_lnorm", "_rnorm")
+            scored = scored.unionByName(rescue_scored)
     if use_difflib:
         # difflib rescue pass on near-misses only (cheap-filter residue),
         # mirroring the reference's 0.8-threshold fuzzy_name rung.
+        # capture the near-miss mask against the ORIGINAL confidence —
+        # re-deriving it after the update would compare against the
+        # already-rescued value and never relabel.
         near = (F.col("confidence") < threshold) & (F.col("confidence") >= 0.4)
         ratio = F.round(sequence_ratio(F.col("_lnorm"), F.col("_rnorm")), 4)
-        scored = scored.withColumn(
-            "confidence",
-            F.when(near & (ratio >= THRESHOLD_FUZZY), ratio)
-             .otherwise(F.col("confidence")))
-        scored = scored.withColumn(
-            "match_method",
-            F.when(near & (F.col("confidence") >= THRESHOLD_FUZZY),
-                   F.lit("fuzzy_name")).otherwise(F.col("match_method")))
+        rescued = near & (ratio >= THRESHOLD_FUZZY)
+        scored = scored.select(
+            left_key, right_key,
+            F.when(rescued, ratio).otherwise(F.col("confidence"))
+             .alias("confidence"),
+            F.when(rescued, F.lit("fuzzy_name"))
+             .otherwise(F.col("match_method")).alias("match_method"),
+            "_lnorm", "_rnorm")
     survivors = scored.filter(F.col("confidence") >= threshold)
-    if top_k == 1:
+    right_key_numeric = dict(scored.dtypes).get(right_key) in _NUMERIC_TYPES
+    if top_k == 1 and right_key_numeric:
         # argmax per left key as an aggregate, not a window: max(struct)
         # is partial-aggregable, so the map side combines candidate
         # pairs down to one row per left key BEFORE the shuffle —
         # a window would shuffle every surviving pair.
         # struct ordering = (confidence desc ≡ max, right_key asc ≡
-        # max of negated key); negation is the tie-break inversion.
+        # max of negated key); negation is the tie-break inversion —
+        # numeric keys only, hence the dtype guard (string keys fall
+        # through to the window path below).
         best = survivors.groupBy(left_key).agg(
             F.max(F.struct(
                 F.col("confidence"),
@@ -188,8 +249,12 @@ def match_customers_to_suppliers(customer: DataFrame, supplier: DataFrame,
                                  threshold: float = 0.5,
                                  top_k: int = 1) -> DataFrame:
     """Driver-schema instantiation of J5: resolve customer names against
-    the supplier dimension. Supplier is small -> broadcast candidate
-    generation (the reference's API-search pruning analog)."""
+    the supplier dimension via the scale path — token-blocking
+    candidate join + levenshtein rescue for unblocked lefts (the
+    reference's API-search pruning analog). The quadratic
+    broadcast_right path is deliberately NOT used here: at 100x data it
+    is the one nested loop that cannot be saved."""
     return fuzzy_join(customer, supplier, "c_name", "s_name",
                       "c_custkey", "s_suppkey",
-                      threshold=threshold, top_k=top_k, broadcast_right=True)
+                      threshold=threshold, top_k=top_k,
+                      broadcast_right=False, lev_rescue=True)

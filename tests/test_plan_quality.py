@@ -49,10 +49,19 @@ def test_top_k_avoids_global_sort(spark):
     assert "TakeOrderedAndProject" in _plan(spark, "top_orders")
 
 
-def test_fuzzy_probe_side_parallelized(spark):
+def test_fuzzy_is_blocking_first(spark):
+    """The round-1 scale-killer: fuzzy_match must take the token-blocking
+    equi-join, with the nested loop confined to the left-anti residual
+    (lefts with zero token candidates) — never the full cross product."""
     plan = _plan(spark, "fuzzy_match_customers")
-    assert "RoundRobinPartitioning" in plan       # probe repartitioned
-    assert "BroadcastNestedLoopJoin" in plan      # dim broadcast, as designed
+    # candidate generation is a hash/merge equi-join on the token key
+    assert any(j in plan for j in
+               ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+    # exactly one nested loop (the rescue), fed by the anti-join residual
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "LeftAnti" in plan                    # residual restriction
+    assert "RoundRobinPartitioning" in plan      # rescue probe spread out
+    assert "CartesianProduct" not in plan
 
 
 def test_pairwise_ops_have_no_cartesian(spark):
