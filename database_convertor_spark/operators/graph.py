@@ -58,23 +58,38 @@ def refresh_edges_incremental(existing_edges: DataFrame, edges: DataFrame,
       recompute pairs where at least one side is affected (their
       counts may have changed); keep existing pairs untouched otherwise.
 
-    Cost scales with the touched neighborhood, not the graph.
+    Cost scales with the touched neighborhood, not the graph: the
+    self-join's build side is restricted to affected suppliers' edges
+    BEFORE the join (a disjunctive filter applied after a full
+    self-join cannot push below it — that was the round-1 defect).
+    Affected pairs split into two disjoint cases, each an equi-join
+    with the small side bounded by the neighborhood:
+
+      (affected, affected):   aff_edges x aff_edges, supp_a < supp_b
+      (affected, unaffected): aff_edges x unaff_edges, canonicalized
+                              with least/greatest (sides are disjoint
+                              supplier sets, so no self-pair and no
+                              double-count)
+
     ``changed_parts``: one column ``l_partkey``."""
     edges = edges.select("l_partkey", "l_suppkey").distinct()
     affected_supp = (edges.join(F.broadcast(changed_parts), "l_partkey")
                      .select("l_suppkey").distinct())
-    # full pair recompute restricted to edges of affected suppliers on
-    # EITHER side: pairs (a,b) need a or b affected
-    a = edges.alias("a")
-    b = edges.alias("b")
-    pairs = (a.join(b, (F.col("a.l_partkey") == F.col("b.l_partkey"))
-                    & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
-             .select(F.col("a.l_suppkey").alias("supp_a"),
-                     F.col("b.l_suppkey").alias("supp_b"),
-                     F.col("a.l_partkey").alias("part")))
     aff = F.broadcast(affected_supp.withColumnRenamed("l_suppkey", "s"))
-    touched_pairs = (pairs.join(aff, (pairs.supp_a == F.col("s"))
-                                | (pairs.supp_b == F.col("s")), "left_semi")
+    aff_edges = edges.join(aff, edges.l_suppkey == F.col("s"), "left_semi")
+    unaff_edges = edges.join(aff, edges.l_suppkey == F.col("s"), "left_anti")
+
+    x = aff_edges.alias("x")
+    both_aff = (x.join(aff_edges.alias("y"),
+                       (F.col("x.l_partkey") == F.col("y.l_partkey"))
+                       & (F.col("x.l_suppkey") < F.col("y.l_suppkey")))
+                .select(F.col("x.l_suppkey").alias("supp_a"),
+                        F.col("y.l_suppkey").alias("supp_b")))
+    one_aff = (x.join(unaff_edges.alias("z"),
+                      F.col("x.l_partkey") == F.col("z.l_partkey"))
+               .select(F.least("x.l_suppkey", "z.l_suppkey").alias("supp_a"),
+                       F.greatest("x.l_suppkey", "z.l_suppkey").alias("supp_b")))
+    touched_pairs = (both_aff.unionByName(one_aff)
                      .groupBy("supp_a", "supp_b")
                      .agg(F.count(F.lit(1)).alias("shared_parts"))
                      .filter(F.col("shared_parts") >= min_shared))

@@ -464,6 +464,39 @@ _add(
     "edge-table neighborhood lookup as one join (reference does N+1)",
 )
 
+# ================================================================ J3 (incr)
+def _refresh_edges_demo(spark: SparkSession, sf: str) -> DataFrame:
+    """Exercise the neighborhood-bounded incremental refresh end-to-end:
+    last week's edges = full compute minus the 20 lowest parts'
+    lineitems; this week those parts arrive and the incremental path
+    must reproduce the full recompute exactly (which is the oracle)."""
+    lineitem, = _t(spark, sf, "lineitem")
+    edges_src = lineitem.select("l_partkey", "l_suppkey")
+    changed = (edges_src.select("l_partkey").distinct()
+               .orderBy("l_partkey").limit(20))
+    old_edges = graph.shared_supplier_pairs(
+        edges_src.join(changed, "l_partkey", "left_anti"), min_shared=3)
+    return graph.refresh_edges_incremental(
+        old_edges, edges_src, changed, min_shared=3)
+
+
+_add(
+    "refresh_edges_incremental",
+    _refresh_edges_demo,
+    """
+    WITH edges AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b,
+           count(DISTINCT a.l_partkey) AS shared_parts
+    FROM edges a JOIN edges b
+      ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+    HAVING count(DISTINCT a.l_partkey) >= 3
+    """,
+    "J3,T2",
+    "incremental edge refresh (build side semi-joined to the touched "
+    "neighborhood) equals the full recompute",
+)
+
 # ========================================================================= J5
 _FUZZY_ORACLE = f"""
     WITH c AS (SELECT c_custkey, {_NORM.format(c='c_name')} AS n FROM customer),

@@ -33,6 +33,25 @@ def test_incremental_refresh_matches_full(spark):
     assert a == b
 
 
+def test_incremental_restricts_selfjoin_build_side(spark):
+    """The scale contract: the pair join's inputs are the SEMI-JOINED
+    (affected-supplier) edge sets, never the full edges x edges
+    product. A disjunctive filter above a full self-join (the round-1
+    shape) shows no LeftSemi below the pair joins."""
+    lineitem = read_table(spark, SF_SMALL, "lineitem")
+    changed = (lineitem.select("l_partkey").distinct()
+               .orderBy("l_partkey").limit(5))
+    edges = shared_supplier_pairs(lineitem, min_shared=3)
+    out = refresh_edges_incremental(
+        edges, lineitem.select("l_partkey", "l_suppkey"), changed,
+        min_shared=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the affected-edge restriction feeds the joins (build side bounded)
+    assert "LeftSemi" in plan
+    # unaffected complement + untouched-edge carryover are anti-joins
+    assert plan.count("LeftAnti") >= 2
+
+
 def test_incremental_noop_changeset_keeps_edges(spark):
     lineitem = read_table(spark, SF_SMALL, "lineitem")
     edges = shared_supplier_pairs(lineitem, min_shared=3)
