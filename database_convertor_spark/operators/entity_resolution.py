@@ -245,6 +245,59 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
             .drop("_lnorm", "_rnorm"))
 
 
+def name_match_email_join(officers: DataFrame, emails: DataFrame,
+                          officer_name: str = "officer_name",
+                          domain_col: str = "company_domain") -> DataFrame:
+    """SURVEY J8 — the reference's officer <-> email name-match lookup
+    (api_clients.py:1909-1942, same ladder repeated 2025-2071): parse
+    the officer name into first/last (skip single-token names), then
+    against each email candidate at the SAME domain apply
+
+      full match:  first <-> email_first containment either way AND
+                   last <-> email_last containment either way  -> 0.9
+      fallback:    first initial equals email_first's initial AND
+                   officer last contained in email_last         -> 0.7
+
+    and keep matched rows only.
+
+    Spark-first shape: the reference calls find_emails_by_domain per
+    officer (N API round-trips); here the domain IS the blocking key —
+    one equi-join on domain with the containment ladder as the
+    residual predicate. Cost is bounded by candidates-per-domain (the
+    reference's same bound), never all-pairs; name parsing is
+    projected below the join, once per row.
+
+    ``emails`` columns: email, first_name, last_name, ``domain_col``.
+    Output: officer columns' keys + email + name_match_confidence.
+    """
+    parts = F.filter(F.split(F.lower(F.trim(F.col(officer_name))), r"\s+"),
+                     lambda x: x != "")
+    offs = (officers
+            .withColumn("_first", parts.getItem(0))
+            .withColumn("_last", F.element_at(parts, -1))
+            .filter(F.size(parts) >= 2))
+    ems = emails.select(
+        F.col(domain_col),
+        F.col("email"),
+        F.lower(F.coalesce(F.col("first_name"), F.lit(""))).alias("_ef"),
+        F.lower(F.coalesce(F.col("last_name"), F.lit(""))).alias("_el"))
+    joined = offs.join(ems, domain_col)
+    full = ((F.col("_ef").contains(F.col("_first"))
+             | F.col("_first").contains(F.col("_ef")))
+            & (F.col("_el").contains(F.col("_last"))
+               | F.col("_last").contains(F.col("_el"))))
+    initial = ((F.substring(F.col("_first"), 1, 1)
+                == F.substring(F.col("_ef"), 1, 1))
+               & (F.col("_ef") != "")
+               & F.col("_el").contains(F.col("_last")))
+    confidence = (F.when(full, F.lit(0.9))
+                  .when(initial, F.lit(0.7)))
+    return (joined
+            .withColumn("name_match_confidence", confidence)
+            .filter(F.col("name_match_confidence").isNotNull())
+            .drop("_first", "_last", "_ef", "_el"))
+
+
 def match_customers_to_suppliers(customer: DataFrame, supplier: DataFrame,
                                  threshold: float = 0.5,
                                  top_k: int = 1) -> DataFrame:

@@ -32,6 +32,7 @@ from ..operators import (
     entity_resolution,
     graph,
     relational,
+    provider_merge,
     similarity_search,
     text_analysis,
 )
@@ -540,6 +541,148 @@ _add(
     _FUZZY_ORACLE,
     "J5,C20,C22,C23,W4",
     "fuzzy similarity join (entity resolution) with ladder scoring + top-k",
+)
+
+
+# ========================================================================= J8
+def _officer_email_demo(spark: SparkSession, sf: str) -> DataFrame:
+    """J8 on driver tables: officer and email-candidate frames are
+    synthesized deterministically (mod-arithmetic names, shared domain
+    space) so the containment ladder exercises full, partial, and
+    initial-only matches; domain is the blocking key."""
+    customer, supplier = _t(spark, sf, "customer", "supplier")
+    officers = customer.select(
+        F.col("c_custkey").alias("officer_id"),
+        F.concat(F.lit("fn"), F.col("c_custkey") % 20, F.lit(" ln"),
+                 F.col("c_custkey") % 50).alias("officer_name"),
+        F.concat(F.lit("d"), F.col("c_custkey") % 40,
+                 F.lit(".com")).alias("company_domain"))
+    emails = supplier.select(
+        F.concat(F.lit("fn"), F.col("s_suppkey") % 25).alias("first_name"),
+        F.concat(F.lit("ln"), F.col("s_suppkey") % 60).alias("last_name"),
+        F.concat(F.lit("fn"), F.col("s_suppkey") % 25, F.lit("."),
+                 F.lit("ln"), F.col("s_suppkey") % 60, F.lit("@d"),
+                 F.col("s_suppkey") % 40, F.lit(".com")).alias("email"),
+        F.concat(F.lit("d"), F.col("s_suppkey") % 40,
+                 F.lit(".com")).alias("company_domain"))
+    return entity_resolution.name_match_email_join(officers, emails)
+
+
+_add(
+    "officer_email_matches",
+    _officer_email_demo,
+    """
+    WITH officers AS (
+      SELECT c_custkey AS officer_id,
+             'fn' || (c_custkey % 20) || ' ln' || (c_custkey % 50) AS officer_name,
+             'd' || (c_custkey % 40) || '.com' AS company_domain
+      FROM customer),
+    emails AS (
+      SELECT 'fn' || (s_suppkey % 25) AS ef,
+             'ln' || (s_suppkey % 60) AS el,
+             'fn' || (s_suppkey % 25) || '.' || 'ln' || (s_suppkey % 60)
+               || '@d' || (s_suppkey % 40) || '.com' AS email,
+             'd' || (s_suppkey % 40) || '.com' AS company_domain
+      FROM supplier),
+    parsed AS (
+      SELECT o.*, string_split_regex(lower(trim(officer_name)), '\\s+') AS parts
+      FROM officers o),
+    named AS (
+      SELECT officer_id, officer_name, company_domain,
+             parts[1] AS f, parts[-1] AS l
+      FROM parsed WHERE len(parts) >= 2)
+    SELECT n.company_domain, officer_id, officer_name, email,
+           CAST(CASE WHEN (contains(e.ef, n.f) OR contains(n.f, e.ef))
+                 AND (contains(e.el, n.l) OR contains(n.l, e.el)) THEN 0.9
+                WHEN substr(n.f, 1, 1) = substr(e.ef, 1, 1) AND e.ef <> ''
+                 AND contains(e.el, n.l) THEN 0.7
+           END AS DOUBLE) AS name_match_confidence
+    FROM named n JOIN emails e ON n.company_domain = e.company_domain
+    WHERE name_match_confidence IS NOT NULL
+    """,
+    "J8",
+    "officer->email name-match lookup join: domain-blocked containment "
+    "ladder with first-initial fallback (0.9/0.7)",
+)
+
+
+# ========================================================================= D6
+def _provider_merge_demo(spark: SparkSession, sf: str) -> DataFrame:
+    """D6 on driver tables: three deterministic provider views of the
+    part dimension (fields nulled on different key residues, list
+    fields sliced differently per provider) merged first-wins by
+    priority + set-union."""
+    part, = _t(spark, sf, "part")
+    k = F.col("p_partkey")
+    toks = F.split(F.col("p_type"), " ")
+    p1 = part.select(
+        k.alias("p_partkey"),
+        F.lit("clearbit").alias("provider"), F.lit(1).alias("priority"),
+        F.when(k % 3 != 0, F.col("p_name")).alias("name"),
+        F.when(k % 4 != 0, F.col("p_brand")).alias("brand"),
+        F.when(k % 2 == 0, F.col("p_type")).alias("industry"),
+        F.slice(toks, 1, 2).alias("technologies"))
+    p2 = part.select(
+        k.alias("p_partkey"),
+        F.lit("hunter").alias("provider"), F.lit(2).alias("priority"),
+        F.when(k % 5 != 0, F.concat(F.col("p_name"), F.lit(" inc")))
+         .alias("name"),
+        F.when(k % 2 == 0, F.col("p_brand")).alias("brand"),
+        F.col("p_type").alias("industry"),
+        F.slice(toks, 2, 2).alias("technologies"))
+    p3 = part.select(
+        k.alias("p_partkey"),
+        F.lit("apollo").alias("provider"), F.lit(3).alias("priority"),
+        F.upper(F.col("p_name")).alias("name"),
+        F.lit(None).cast("string").alias("brand"),
+        F.when(k % 7 == 0, F.lit("unknown")).alias("industry"),
+        F.lit(None).cast("array<string>").alias("technologies"))
+    records = p1.unionByName(p2).unionByName(p3)
+    return provider_merge.merge_provider_records(
+        records, "p_partkey", ["name", "brand", "industry"], ["technologies"])
+
+
+_add(
+    "provider_enrichment_merge",
+    _provider_merge_demo,
+    """
+    WITH recs AS (
+      SELECT p_partkey, 'clearbit' AS provider, 1 AS priority,
+             CASE WHEN p_partkey % 3 <> 0 THEN p_name END AS name,
+             CASE WHEN p_partkey % 4 <> 0 THEN p_brand END AS brand,
+             CASE WHEN p_partkey % 2 = 0 THEN p_type END AS industry,
+             (string_split(p_type, ' '))[1:2] AS technologies
+      FROM part
+      UNION ALL
+      SELECT p_partkey, 'hunter', 2,
+             CASE WHEN p_partkey % 5 <> 0 THEN p_name || ' inc' END,
+             CASE WHEN p_partkey % 2 = 0 THEN p_brand END,
+             p_type,
+             (string_split(p_type, ' '))[2:3]
+      FROM part
+      UNION ALL
+      SELECT p_partkey, 'apollo', 3,
+             upper(p_name), NULL, CASE WHEN p_partkey % 7 = 0 THEN 'unknown' END,
+             NULL
+      FROM part)
+    SELECT p_partkey,
+           first(name ORDER BY priority) FILTER (WHERE name IS NOT NULL) AS name,
+           first(provider ORDER BY priority) FILTER (WHERE name IS NOT NULL) AS name_source,
+           first(brand ORDER BY priority) FILTER (WHERE brand IS NOT NULL) AS brand,
+           first(provider ORDER BY priority) FILTER (WHERE brand IS NOT NULL) AS brand_source,
+           first(industry ORDER BY priority) FILTER (WHERE industry IS NOT NULL) AS industry,
+           first(provider ORDER BY priority) FILTER (WHERE industry IS NOT NULL) AS industry_source,
+           list_sort(list_distinct(flatten(list(coalesce(technologies, []))))) AS technologies,
+           count(*) AS n_providers,
+           round(100.0 * ((first(name ORDER BY priority) FILTER (WHERE name IS NOT NULL) IS NOT NULL)::INT
+                        + (first(brand ORDER BY priority) FILTER (WHERE brand IS NOT NULL) IS NOT NULL)::INT
+                        + (first(industry ORDER BY priority) FILTER (WHERE industry IS NOT NULL) IS NOT NULL)::INT)
+                 / 3.0, 2) AS quality_score
+    FROM recs GROUP BY p_partkey
+    """,
+    "D6",
+    "multi-provider enrichment merge: first-wins by provider priority "
+    "with per-field source attribution + list set-union",
 )
 
 # ================================================================ exact dedup

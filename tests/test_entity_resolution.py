@@ -54,6 +54,38 @@ def test_individual_filter_then_fuzzy_join(spark):
     assert method in ("token_match", "fuzzy_name") and conf >= 0.7
 
 
+def test_name_match_email_join_ladder(spark):
+    """J8 golden cases (api_clients.py:1909-1942): containment both
+    ways -> 0.9, first-initial + last containment -> 0.7, same-domain
+    blocking, single-token names skipped."""
+    from database_convertor_spark.operators.entity_resolution import (
+        name_match_email_join,
+    )
+    officers = spark.createDataFrame(
+        [(1, "John Smith", "acme.com"),        # exact -> 0.9
+         (2, "Jon Smithson", "acme.com"),      # j. + smith⊆smithson -> 0.7
+         (3, "Mary Jones", "acme.com"),        # no candidate match
+         (4, "Prince", "acme.com"),            # single token -> skipped
+         (5, "John Smith", "other.com")],      # wrong domain -> no match
+        ["officer_id", "officer_name", "company_domain"])
+    emails = spark.createDataFrame(
+        [("john.smith@acme.com", "John", "Smith", "acme.com"),
+         ("j.smithson@acme.com", "J", "Smithson", "acme.com")],
+        ["email", "first_name", "last_name", "company_domain"])
+    got = {(r.officer_id, r.email): r.name_match_confidence
+           for r in name_match_email_join(officers, emails).collect()}
+    assert got[(1, "john.smith@acme.com")] == 0.9
+    # 'j' ⊆ 'jon' both-ways check: 'jon' not in 'j', but 'j' in 'jon' -> full
+    assert got[(2, "j.smithson@acme.com")] == 0.9
+    # officer 2 vs john.smith: 'jon'<->'john' containment fails both ways;
+    # initial 'j'=='j' but 'smithson' not in 'smith' -> no match
+    assert (2, "john.smith@acme.com") not in got
+    # officer 1 vs j.smithson: 'j' in 'john' -> first ok; 'smith' in
+    # 'smithson' -> full match 0.9
+    assert got[(1, "j.smithson@acme.com")] == 0.9
+    assert not any(oid in (3, 4, 5) for oid, _ in got)
+
+
 def test_blocking_path_agrees_with_broadcast(spark):
     apps = _applicants(spark).filter(~is_likely_individual(F.col("name")))
     kw = dict(threshold=0.7, top_k=3)
