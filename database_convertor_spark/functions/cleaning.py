@@ -112,6 +112,35 @@ def fix_html_entities(col: Column) -> Column:
     return F.regexp_replace(col, "&amp;", "&")
 
 
+def absolutize_url(base: Column, href: Column) -> Column:
+    """Relative href -> absolute URL against a base (SURVEY C12,
+    api_clients.py:1117-1123): absolute hrefs pass through; otherwise
+    join base (trailing '/' stripped) with href ('/'-prefixed)."""
+    slashed = F.when(href.startswith("/"), href).otherwise(
+        F.concat(F.lit("/"), href))
+    return F.when(href.startswith("http"), href).otherwise(
+        F.concat(F.regexp_replace(base, "/+$", ""), slashed))
+
+
+def extract_keyval(url: Column) -> Column:
+    """keyVal query-parameter extraction (SURVEY C12,
+    api_clients.py:1218-1222); '' when absent (regexp_extract's
+    no-match convention)."""
+    return F.regexp_extract(url, r"[?&]keyVal=([A-Za-z0-9]+)", 1)
+
+
+def ensure_summary_url(url: Column) -> Column:
+    """Force activeTab=summary for scrape stability (SURVEY C12,
+    api_clients.py:1224-1233): rewrite an existing activeTab value,
+    else append with the right separator."""
+    return (F.when(url.contains("activeTab="),
+                   F.regexp_replace(url, r"activeTab=[^&]+",
+                                    "activeTab=summary"))
+            .when(url.contains("?"),
+                  F.concat(url, F.lit("&activeTab=summary")))
+            .otherwise(F.concat(url, F.lit("?activeTab=summary"))))
+
+
 def valid_linkedin_url(col: Column) -> Column:
     """linkedin_scraper.py:59-66."""
     return col.rlike(r"^https://[a-z]{2,3}\.linkedin\.com/in/.+")

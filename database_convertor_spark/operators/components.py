@@ -34,6 +34,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     labels = (sym.select(F.col("a").alias("node"))
               .distinct()
               .withColumn("component", F.col("node")))
+    changed = -1
     for _ in range(max_iterations):
         neighbor_min = (sym.join(labels, sym.b == labels.node)
                         .groupBy("a")
@@ -52,6 +53,14 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
         labels = updated
         if changed == 0:
             break
+    if changed != 0:
+        # min-label propagation needs O(diameter) rounds; returning
+        # silently here would hand back under-merged clusters (e.g. a
+        # chain of duplicate pairs longer than the cap).
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations — raise max_iterations "
+            f"(components with diameter > cap exist)")
     return labels
 
 

@@ -298,6 +298,74 @@ def name_match_email_join(officers: DataFrame, emails: DataFrame,
             .drop("_first", "_last", "_ef", "_el"))
 
 
+# UK city alias table for the LinkedIn profile pick (SURVEY C32,
+# api_clients.py:2462-2470).
+CITY_ALIASES = {
+    "london": ["london", "greater london"],
+    "manchester": ["manchester", "greater manchester"],
+    "birmingham": ["birmingham", "west midlands"],
+    "leeds": ["leeds", "west yorkshire"],
+    "glasgow": ["glasgow", "greater glasgow"],
+    "edinburgh": ["edinburgh", "lothian"],
+}
+
+
+def select_gb_linkedin(profiles: DataFrame, key: str,
+                       seq_col: str = "seq",
+                       country_col: str = "country_code",
+                       city_col: str = "city",
+                       url_col: str = "url",
+                       company_city_col: str = "company_city") -> DataFrame:
+    """SURVEY C32 — the reference's LinkedIn profile pick
+    (api_clients.py:2392-2445 + _find_best_city_match 2448-2483):
+    filter candidate profiles to GB, then per entity pick, in order,
+
+      1. the first (by original result order) profile whose city
+         CONTAINS the company city,
+      2. else the first profile matching a UK city-alias pair
+         (e.g. company 'leeds' <-> profile 'West Yorkshire'),
+      3. validate that pick's URL contains 'linkedin.com'; if the pick
+         is missing or its URL invalid, fall back to the FIRST GB
+         profile's URL (mirroring the reference's default), which must
+         itself validate or the entity yields NULL.
+
+    The reference loops profiles per officer in Python; here the whole
+    pick is ONE partial-aggregable groupBy with three conditional
+    min(struct(seq, url)) aggregates — no loop, no window, one shuffle.
+    Output: (key, linkedin_url) with NULL for entities with no valid
+    pick (caller filters).
+    """
+    gb = profiles.filter(F.col(country_col) == "GB")
+    cc = F.lower(F.trim(F.col(company_city_col)))
+    pc = F.lower(F.col(city_col))
+    direct = (F.col(company_city_col).isNotNull()
+              & F.col(city_col).isNotNull() & pc.contains(cc))
+    alias_match = F.lit(False)
+    for aliases in CITY_ALIASES.values():
+        cc_in = cc.isin(*aliases)
+        pc_contains = F.lit(False)
+        for a in aliases:
+            pc_contains = pc_contains | pc.contains(a)
+        alias_match = alias_match | (
+            F.col(company_city_col).isNotNull()
+            & F.col(city_col).isNotNull() & cc_in & pc_contains)
+
+    pick = F.struct(F.col(seq_col).alias("s"), F.col(url_col).alias("u"))
+    agg = gb.groupBy(key).agg(
+        F.min(F.when(direct, pick)).alias("_direct"),
+        F.min(F.when(alias_match, pick)).alias("_alias"),
+        F.min(pick).alias("_first"))
+
+    def _valid(u: Column) -> Column:
+        return u.isNotNull() & u.contains("linkedin.com")
+
+    best = F.coalesce(F.col("_direct.u"), F.col("_alias.u"))
+    fallback = F.col("_first.u")
+    url = (F.when(_valid(best), best)
+           .when(_valid(fallback), fallback))
+    return agg.select(key, url.alias("linkedin_url"))
+
+
 def match_customers_to_suppliers(customer: DataFrame, supplier: DataFrame,
                                  threshold: float = 0.5,
                                  top_k: int = 1) -> DataFrame:

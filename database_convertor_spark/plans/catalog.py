@@ -606,6 +606,161 @@ _add(
 )
 
 
+# ================================================================== C12 / C30
+def _url_cleaning_demo(spark: SparkSession, sf: str) -> DataFrame:
+    """C12+C30 over synthesized planning-portal URLs: absolutize,
+    HTML-entity fix, keyVal extraction, activeTab=summary rewrite."""
+    from ..functions import cleaning
+
+    orders, = _t(spark, sf, "orders")
+    k = F.col("o_orderkey")
+    base = F.concat(F.lit("https://portal"), k % 5, F.lit(".gov.uk/planning/"))
+    href = (F.when(k % 3 == 0,
+                   F.concat(F.lit("http://ext.example.com/app?keyVal=K"), k))
+            .when(k % 3 == 1,
+                  F.concat(F.lit("applicationDetails.do?keyVal=AB"), k,
+                           F.lit("&amp;x=1")))
+            .otherwise(F.concat(F.lit("/search.do?activeTab=details&keyVal=CD"),
+                                k)))
+    url = cleaning.fix_html_entities(cleaning.absolutize_url(base, href))
+    return orders.select(
+        k.alias("o_orderkey"),
+        cleaning.ensure_summary_url(url).alias("summary_url"),
+        cleaning.extract_keyval(url).alias("key_val"))
+
+
+_add(
+    "url_keyval_cleaning",
+    _url_cleaning_demo,
+    """
+    WITH raw AS (
+      SELECT o_orderkey,
+             'https://portal' || (o_orderkey % 5) || '.gov.uk/planning/' AS base,
+             CASE WHEN o_orderkey % 3 = 0
+                    THEN 'http://ext.example.com/app?keyVal=K' || o_orderkey
+                  WHEN o_orderkey % 3 = 1
+                    THEN 'applicationDetails.do?keyVal=AB' || o_orderkey || '&amp;x=1'
+                  ELSE '/search.do?activeTab=details&keyVal=CD' || o_orderkey
+             END AS href
+      FROM orders),
+    abs_url AS (
+      SELECT o_orderkey,
+             replace(CASE WHEN href LIKE 'http%' THEN href
+                  ELSE regexp_replace(base, '/+$', '')
+                       || (CASE WHEN href LIKE '/%' THEN href
+                                ELSE '/' || href END)
+             END, '&amp;', '&') AS url
+      FROM raw)
+    SELECT o_orderkey,
+           CASE WHEN contains(url, 'activeTab=')
+                  THEN regexp_replace(url, 'activeTab=[^&]+', 'activeTab=summary')
+                WHEN contains(url, '?') THEN url || '&activeTab=summary'
+                ELSE url || '?activeTab=summary'
+           END AS summary_url,
+           regexp_extract(url, '[?&]keyVal=([A-Za-z0-9]+)', 1) AS key_val
+    FROM abs_url
+    """,
+    "C12,C30",
+    "URL absolutize + HTML-entity fix + keyVal extraction + activeTab "
+    "rewrite (planning-portal link hygiene)",
+)
+
+
+# ======================================================================== C32
+def _linkedin_pick_demo(spark: SparkSession, sf: str) -> DataFrame:
+    """C32 on driver tables: three synthetic profile candidates per
+    customer (mixed countries, UK city/alias variants, some invalid
+    URLs) -> GB filter + city-priority pick."""
+    customer, = _t(spark, sf, "customer")
+    prof = customer.select(
+        "c_custkey",
+        F.explode(F.sequence(F.lit(1), F.lit(3))).alias("seq"))
+    v = F.col("c_custkey") * 3 + F.col("seq")
+    cities = F.array(F.lit("London"), F.lit("Greater London"),
+                     F.lit("West Yorkshire"), F.lit("Bristol"),
+                     F.lit("Lothian"))
+    companies = F.array(F.lit("london"), F.lit("leeds"), F.lit("bristol"),
+                        F.lit("edinburgh"))
+    prof = prof.select(
+        "c_custkey", "seq",
+        F.when(v % 3 == 0, F.lit("US")).otherwise(F.lit("GB"))
+         .alias("country_code"),
+        F.element_at(cities, (v % 5 + 1).cast("int")).alias("city"),
+        F.when(v % 7 == 0, F.lit("N/A"))
+         .otherwise(F.concat(F.lit("https://uk.linkedin.com/in/p"),
+                             F.col("c_custkey"), F.lit("-"), F.col("seq")))
+         .alias("url"),
+        F.when(F.col("c_custkey") % 11 != 0,
+               F.element_at(companies, (F.col("c_custkey") % 4 + 1).cast("int")))
+         .alias("company_city"))
+    out = entity_resolution.select_gb_linkedin(prof, "c_custkey")
+    return out.filter(F.col("linkedin_url").isNotNull())
+
+
+_add(
+    "linkedin_profile_pick",
+    _linkedin_pick_demo,
+    """
+    WITH prof AS (
+      SELECT c_custkey, i + 1 AS seq,
+             CASE WHEN (c_custkey * 3 + i + 1) % 3 = 0 THEN 'US' ELSE 'GB' END AS country_code,
+             (['London', 'Greater London', 'West Yorkshire', 'Bristol',
+               'Lothian'])[(c_custkey * 3 + i + 1) % 5 + 1] AS city,
+             CASE WHEN (c_custkey * 3 + i + 1) % 7 = 0 THEN 'N/A'
+                  ELSE 'https://uk.linkedin.com/in/p' || c_custkey || '-' || (i + 1)
+             END AS url,
+             CASE WHEN c_custkey % 11 <> 0
+                  THEN (['london', 'leeds', 'bristol', 'edinburgh'])[c_custkey % 4 + 1]
+             END AS company_city
+      FROM customer, range(3) t(i)),
+    gb AS (
+      SELECT *,
+             (company_city IS NOT NULL AND city IS NOT NULL
+              AND contains(lower(city), lower(trim(company_city)))) AS direct,
+             (company_city IS NOT NULL AND city IS NOT NULL AND (
+                (lower(trim(company_city)) IN ('london', 'greater london')
+                 AND (contains(lower(city), 'london')
+                      OR contains(lower(city), 'greater london')))
+             OR (lower(trim(company_city)) IN ('manchester', 'greater manchester')
+                 AND (contains(lower(city), 'manchester')
+                      OR contains(lower(city), 'greater manchester')))
+             OR (lower(trim(company_city)) IN ('birmingham', 'west midlands')
+                 AND (contains(lower(city), 'birmingham')
+                      OR contains(lower(city), 'west midlands')))
+             OR (lower(trim(company_city)) IN ('leeds', 'west yorkshire')
+                 AND (contains(lower(city), 'leeds')
+                      OR contains(lower(city), 'west yorkshire')))
+             OR (lower(trim(company_city)) IN ('glasgow', 'greater glasgow')
+                 AND (contains(lower(city), 'glasgow')
+                      OR contains(lower(city), 'greater glasgow')))
+             OR (lower(trim(company_city)) IN ('edinburgh', 'lothian')
+                 AND (contains(lower(city), 'edinburgh')
+                      OR contains(lower(city), 'lothian'))))) AS alias_match
+      FROM prof WHERE country_code = 'GB'),
+    agg AS (
+      SELECT c_custkey,
+             first(url ORDER BY seq) FILTER (WHERE direct) AS direct_url,
+             first(url ORDER BY seq) FILTER (WHERE alias_match) AS alias_url,
+             first(url ORDER BY seq) AS first_url
+      FROM gb GROUP BY c_custkey),
+    picked AS (
+      SELECT c_custkey,
+             CASE WHEN coalesce(direct_url, alias_url) IS NOT NULL
+                   AND contains(coalesce(direct_url, alias_url), 'linkedin.com')
+                    THEN coalesce(direct_url, alias_url)
+                  WHEN first_url IS NOT NULL
+                   AND contains(first_url, 'linkedin.com') THEN first_url
+             END AS linkedin_url
+      FROM agg)
+    SELECT c_custkey, linkedin_url FROM picked
+    WHERE linkedin_url IS NOT NULL
+    """,
+    "C32",
+    "GB-profile filter + city-priority LinkedIn pick (direct containment, "
+    "UK alias table, first-GB fallback with URL validation)",
+)
+
+
 # ========================================================================= D6
 def _provider_merge_demo(spark: SparkSession, sf: str) -> DataFrame:
     """D6 on driver tables: three deterministic provider views of the

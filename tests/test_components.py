@@ -54,3 +54,19 @@ def test_drop_near_duplicates(spark):
     kept = {r.doc_id for r in drop_near_duplicates(docs, pairs).collect()}
     # one canonical per cluster + untouched singletons
     assert kept == {1, 10, 20, 99}
+
+
+def test_connected_components_raises_on_iteration_cap(spark):
+    from database_convertor_spark.operators.components import (
+        connected_components,
+    )
+    import pytest as _pytest
+    # a 7-node chain has diameter 6 > cap 2: silent return would hand
+    # back under-merged clusters, so the cap must raise
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], ["src", "dst"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=2)
+    # and a generous cap converges fine
+    labels = connected_components(chain, max_iterations=10)
+    assert {r.component for r in labels.collect()} == {0}

@@ -174,3 +174,56 @@ def test_render_array_preview(spark):
     out = [r.v for r in df.select(
         cleaning.render_array_preview(F.col("arr")).alias("v")).collect()]
     assert out == ["a b c +2 more", "a"]
+
+
+def test_url_functions_c12_c30(spark):
+    df = spark.createDataFrame(
+        [("https://portal.gov.uk/planning/", "applicationDetails.do?keyVal=ABC123&amp;x=1"),
+         ("https://portal.gov.uk/planning", "/search.do?activeTab=details&keyVal=XY9"),
+         ("https://portal.gov.uk/", "http://other.com/app")],
+        ["base", "href"])
+    url = cleaning.fix_html_entities(
+        cleaning.absolutize_url(F.col("base"), F.col("href")))
+    out = df.select(url.alias("u"),
+                    cleaning.extract_keyval(url).alias("kv"),
+                    cleaning.ensure_summary_url(url).alias("s")).collect()
+    # relative (no leading slash) joined against rstripped base, &amp; fixed
+    assert out[0].u == "https://portal.gov.uk/planning/applicationDetails.do?keyVal=ABC123&x=1"
+    assert out[0].kv == "ABC123"
+    assert out[0].s.endswith("?keyVal=ABC123&x=1&activeTab=summary")
+    # leading-slash relative; existing activeTab rewritten in place
+    assert out[1].u == "https://portal.gov.uk/planning/search.do?activeTab=details&keyVal=XY9"
+    assert out[1].kv == "XY9"
+    assert "activeTab=summary" in out[1].s and "activeTab=details" not in out[1].s
+    # absolute href passes through; no keyVal -> ''; '?' appended
+    assert out[2].u == "http://other.com/app"
+    assert out[2].kv == ""
+    assert out[2].s == "http://other.com/app?activeTab=summary"
+
+
+def test_select_gb_linkedin_c32(spark):
+    from database_convertor_spark.operators.entity_resolution import (
+        select_gb_linkedin,
+    )
+    rows = [
+        # key 1: non-GB filtered out; direct city match beats earlier profile
+        (1, 1, "US", "London", "https://uk.linkedin.com/in/a", "london"),
+        (1, 2, "GB", "Bristol", "https://uk.linkedin.com/in/b", "london"),
+        (1, 3, "GB", "Greater London", "https://uk.linkedin.com/in/c", "london"),
+        # key 2: no direct, alias leeds<->west yorkshire
+        (2, 1, "GB", "Somewhere", "https://uk.linkedin.com/in/d", "leeds"),
+        (2, 2, "GB", "West Yorkshire", "https://uk.linkedin.com/in/e", "leeds"),
+        # key 3: direct match has invalid URL -> falls back to first GB
+        (3, 1, "GB", "Hull", "https://uk.linkedin.com/in/f", "york"),
+        (3, 2, "GB", "York", "N/A", "york"),
+        # key 4: nothing valid
+        (4, 1, "GB", "York", "N/A", None),
+    ]
+    df = spark.createDataFrame(
+        rows, ["k", "seq", "country_code", "city", "url", "company_city"])
+    got = {r.k: r.linkedin_url
+           for r in select_gb_linkedin(df, "k").collect()}
+    assert got[1] == "https://uk.linkedin.com/in/c"
+    assert got[2] == "https://uk.linkedin.com/in/e"
+    assert got[3] == "https://uk.linkedin.com/in/f"
+    assert got[4] is None
