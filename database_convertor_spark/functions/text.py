@@ -105,6 +105,33 @@ def fingerprint(col: Column) -> Column:
     return F.md5(norm)
 
 
+# Cross-engine deterministic hashing: xxhash64 is Spark-only, so the
+# sketch operators (MinHash, SimHash) hash through md5 instead — the
+# first 15 hex chars parsed as a 60-bit integer is computable
+# identically in DuckDB as ('0x' || substr(md5(x), 1, 15))::BIGINT,
+# which is what makes those operators fully oracle-checkable.
+HASH_PRIME = 1073741789  # 30-bit prime: a*b below stays under 2^60
+
+
+def md5_long(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative long (engine-portable)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _hash_const(s: str) -> int:
+    """Python twin of md5_long for baking literal hash-family seeds."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# Affine universal-hash family h_i(b) = (A_i*b + B_i) mod HASH_PRIME over
+# the 30-bit base hash: one md5 per shingle total, 64 cheap integer ops —
+# the seeds are literals, identical in the Spark plan and the SQL oracle.
+MINHASH_A = [(_hash_const(f"A{i}") % (HASH_PRIME - 1)) + 1 for i in range(64)]
+MINHASH_B = [_hash_const(f"B{i}") % HASH_PRIME for i in range(64)]
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string> — the MinHash input.
     Pure expression: transform over token index positions."""

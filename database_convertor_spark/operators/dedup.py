@@ -10,8 +10,9 @@ Scale design notes:
   16-bit chunk banding (Hamming <= 3 pigeonholes into 4 chunks);
   embedding near-dup uses the label partition (IVF-style bucket);
 - all signatures are computed with deterministic JVM-side expressions
-  (xxhash64 / md5 + higher-order array functions) — no Python in the
-  per-document path.
+  (md5-derived 60-bit hashes + higher-order array functions) — no
+  Python in the per-document path, and the hash is reproducible in
+  DuckDB so MinHash/SimHash are fully oracle-checkable, not rows-only.
 """
 
 from __future__ import annotations
@@ -20,7 +21,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.similarity import cosine_similarity, token_jaccard
-from ..functions.text import fingerprint, shingles, tokens
+from ..functions.text import (
+    HASH_PRIME,
+    MINHASH_A,
+    MINHASH_B,
+    fingerprint,
+    md5_long,
+    shingles,
+    tokens,
+)
 
 
 # ---------------------------------------------------------------- exact dedup
@@ -74,27 +83,39 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
 
 
 # -------------------------------------------------------------- MinHash + LSH
-def _minhash_signature(shingle_col: Column, num_hashes: int) -> Column:
-    """num_hashes-wide MinHash signature: for seed i, min over shingles
-    of xxhash64(i || shingle). Deterministic, JVM-side."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(shingle_col,
-                        lambda s: F.xxhash64(F.concat(i.cast("string"),
-                                                      F.lit("|"), s)))))
+def _minhash_signature(base_col: Column, num_hashes: int) -> Column:
+    """num_hashes-wide MinHash signature over precomputed base hashes:
+    sig[i] = min over shingles of (A_i*b + B_i) mod HASH_PRIME — an
+    affine universal family over the 30-bit md5 base, so the whole
+    signature costs ONE md5 per shingle and is reproducible in the
+    DuckDB oracle (the seeds are baked literals)."""
+    def affine(a: int, b_: int):
+        # closure factory, NOT default args: pyspark maps every declared
+        # lambda parameter (defaults included) to a lambda variable
+        return lambda x: (F.lit(a) * x + F.lit(b_)) % HASH_PRIME
+
+    return F.array(*[
+        F.array_min(F.transform(base_col,
+                                affine(MINHASH_A[i], MINHASH_B[i])))
+        for i in range(num_hashes)])
 
 
 def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
                        shingle_n: int = 3) -> DataFrame:
     # signature computation is the expensive projection — spread the
-    # (possibly single-file) input before it, not after
+    # (possibly single-file) input before it, not after; the base-hash
+    # array is projected as its own column so md5 runs once per shingle
+    # (not once per hash-family member)
     documents = documents.repartition(
         documents.sparkSession.sparkContext.defaultParallelism)
-    return documents.select(
-        "doc_id",
-        shingles(F.col("text"), shingle_n).alias("sh")
-    ).select("doc_id", "sh", _minhash_signature(F.col("sh"), num_hashes).alias("sig"))
+    return (documents
+            .select("doc_id", shingles(F.col("text"), shingle_n).alias("sh"))
+            .select("doc_id", "sh",
+                    F.transform(F.col("sh"),
+                                lambda s: md5_long(s) % HASH_PRIME)
+                    .alias("_bh"))
+            .select("doc_id", "sh",
+                    _minhash_signature(F.col("_bh"), num_hashes).alias("sig")))
 
 
 def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5,
@@ -109,18 +130,22 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5,
     exact Jaccard on the candidate pairs only."""
     rows_per_band = num_hashes // bands
     # materialize signatures once: the self-join below would otherwise
-    # recompute the (expensive) signature projection on both sides
-    sigs = minhash_signatures(documents, num_hashes, shingle_n).localCheckpoint()
+    # recompute the (expensive) signature projection on both sides.
+    # persist(DISK_ONLY) rather than localCheckpoint: lineage is kept,
+    # so the stage is replayable after executor loss — the property
+    # localCheckpoint gives up (at real cluster scale this would be a
+    # persisted parquet stage).
+    from pyspark.storagelevel import StorageLevel
+
+    sigs = minhash_signatures(documents, num_hashes, shingle_n).persist(
+        StorageLevel.DISK_ONLY)
+    band_keys = F.array(*[
+        F.concat_ws(",", *[F.col("sig").getItem(b * rows_per_band + r)
+                           .cast("string") for r in range(rows_per_band)])
+        for b in range(bands)])
     banded = sigs.select(
         "doc_id", "sh",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.transform(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda h: h.cast("string")))))
-        ).alias("band_id", "band_hash"))
+        F.posexplode(band_keys).alias("band_id", "band_hash"))
     par = documents.sparkSession.sparkContext.defaultParallelism
     a, b = banded.repartition(par).alias("a"), banded.alias("b")
     cands = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
@@ -137,29 +162,47 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5,
 
 
 # -------------------------------------------------------------------- SimHash
-def simhash64(text: Column) -> Column:
-    """64-bit SimHash over word tokens: bit k of the hash is the
-    majority vote of bit k across xxhash64(token). Expressed entirely
-    with higher-order functions (per-bit signed sums)."""
-    toks = F.array_distinct(tokens(F.lower(text)))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # shift amounts must be literal ints -> unroll the 64 bits in Python;
-    # each bit's vote is an aggregate over the token-hash array.
-    # (nb: the lambda must be exactly 2-arg — pyspark maps every declared
-    # parameter, defaults included, to a lambda variable — so bind k via
-    # a factory, not a default argument.)
-    def vote_for_bit(k: int) -> Column:
-        return F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(
-                F.shiftright(h, k).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1))
+SIMHASH_BITS = 60  # md5_long yields 60 bits (engine-portable hash)
 
+
+def simhash_votes(text: Column) -> Column:
+    """Per-bit signed vote array for the 60-bit SimHash: ONE pass over
+    the token array (aggregate with an array<int> accumulator via
+    zip_with), not one aggregate per bit — the round-1 version unrolled
+    64 full passes over the token hashes; this is the single-pass
+    rewrite. Tokens hash through md5_long so the DuckDB oracle can
+    reproduce the exact hash."""
+    toks = F.array_distinct(tokens(F.lower(text)))
+    hashes = F.transform(toks, lambda t: md5_long(t))
+    bit_arrays = F.transform(
+        hashes,
+        lambda h: F.array(*[
+            F.shiftright(h, k).bitwiseAND(F.lit(1)).cast("int")
+            for k in range(SIMHASH_BITS)]))
+    return F.aggregate(
+        bit_arrays,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, bits: F.zip_with(acc, bits,
+                                     lambda x, y: x + 2 * y - 1))
+
+
+def votes_to_simhash(votes: Column) -> Column:
+    """Fold the vote array into the 60-bit hash (bit k set when the
+    vote is positive). Callers should project the votes as a bound
+    column first so the aggregate runs once, not 60 times."""
     out = F.lit(0).cast("long")
-    for k in range(64):
+    for k in range(SIMHASH_BITS):
         out = out.bitwiseOR(
-            F.when(vote_for_bit(k) > 0, F.shiftleft(F.lit(1).cast("long"), k))
+            F.when(votes.getItem(k) > 0,
+                   F.lit(1 << k).cast("long"))
              .otherwise(F.lit(0).cast("long")))
     return out
+
+
+def simhash64(text: Column) -> Column:
+    """Single-expression SimHash (convenience; simhash_pairs projects
+    the votes separately to evaluate them once)."""
+    return votes_to_simhash(simhash_votes(text))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -168,17 +211,18 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs with chunk banding: split the 64-bit hash
-    into 4x16-bit chunks; any pair within Hamming distance <= 3 must
+    """SimHash near-dup pairs with chunk banding: split the 60-bit hash
+    into 4x15-bit chunks; any pair within Hamming distance <= 3 must
     agree on at least one chunk (pigeonhole), so candidates come from
     an equi-join on (chunk_id, chunk_value)."""
     par = documents.sparkSession.sparkContext.defaultParallelism
     sh = (documents.repartition(par)
-          .select("doc_id", simhash64(F.col("text")).alias("sh")))
+          .select("doc_id", simhash_votes(F.col("text")).alias("_v"))
+          .select("doc_id", votes_to_simhash(F.col("_v")).alias("sh")))
     chunked = sh.select(
         "doc_id", "sh",
         F.posexplode(F.array(*[
-            F.shiftright(F.col("sh"), c * 16).bitwiseAND(F.lit(0xFFFF))
+            F.shiftright(F.col("sh"), c * 15).bitwiseAND(F.lit(0x7FFF))
             for c in range(4)])).alias("chunk_id", "chunk_val"))
     par = documents.sparkSession.sparkContext.defaultParallelism
     a, b = chunked.repartition(par).alias("a"), chunked.alias("b")

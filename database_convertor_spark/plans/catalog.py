@@ -908,21 +908,109 @@ _add(
 )
 
 # ================================================================ MinHash LSH
+# The sketch operators hash through md5_long (= DuckDB
+# ('0x'||substr(md5(x),1,15))::BIGINT), so the ENTIRE pipeline —
+# shingles -> base hash -> affine signature family -> band keys ->
+# candidate join -> exact-Jaccard verify — is reproduced in SQL below
+# and the driver check is a full value-hash oracle, not rows-only.
+from ..functions.text import HASH_PRIME as _HP
+from ..functions.text import MINHASH_A as _MA
+from ..functions.text import MINHASH_B as _MB
+
+_MD5_60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+_SIG_ENTRIES = ",\n             ".join(
+    f"list_min(list_transform(bh, x -> ({_MA[i]} * x + {_MB[i]}) % {_HP}))"
+    for i in range(32))
+_MINHASH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 1),
+                                      i -> array_to_string(tk[i:i+2], ' '))
+             END AS sh
+      FROM toks),
+    bases AS (
+      SELECT doc_id, sh,
+             list_transform(sh, s -> {_MD5_60.format(x='s')} % {_HP}) AS bh
+      FROM sh),
+    sigs AS (
+      SELECT doc_id, sh,
+             [{_SIG_ENTRIES}] AS sig
+      FROM bases),
+    banded AS (
+      SELECT doc_id, band_id,
+             array_to_string(sig[band_id*4+1 : band_id*4+4], ',') AS band_key
+      FROM sigs, range(8) t(band_id)),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id),
+    verify AS (
+      SELECT doc_a, doc_b,
+             list_distinct(x.sh) AS sa, list_distinct(y.sh) AS sb
+      FROM cands JOIN sh x ON x.doc_id = doc_a
+                 JOIN sh y ON y.doc_id = doc_b)
+    SELECT doc_a, doc_b, round({_jaccard('sa', 'sb')}, 4) AS jaccard
+    FROM verify WHERE {_jaccard('sa', 'sb')} >= 0.5
+"""
 _add(
     "dedup_minhash_lsh",
     lambda spark, sf: dedup.minhash_lsh_pairs(*_t(spark, sf, "documents")),
-    None,  # xxhash64 signatures are Spark-side only -> rows-only check
+    _MINHASH_ORACLE,
     "dedup",
     "MinHash+LSH near-dup candidates verified by exact shingle Jaccard",
 )
 
 # ==================================================================== SimHash
+_VOTES = ",\n             ".join(
+    f"sum(CASE WHEN (h >> {k}) & 1 = 1 THEN 1 ELSE -1 END) AS v{k}"
+    for k in range(60))
+_HASH_FOLD = " + ".join(
+    f"CASE WHEN v{k} > 0 THEN {1 << k} ELSE 0 END" for k in range(60))
+_SIMHASH_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS tk
+      FROM documents),
+    hv AS (
+      SELECT doc_id, {_MD5_60.format(x='t.t')} AS h
+      FROM toks, unnest(tk) t(t)),
+    votes AS (
+      SELECT doc_id,
+             {_VOTES}
+      FROM hv GROUP BY doc_id),
+    folded AS (
+      SELECT doc_id, CAST({_HASH_FOLD} AS BIGINT) AS sh FROM votes),
+    allsh AS (
+      SELECT t.doc_id, coalesce(f.sh, 0) AS sh
+      FROM toks t LEFT JOIN folded f USING (doc_id)),
+    chunked AS (
+      SELECT doc_id, sh, c AS chunk_id, (sh >> (c * 15)) & 32767 AS chunk_val
+      FROM allsh, range(4) t(c)),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM chunked a JOIN chunked b
+        ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(x.sh, y.sh)) AS INTEGER) AS hamming
+    FROM cands JOIN allsh x ON x.doc_id = doc_a
+               JOIN allsh y ON y.doc_id = doc_b
+    WHERE bit_count(xor(x.sh, y.sh)) <= 3
+    """
 _add(
     "dedup_simhash",
     lambda spark, sf: dedup.simhash_pairs(*_t(spark, sf, "documents")),
-    None,  # xxhash64-based bits -> rows-only check
+    _SIMHASH_ORACLE,
     "dedup",
-    "SimHash near-dup pairs via 16-bit chunk banding (pigeonhole)",
+    "SimHash near-dup pairs via 15-bit chunk banding (pigeonhole)",
 )
 
 # ===================================================== embedding near-dup
