@@ -1040,10 +1040,7 @@ def _ann_brute(spark, sf):
     return similarity_search.brute_force_topk(queries, emb, k=5)
 
 
-_add(
-    "ann_brute_topk",
-    _ann_brute,
-    f"""
+_ANN_BRUTE_ORACLE = f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
                FROM embeddings WHERE vec_id < 5),
     pairs AS (
@@ -1055,9 +1052,28 @@ _add(
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY sim DESC, neighbor_id) AS rn
       FROM pairs) WHERE rn <= 5
-    """,
+    """
+_add(
+    "ann_brute_topk",
+    _ann_brute,
+    _ANN_BRUTE_ORACLE,
     "similarity-search",
     "exact cosine top-k (brute force baseline)",
+)
+
+
+def _ann_brute_numpy(spark, sf):
+    emb, = _t(spark, sf, "embeddings")
+    queries = emb.filter(emb.vec_id < 5)
+    return similarity_search.brute_force_topk_numpy(queries, emb, k=5)
+
+
+_add(
+    "ann_brute_topk_numpy",
+    _ann_brute_numpy,
+    _ANN_BRUTE_ORACLE,  # same semantics, Arrow/numpy GEMM execution
+    "similarity-search",
+    "exact cosine top-k via Arrow-batched numpy GEMM (wide-vector path)",
 )
 
 
