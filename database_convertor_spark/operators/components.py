@@ -3,18 +3,22 @@
 duplicate GROUPS with a canonical representative, which is what a
 dedup pipeline actually consumes ("keep one doc per cluster").
 
-Algorithm: alternating large-star / small-star style label propagation
-specialized to min-label convergence:
+Algorithm: TRUE alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14 — public
+algorithm):
 
-  repeat:
-    for every node, new_label = min(own label, labels of neighbors)
-  until no label changes.
+  large-star: every node u links each LARGER neighbor to the minimum
+              of its neighborhood (m = min(Γ(u) ∪ {u}));
+  small-star: orient edges large->small; every node u links its
+              smaller neighbors AND itself to its minimum neighbor.
 
-Each iteration is one groupBy-min + one join — no driver-side graph,
-no GraphFrames dependency. Converges in O(diameter) iterations; dedup
-clusters are near-cliques (diameter 1-2), so 2-3 iterations in
-practice. localCheckpoint() every iteration truncates the lineage so
-plans don't grow exponentially.
+Each phase is one groupBy-min + one join; the edge set contracts
+toward per-component stars in O(log n) rounds — unlike plain
+min-label propagation, which needs O(diameter) rounds and dies on
+long chains (a real shape for near-dup pairs of serialized documents).
+localCheckpoint() per round truncates lineage so plans don't grow
+exponentially (in-session durability; a long-lived cluster job would
+point this at a reliable checkpoint dir instead).
 """
 
 from __future__ import annotations
@@ -23,45 +27,79 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every larger neighbor of u to min(Γ(u) ∪ {u})."""
+    sym = (e.unionByName(e.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+           .distinct())
+    mins = (sym.groupBy("a")
+            .agg(F.min("b").alias("_mn"))
+            .select("a", F.least("a", "_mn").alias("m")))
+    return (sym.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient large->small, then connect u's smaller neighbors and u
+    itself to its minimum neighbor."""
+    d = (e.select(F.greatest("a", "b").alias("a"),
+                  F.least("a", "b").alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct())
+    mins = d.groupBy("a").agg(F.min("b").alias("m"))  # m < a always
+    nbrs = (d.join(mins, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b")))
+    self_links = mins.select("a", F.col("m").alias("b"))
+    return (nbrs.unionByName(self_links)
+            .filter(F.col("a") != F.col("b"))
+            .distinct())
+
+
+def _fingerprint(e: DataFrame) -> tuple[int, int]:
+    """Order-insensitive edge-set fingerprint: (count, xor of row
+    hashes) — xor can't overflow under ANSI mode, unlike sum."""
+    row = (e.select(F.xxhash64("a", "b").alias("h"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).alias("x"))
+           .first())
+    return row.n, row.x
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iterations: int = 20) -> DataFrame:
     """Edge list (undirected) -> (node, component) where component is
     the minimum node id reachable. Output one row per distinct node."""
-    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-           .unionByName(edges.select(F.col(dst).alias("a"),
-                                     F.col(src).alias("b")))
-           .distinct())
-    labels = (sym.select(F.col("a").alias("node"))
-              .distinct()
-              .withColumn("component", F.col("node")))
-    changed = -1
+    nodes = (edges.select(F.col(src).alias("node"))
+             .unionByName(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .distinct())
+    prev = None
+    converged = False
     for _ in range(max_iterations):
-        neighbor_min = (sym.join(labels, sym.b == labels.node)
-                        .groupBy("a")
-                        .agg(F.min("component").alias("nbr_min")))
-        updated = (labels.join(neighbor_min,
-                               labels.node == neighbor_min.a, "left")
-                   .select("node",
-                           F.least("component",
-                                   F.coalesce("nbr_min", F.col("component")))
-                           .alias("component")))
-        updated = updated.localCheckpoint(eager=True)
-        changed = (updated.alias("u")
-                   .join(labels.alias("l"), "node")
-                   .filter(F.col("u.component") != F.col("l.component"))
-                   .limit(1).count())
-        labels = updated
-        if changed == 0:
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        fp = _fingerprint(e)
+        if fp == prev:
+            converged = True
             break
-    if changed != 0:
-        # min-label propagation needs O(diameter) rounds; returning
-        # silently here would hand back under-merged clusters (e.g. a
-        # chain of duplicate pairs longer than the cap).
+        prev = fp
+    if not converged:
+        # each round at least halves the tree heights; a non-converged
+        # exit would silently return under-merged clusters
         raise RuntimeError(
             f"connected_components did not converge within "
-            f"{max_iterations} iterations — raise max_iterations "
-            f"(components with diameter > cap exist)")
-    return labels
+            f"{max_iterations} large-star/small-star rounds — "
+            f"raise max_iterations")
+    # at convergence e is a star per component: node -> component min
+    # (min(b) guards the degenerate duplicate-target case)
+    links = e.groupBy("a").agg(F.min("b").alias("component"))
+    return (nodes.join(links, nodes.node == links.a, "left")
+            .select("node",
+                    F.coalesce("component", F.col("node")).alias("component")))
 
 
 def dedup_clusters(pairs: DataFrame, left_col: str, right_col: str) -> DataFrame:
