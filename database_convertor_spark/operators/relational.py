@@ -369,6 +369,34 @@ def event_value_percentiles(events: DataFrame) -> DataFrame:
                  F.round(F.avg("value"), 4).alias("mean")))
 
 
+def order_stats_summary_approx(orders: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """Documented scale fallback for the A2/A9 distinct count: HLL++
+    (approx_count_distinct) replaces the exact two-phase distinct with
+    a fixed-size mergeable sketch — one pass, map-side combinable, no
+    per-key state explosion when o_custkey cardinality approaches row
+    count at 100 TB. ``rsd`` is the sketch's relative standard
+    deviation knob; tolerance-tested against the exact twin."""
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.approx_count_distinct("o_custkey", rsd)
+         .alias("n_customers_with_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+         .cast("long").alias("n_open"))
+
+
+def event_value_percentiles_approx(events: DataFrame,
+                                   accuracy: int = 10000) -> DataFrame:
+    """Documented scale fallback for the exact percentile: Greenwald-
+    Khanna sketches (approx_percentile) bound memory per group at any
+    data size; error <= 1/accuracy quantile rank. Tolerance-tested
+    against the exact twin."""
+    pcts = F.expr(f"approx_percentile(value, array(0.5, 0.9), {accuracy})")
+    return (events.groupBy("event_type")
+            .agg(F.round(pcts.getItem(0), 4).alias("p50"),
+                 F.round(pcts.getItem(1), 4).alias("p90"),
+                 F.round(F.avg("value"), 4).alias("mean")))
+
+
 # ---------------------------------------------------------------- A14 buckets
 def event_value_histogram(events: DataFrame, bucket_width: int = 50) -> DataFrame:
     """Bucketed histogram (SURVEY A14: cache-age buckets): floor
