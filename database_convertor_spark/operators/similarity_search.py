@@ -125,3 +125,55 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
                     F.round("_sim", 4).alias("cosine")))
+
+
+def label_centroids(corpus: DataFrame) -> DataFrame:
+    """Per-label mean vector (the coarse quantizer codebook, recovered
+    from the assignments): posexplode -> avg per (label, dim) ->
+    reassemble ordered. One narrow shuffle keyed by (label, dim);
+    output is n_labels rows — codebook-sized, always broadcastable."""
+    dims = (corpus
+            .select("label", F.posexplode(
+                F.col("embedding").cast("array<double>")).alias("pos", "x"))
+            .groupBy("label", "pos")
+            .agg(F.avg("x").alias("cx")))
+    return (dims.groupBy("label")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s["cx"]).alias("centroid")))
+
+
+def ivf_topk_multiprobe(queries: DataFrame, corpus: DataFrame,
+                        k: int = 5, nprobe: int = 2) -> DataFrame:
+    """Multi-probe IVF: rank the codebook per query by centroid cosine
+    and search the top-``nprobe`` buckets instead of only the query's
+    own — the standard recall lever when the assignment is noisy near
+    bucket boundaries. Probe selection is a codebook-sized cross join
+    (n_queries x n_labels, both broadcastable); the corpus is still
+    touched ONLY via the label equi-join, nprobe/n_labels of it per
+    query. Centroid cosines are rounded before ranking so the probe
+    choice is reproducible across engines (label breaks ties)."""
+    cents = label_centroids(corpus)
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").cast("array<double>").alias("q_emb"))
+    csim = F.round(cosine_similarity(F.col("q_emb"), F.col("centroid")), 4)
+    pw = (Window.partitionBy("query_id")
+          .orderBy(F.desc("_csim"), F.asc("label")))
+    probes = (q.crossJoin(F.broadcast(cents))
+              .withColumn("_csim", csim)
+              .withColumn("_pr", F.row_number().over(pw))
+              .filter(F.col("_pr") <= nprobe)
+              .select("query_id", "q_emb", "label"))
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"),
+                      F.col("embedding").cast("array<double>").alias("c_emb"),
+                      "label")
+    pairs = c.join(F.broadcast(probes), "label").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    sim = cosine_similarity(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"),
+                                               F.asc("neighbor_id"))
+    return (pairs.withColumn("_sim", sim)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("_sim", 4).alias("cosine")))

@@ -1105,6 +1105,52 @@ _add(
     "IVF-bucketed cosine top-k (scale path: probe one bucket)",
 )
 
+
+# ================================================= ANN: multi-probe IVF top-k
+def _ann_ivf_multiprobe(spark, sf):
+    emb, = _t(spark, sf, "embeddings")
+    queries = emb.filter(emb.vec_id < 5)
+    return similarity_search.ivf_topk_multiprobe(queries, emb, k=5, nprobe=2)
+
+
+_add(
+    "ann_ivf_multiprobe",
+    _ann_ivf_multiprobe,
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+               FROM embeddings WHERE vec_id < 5),
+    dims AS (
+      SELECT label, i AS pos, avg(embedding[i + 1]::DOUBLE) AS cx
+      FROM embeddings, range(64) t(i)  -- dim=64 (DuckDB 1.0 range()
+                                       -- cannot lateral-correlate)
+      GROUP BY label, i),
+    cents AS (
+      SELECT label, list(cx ORDER BY pos) AS centroid
+      FROM dims GROUP BY label),
+    probes AS (
+      SELECT query_id, q_emb, label FROM (
+        SELECT q.query_id, q.q_emb, c.label,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round({_COS.format(a='q.q_emb', b='c.centroid')}, 4)
+                          DESC, c.label) AS pr
+        FROM q CROSS JOIN cents c) WHERE pr <= 2),
+    pairs AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             {_COS.format(a='p.q_emb', b='e.embedding')} AS sim
+      FROM probes p JOIN embeddings e
+        ON e.label = p.label AND e.vec_id <> p.query_id)
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank,
+           round(sim, 4) AS cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM pairs) WHERE rn <= 5
+    """,
+    "similarity-search",
+    "multi-probe IVF cosine top-k: codebook recovered by per-label mean, "
+    "top-nprobe buckets searched per query (recall lever)",
+)
+
 # =============================================================== text quality
 _STOPWORDS_SQL = "['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as']"
 _add(

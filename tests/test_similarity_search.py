@@ -18,3 +18,19 @@ def test_numpy_topk_equals_expression_topk(spark):
     a = sorted(map(tuple, brute_force_topk(queries, emb, k=5).collect()))
     b = sorted(map(tuple, brute_force_topk_numpy(queries, emb, k=5).collect()))
     assert a == b
+
+
+def test_multiprobe_all_buckets_equals_brute_force(spark):
+    """nprobe = n_labels degenerates multi-probe IVF to an exact
+    search — the recall lever's correctness anchor."""
+    from database_convertor_spark.operators.similarity_search import (
+        ivf_topk_multiprobe,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(emb.vec_id < 5)
+    n_labels = emb.select("label").distinct().count()
+    a = sorted(map(tuple, brute_force_topk(queries, emb, k=5).collect()))
+    b = sorted(map(tuple,
+                   ivf_topk_multiprobe(queries, emb, k=5,
+                                       nprobe=n_labels).collect()))
+    assert a == b
