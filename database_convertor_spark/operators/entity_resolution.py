@@ -187,8 +187,13 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
             # = 0 on every non-stopword token, so edit distance is the
             # ladder's surviving rung for them.
             blocked_lefts = pairs.select(left_key).distinct()
-            residual = lnorm.join(blocked_lefts, left_key, "left_anti")
-            rescue = residual.repartition(par).crossJoin(F.broadcast(rnorm))
+            # the lev rung never touches token arrays — drop them before
+            # the nested loop so the broadcast and the per-pair rows
+            # carry two strings, not two strings + two arrays
+            residual = (lnorm.join(blocked_lefts, left_key, "left_anti")
+                        .select(left_key, "_lnorm"))
+            rescue = residual.repartition(par).crossJoin(
+                F.broadcast(rnorm.select(right_key, "_rnorm")))
             lev = levenshtein_similarity(F.col("_lnorm"), F.col("_rnorm"))
             r_exact = F.col("_lnorm") == F.col("_rnorm")
             r_conf = F.round(F.when(r_exact, F.lit(1.0)).otherwise(lev), 4)

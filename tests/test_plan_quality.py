@@ -75,3 +75,26 @@ def test_pairwise_ops_have_no_cartesian(spark):
 def test_aggregates_are_two_phase(spark, name):
     plan = _plan(spark, name)
     assert "partial_" in plan  # map-side combine present
+
+
+def test_provider_merge_is_single_partial_aggregate(spark):
+    """D6 first-wins must stay one partial-aggregable groupBy — a
+    window or per-field join here would shuffle every provider row."""
+    plan = _plan(spark, "provider_enrichment_merge")
+    assert "partial_min" in plan                  # map-side combine
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan            # no per-field joins
+
+
+def test_linkedin_pick_is_single_aggregate(spark):
+    plan = _plan(spark, "linkedin_profile_pick")
+    assert "partial_min" in plan
+    assert "Window" not in plan
+
+
+def test_name_match_join_blocks_on_domain(spark):
+    """J8's containment ladder must ride an equi-join on the domain
+    key, never a nested loop over all officer x email pairs."""
+    plan = _plan(spark, "officer_email_matches")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
