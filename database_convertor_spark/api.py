@@ -168,6 +168,61 @@ class Engine:
                 .withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == 1).drop("rn"))
 
+    def merged_enrichment(self,
+                          priority: tuple[str, ...] = ("clearbit", "hunter",
+                                                       "apollo")) -> DataFrame:
+        """D6 (data_enrichment.py:186-240): collapse the per-provider
+        enrichment rows into one profile per company — scalar fields
+        first-wins by provider priority with source attribution,
+        technologies set-unioned. Payload fields are pulled out of the
+        JSON blob column; unsuccessful rows are excluded, as in the
+        reference."""
+        from .operators.provider_merge import merge_provider_records
+
+        e = self.table("enrichment_data").filter(F.col("success"))
+        prio = F.lit(len(priority))  # unknown providers rank last
+        for i, p in enumerate(priority):
+            prio = F.when(F.col("provider") == p, F.lit(i)).otherwise(prio)
+        records = e.select(
+            "company_id", "provider", prio.alias("priority"),
+            F.get_json_object("enrichment_data", "$.name").alias("name"),
+            F.get_json_object("enrichment_data", "$.domain").alias("domain"),
+            F.get_json_object("enrichment_data", "$.industry").alias("industry"),
+            F.from_json(F.get_json_object("enrichment_data", "$.technologies"),
+                        "array<string>").alias("technologies"))
+        return merge_provider_records(
+            records, "company_id", ["name", "domain", "industry"],
+            ["technologies"])
+
+    def match_officer_emails(self, emails: DataFrame,
+                             company_domains: DataFrame) -> DataFrame:
+        """J8 (api_clients.py:1909-1942): match warehouse officers to
+        email candidates at their companies' domains — the reference
+        loops one Hunter call per officer; here active appointments
+        join to domains (the blocking key) and the containment ladder
+        scores in one pass.
+
+        ``emails``: email, first_name, last_name, company_domain.
+        ``company_domains``: company_id, company_domain."""
+        from .operators.entity_resolution import name_match_email_join
+
+        officers = (self.table("officers")
+                    .select(F.col("id").alias("officer_id"),
+                            F.col("name").alias("officer_name")))
+        seats = (self.table("appointments").filter(F.col("is_active"))
+                 .select("officer_id", "company_id").distinct())
+        placed = (officers.join(seats, "officer_id")
+                  .join(F.broadcast(company_domains), "company_id"))
+        return name_match_email_join(placed, emails)
+
+    def pick_linkedin_profiles(self, profiles: DataFrame,
+                               key: str = "officer_id") -> DataFrame:
+        """C32 (api_clients.py:2392-2483): GB filter + city-priority
+        pick over raw profile-search results, one row per entity."""
+        from .operators.entity_resolution import select_gb_linkedin
+
+        return select_gb_linkedin(profiles, key)
+
     # -------------------------------------------------------------- exports
     def export_csv(self, df: DataFrame, path: str) -> None:
         write_csv(df, path, single_file=True)

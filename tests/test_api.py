@@ -120,3 +120,55 @@ def test_upsert_is_idempotent_on_key(engine, spark):
     rows = {r.company_number: r.company_name for r in merged.collect()}
     assert rows["00000001"] == "ACME WIDGETS (RENAMED) LIMITED"
     assert len(rows) == 3
+
+
+def test_merged_enrichment_first_wins(engine, spark):
+    # add an apollo success for company 1 so priority ordering matters:
+    # clearbit absent, hunter (priority 2) beats apollo (priority 3)
+    extra = spark.createDataFrame(
+        [(1003, 1, "apollo", True,
+          '{"domain":"acme.io","name":"Acme","technologies":["react"]}', TS),
+         (1004, 2, "apollo", True,
+          '{"technologies":["aws","go"]}', TS)],
+        ["id", "company_id", "provider", "success", "enrichment_data",
+         "created_at"])
+    engine.upsert("enrichment_data", _pad(extra, "enrichment_data"))
+    rows = {r.company_id: r for r in engine.merged_enrichment().collect()}
+    assert rows[1].domain == "acme.com"          # hunter outranks apollo
+    assert rows[1].domain_source == "hunter"
+    assert rows[1].name == "Acme" and rows[1].name_source == "apollo"
+    assert rows[1].technologies == ["react"]
+    assert rows[2].technologies == ["aws", "go"]
+    # failed rows are excluded entirely
+    assert rows[1].n_providers == 2
+
+
+def test_match_officer_emails_via_domains(spark, tmp_path):
+    eng = Engine(spark, str(tmp_path / "wh2"))
+    eng.upsert("officers", _pad(spark.createDataFrame(
+        [(10, "o10", "John Smith"), (11, "o11", "Mary Jones")],
+        ["id", "ch_officer_id", "name"]), "officers"))
+    eng.upsert("appointments", _pad(spark.createDataFrame(
+        [(100, 10, 1, "director", dt.date(2020, 1, 1), True),
+         (101, 11, 2, "director", dt.date(2020, 1, 1), False)],
+        ["id", "officer_id", "company_id", "role", "appointed_on",
+         "is_active"]), "appointments"))
+    domains = spark.createDataFrame(
+        [(1, "acme.com"), (2, "beta.com")], ["company_id", "company_domain"])
+    emails = spark.createDataFrame(
+        [("john.smith@acme.com", "John", "Smith", "acme.com"),
+         ("mary.jones@beta.com", "Mary", "Jones", "beta.com")],
+        ["email", "first_name", "last_name", "company_domain"])
+    got = {(r.officer_id, r.email): r.name_match_confidence
+           for r in eng.match_officer_emails(emails, domains).collect()}
+    assert got == {(10, "john.smith@acme.com"): 0.9}  # 11 is inactive
+
+
+def test_pick_linkedin_profiles_facade(engine, spark):
+    profiles = spark.createDataFrame(
+        [(10, 1, "GB", "London", "https://uk.linkedin.com/in/a", "london"),
+         (10, 2, "US", "London", "https://us.linkedin.com/in/b", "london")],
+        ["officer_id", "seq", "country_code", "city", "url", "company_city"])
+    got = {r.officer_id: r.linkedin_url
+           for r in engine.pick_linkedin_profiles(profiles).collect()}
+    assert got == {10: "https://uk.linkedin.com/in/a"}
