@@ -143,18 +143,26 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5,
         F.concat_ws(",", *[F.col("sig").getItem(b * rows_per_band + r)
                            .cast("string") for r in range(rows_per_band)])
         for b in range(bands)])
+    # the band self-join moves ONLY (doc_id, band_id, band_hash) — the
+    # shingle arrays would otherwise ride every exploded band row
+    # through the shuffle; candidates are few, so fetching the arrays
+    # back with two joins against the persisted signatures is cheaper
     banded = sigs.select(
-        "doc_id", "sh",
-        F.posexplode(band_keys).alias("band_id", "band_hash"))
+        "doc_id", F.posexplode(band_keys).alias("band_id", "band_hash"))
     par = documents.sparkSession.sparkContext.defaultParallelism
     a, b = banded.repartition(par).alias("a"), banded.alias("b")
     cands = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                     & (F.col("a.band_hash") == F.col("b.band_hash"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
              .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"),
-                     F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+                     F.col("b.doc_id").alias("doc_b"))
              .dropDuplicates(["doc_a", "doc_b"]))
+    sh = sigs.select("doc_id", "sh")
+    cands = (cands
+             .join(sh.select(F.col("doc_id").alias("doc_a"),
+                             F.col("sh").alias("sh_a")), "doc_a")
+             .join(sh.select(F.col("doc_id").alias("doc_b"),
+                             F.col("sh").alias("sh_b")), "doc_b"))
     sim = token_jaccard(F.array_distinct(F.col("sh_a")),
                         F.array_distinct(F.col("sh_b")))
     return (cands.select("doc_a", "doc_b", F.round(sim, 4).alias("jaccard"))
