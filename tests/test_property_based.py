@@ -70,3 +70,56 @@ def test_connected_components_random_graphs(spark, edges):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r.node: r.component for r in connected_components(df).collect()}
     assert got == _union_find(edges)
+
+
+# -------------------------------------------------- D6 provider-merge model
+_provider_rows = st.lists(
+    st.tuples(st.integers(0, 4),                       # entity
+              st.sampled_from(["clearbit", "hunter", "apollo"]),
+              st.one_of(st.none(), st.text("xy", min_size=1, max_size=3)),
+              st.one_of(st.none(),
+                        st.lists(st.text("pq", min_size=1, max_size=2),
+                                 max_size=3))),
+    min_size=1, max_size=25)
+
+_PRIO = {"clearbit": 1, "hunter": 2, "apollo": 3}
+
+
+def _merge_model(rows):
+    """Driver-side reference model of the reference's field loop
+    (data_enrichment.py:186-240)."""
+    out = {}
+    for ent in {r[0] for r in rows}:
+        mine = sorted((r for r in rows if r[0] == ent),
+                      key=lambda r: _PRIO[r[1]])
+        name = src = None
+        for _, prov, val, _t in mine:
+            if val is not None:
+                name, src = val, prov
+                break
+        techs = sorted({t for r in mine if r[3] for t in r[3]})
+        out[ent] = (name, src, techs, len(mine))
+    return out
+
+
+@given(rows=_provider_rows)
+@_slow
+def test_provider_merge_matches_model(spark, rows):
+    from database_convertor_spark.operators.provider_merge import (
+        merge_provider_records,
+    )
+    # one row per (entity, provider): the reference's dict-of-providers
+    # shape; dedupe the generated batch the same way
+    seen, uniq = set(), []
+    for r in rows:
+        if (r[0], r[1]) not in seen:
+            seen.add((r[0], r[1]))
+            uniq.append(r)
+    df = spark.createDataFrame(
+        [(e, p, _PRIO[p], v, t) for e, p, v, t in uniq],
+        "entity long, provider string, priority int, name string, "
+        "technologies array<string>")
+    got = {r.entity: (r.name, r.name_source, r.technologies, r.n_providers)
+           for r in merge_provider_records(
+               df, "entity", ["name"], ["technologies"]).collect()}
+    assert got == _merge_model(uniq)
