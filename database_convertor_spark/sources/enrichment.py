@@ -142,3 +142,49 @@ def enrich(df: DataFrame, key_col: str,
 
     source = df.repartition(num_partitions) if num_partitions else df
     return source.mapInPandas(fetch, schema=out_schema)
+
+
+class MockUrlResolver(Resolver):
+    """Deterministic fake of the planning-URL batch resolver (S9):
+    stable URL per ref, no I/O."""
+
+    def resolve(self, keys: list) -> list[dict | None]:
+        return [{"url": f"https://planning.example/{k}"} for k in keys]
+
+
+def resolve_grouped(df: DataFrame, group_col: str, key_col: str,
+                    resolver_factory: Callable[[], Resolver],
+                    supported_groups: list[str],
+                    result_col: str = "url",
+                    max_retries: int = 2,
+                    backoff_seconds: float = 0.0) -> DataFrame:
+    """SURVEY S9 — the reference's resolve_batch_items
+    (api_clients.py:23-92): the resolver service accepts ONE group
+    (borough) per request, so rows are filtered to supported groups,
+    grouped, and resolved one service call per group; results align to
+    input rows and a failed group degrades to 'N/A' per item instead
+    of failing the job.
+
+    Spark-first shape: the reference's driver-side dict-of-lists
+    grouping IS ``groupBy(group_col).applyInPandas`` — each group
+    arrives as one pandas frame, exactly the one-request batch, and
+    groups resolve in parallel across the cluster (the reference
+    resolves boroughs serially). Unsupported groups are dropped before
+    the shuffle (the reference returns [] for them)."""
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                           for f in df.schema.fields) + f", {result_col} string"
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        resolver = resolver_factory()
+        results = _resolve_with_retry(
+            resolver, pdf[key_col].tolist(), max_retries, backoff_seconds)
+        out = pdf.copy()
+        out[result_col] = [(r or {}).get(result_col, "N/A") or "N/A"
+                           for r in results]
+        return out
+
+    from pyspark.sql import functions as F
+
+    return (df.filter(F.col(group_col).isin(supported_groups))
+            .groupBy(group_col)
+            .applyInPandas(per_group, schema=out_schema))

@@ -71,3 +71,33 @@ def test_rate_limit_applies_per_batch(spark):
            FIELDS, rate_per_sec=20, batch_size=5, num_partitions=1).collect()
     # 4 batches in one partition at 20/s -> >= 150ms of spacing
     assert time.monotonic() - t0 >= 0.15
+
+
+def test_resolve_grouped_one_call_per_group(spark):
+    """S9: supported-group filter, one resolver call per group, result
+    alignment, and N/A degradation for a failing group."""
+    from database_convertor_spark.sources.enrichment import (
+        FlakyResolver,
+        MockUrlResolver,
+        resolve_grouped,
+    )
+    rows = spark.createDataFrame(
+        [("barnet", "R1"), ("barnet", "R2"), ("camden", "R3"),
+         ("unsupported", "R4")],
+        ["borough", "ref"])
+    out = resolve_grouped(
+        rows, "borough", "ref", MockUrlResolver, ["barnet", "camden"])
+    got = {r.ref: r.url for r in out.collect()}
+    # unsupported borough dropped (reference returns [] for it)
+    assert "R4" not in got
+    assert got == {"R1": "https://planning.example/R1",
+                   "R2": "https://planning.example/R2",
+                   "R3": "https://planning.example/R3"}
+
+    # a group whose service call keeps failing degrades to N/A rows
+    # (fail_times > max_retries), never a job failure
+    broken = resolve_grouped(
+        rows, "borough", "ref",
+        lambda: FlakyResolver(MockUrlResolver(), fail_times=10),
+        ["barnet"], max_retries=1)
+    assert {r.url for r in broken.collect()} == {"N/A"}
