@@ -53,10 +53,18 @@ def drop_exact_duplicates(documents: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------- n-gram Jaccard pairs
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
-                        band_chars: int = 100) -> DataFrame:
+                        band_chars: int = 100,
+                        adjacent_bands: bool = False) -> DataFrame:
     """Near-duplicate pairs by word-set Jaccard within (lang,
     length-band) blocks. The block join replaces the cross product; the
-    Jaccard itself is array algebra (array_intersect/array_union)."""
+    Jaccard itself is array algebra (array_intersect/array_union).
+
+    ``adjacent_bands`` widens candidates to pairs whose bands differ by
+    at most 1 — the recall fix for near-dups straddling a band
+    boundary — while STAYING an equi-join: each doc emits block keys
+    {band, band+1}, so a diff-1 pair meets on the higher band and a
+    same-band pair meets on both (deduped). No range join, no nested
+    loop."""
     docs = documents.select(
         "doc_id", "lang",
         F.floor(F.col("n_chars") / band_chars).cast("int").alias("band"),
@@ -65,10 +73,25 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
     # single-file inputs arrive as one partition; the (broadcast) self-
     # join would then run on one core — spread the probe side first
     par = documents.sparkSession.sparkContext.defaultParallelism
-    a, b = docs.repartition(par).alias("a"), docs.alias("b")
-    pairs = a.join(b, (F.col("a.lang") == F.col("b.lang"))
-                   & (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+    if adjacent_bands:
+        blocked = docs.withColumn(
+            "block", F.explode(F.array(F.col("band"), F.col("band") + 1)))
+        a = blocked.repartition(par).alias("a")
+        b = blocked.alias("b")
+        # same-band pairs meet on BOTH emitted keys; keeping only the
+        # row matched on the lower one makes every pair appear exactly
+        # once without a distinct
+        once = ((F.col("a.band") != F.col("b.band"))
+                | (F.col("a.block") == F.col("a.band")))
+        pairs = a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                       & (F.col("a.block") == F.col("b.block"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id"))
+                       & once)
+    else:
+        a, b = docs.repartition(par).alias("a"), docs.alias("b")
+        pairs = a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                       & (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
     # size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so any
     # pair failing the ratio cannot reach the threshold — prunes before
     # the (expensive) intersect without changing results

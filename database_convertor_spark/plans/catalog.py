@@ -874,6 +874,28 @@ _add(
     "near-dup pairs by word-set Jaccard within (lang, length-band) blocks",
 )
 
+_add(
+    "dedup_ngram_adjacent",
+    lambda spark, sf: dedup.ngram_jaccard_pairs(
+        *_t(spark, sf, "documents"), adjacent_bands=True),
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, CAST(n_chars // 100 AS INTEGER) AS band,
+             {_TOKS.format(c='lower(text)')} AS toks
+      FROM documents)
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round({_jaccard('a.toks', 'b.toks')}, 4) AS jaccard
+      FROM d a JOIN d b
+        ON a.lang = b.lang AND abs(a.band - b.band) <= 1
+       AND a.doc_id < b.doc_id)
+    WHERE jaccard >= 0.5
+    """,
+    "dedup,C22",
+    "near-dup pairs with adjacent-band recall (band-boundary pairs kept) "
+    "— still an equi-join via dual block keys",
+)
+
 # ============================================== dedup clusters (components)
 _add(
     "dedup_clusters_ngram",
