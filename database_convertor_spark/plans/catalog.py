@@ -929,6 +929,42 @@ _add(
     "near-dup pairs -> duplicate clusters via distributed connected components",
 )
 
+# =================================================== end-to-end dedup contract
+_add(
+    "corpus_deduped",
+    lambda spark, sf: components.drop_near_duplicates(
+        _t(spark, sf, "documents")[0].select("doc_id", "lang", "n_chars"),
+        dedup.ngram_jaccard_pairs(*_t(spark, sf, "documents"))),
+    f"""
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id, lang, CAST(n_chars // 100 AS INTEGER) AS band,
+             {_TOKS.format(c='lower(text)')} AS toks
+      FROM documents),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round({_jaccard('a.toks', 'b.toks')}, 4) AS jaccard
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.5),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+    losers AS (
+      SELECT node AS doc_id FROM reach GROUP BY node
+      HAVING min(r) <> node)
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+    "dedup",
+    "the consumable dedup product: corpus minus every non-canonical "
+    "near-dup cluster member (pairs -> components -> anti-join)",
+)
+
 # ================================================================ MinHash LSH
 # The sketch operators hash through md5_long (= DuckDB
 # ('0x'||substr(md5(x),1,15))::BIGINT), so the ENTIRE pipeline —
