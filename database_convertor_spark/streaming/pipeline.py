@@ -151,6 +151,40 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str,
         "SELECT purchase_id, click_id FROM purchase_click_pairs")
 
 
+def run_corpus_dedup_stream(spark: SparkSession, sf_dir: str,
+                            checkpoint: str) -> DataFrame:
+    """Streaming twin of the exact content dedup (the dedup family x
+    the streaming layer): documents arrive through a landing directory,
+    each row is content-fingerprinted, and ``dropDuplicates`` on the
+    fingerprint admits only the first arrival of each distinct content
+    — the state store IS the fingerprint dictionary, one row per
+    distinct content, exactly the batch dedup's distinct set (use
+    dropDuplicatesWithinWatermark to bound it when the feed carries
+    event time; a corpus backfill is timeless, so state ==
+    dictionary is the correct semantics). Which doc_id survives is
+    arrival-order dependent; the deterministic product — checked
+    against ``dedup.exact_dedup`` — is the surviving fingerprint set."""
+    from ..functions.text import fingerprint
+    from ..sources.readers import read_table
+
+    landing = checkpoint + "_landing"
+    read_table(spark, sf_dir, "documents").write.mode(
+        "overwrite").parquet(landing)
+    stream = (spark.readStream
+              .schema(TESTDATA_SCHEMAS["documents"])
+              .option("maxFilesPerTrigger", 4)
+              .parquet(landing)
+              .withColumn("fp", fingerprint(F.col("text")))
+              .dropDuplicates(["fp"]))
+    q = (stream.writeStream.outputMode("append")
+         .format("memory").queryName("corpus_dedup_stream")
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.sql("SELECT fp FROM corpus_dedup_stream")
+
+
 def run_windowed_stream(spark: SparkSession, sf_dir: str,
                         checkpoint: str, window: str = "1 hour",
                         watermark: str = "2 hours") -> DataFrame:

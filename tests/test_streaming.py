@@ -85,3 +85,23 @@ def test_windowed_stream_matches_batch_twin(spark, tmp_path):
     s = {tuple(r) for r in stream_out.collect()}
     b = {tuple(r) for r in batch_out.collect()}
     assert s == b
+
+
+def test_corpus_dedup_stream_matches_batch_dedup(spark, tmp_path):
+    """The streaming content dedup must admit exactly one row per
+    distinct fingerprint — the same distinct set the batch exact_dedup
+    produces (which doc survives is arrival-order dependent and not
+    part of the contract)."""
+    from database_convertor_spark.operators.dedup import exact_dedup
+    from database_convertor_spark.sources.readers import read_table
+    from database_convertor_spark.streaming.pipeline import (
+        run_corpus_dedup_stream,
+    )
+
+    got = run_corpus_dedup_stream(
+        spark, SF_SMALL, str(tmp_path / "ckpt_dedup"))
+    stream_fps = {r.fp for r in got.collect()}
+    batch = exact_dedup(read_table(spark, SF_SMALL, "documents"))
+    batch_fps = {r.fp for r in batch.collect()}
+    assert stream_fps == batch_fps
+    assert got.count() == len(batch_fps)   # no fingerprint admitted twice
