@@ -105,6 +105,69 @@ def fingerprint(col: Column) -> Column:
     return F.md5(norm)
 
 
+def gopher_signals(col: Column) -> dict[str, Column]:
+    """Gopher-style document quality signals (public filter rules from
+    Rae et al. 2021, "Scaling Language Models: ... Gopher", §A1.1, and
+    the C4 duplicate-line heuristic) — all pure column expressions:
+
+      n_words, mean_word_len, dup_line_frac (1 - distinct/total over
+      non-empty trimmed lines), dup_word_frac, ellipsis_line_frac,
+      bullet_line_frac, alpha_word_frac, symbol_word_ratio ('#' and
+      '...' per word).
+
+    Returns a dict of named columns so callers select the subset they
+    need; ``gopher_passes`` conjoins the published thresholds."""
+    toks = tokens(col)
+    n_words = F.size(toks)
+    nw = n_words.cast("double")
+    lines = F.filter(F.transform(F.split(col, "\n"), lambda x: F.trim(x)),
+                     lambda x: x != "")
+    n_lines = F.size(lines)
+    nl = n_lines.cast("double")
+
+    def frac_lines(pred) -> Column:
+        return F.when(n_lines == 0, F.lit(0.0)).otherwise(
+            F.size(F.filter(lines, pred)).cast("double") / nl)
+
+    dup_line = F.when(n_lines == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(lines)).cast("double") / nl)
+    dup_word = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(toks)).cast("double") / nw)
+    ellipsis = frac_lines(lambda x: x.endswith("...") | x.endswith("…"))
+    bullet = frac_lines(lambda x: F.substring(x, 1, 1).isin("-", "*", "•"))
+    alpha = F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]")))
+        .cast("double") / nw)
+    symbols = (F.regexp_count(col, F.lit("#"))
+               + F.regexp_count(col, F.lit(r"\.\.\."))).cast("double")
+    sym_ratio = F.when(n_words == 0, F.lit(0.0)).otherwise(symbols / nw)
+    return {
+        "n_words": n_words.cast("long"),
+        "mean_word_len": F.round(mean_token_length(col), 4),
+        "dup_line_frac": F.round(dup_line, 4),
+        "dup_word_frac": F.round(dup_word, 4),
+        "ellipsis_line_frac": F.round(ellipsis, 4),
+        "bullet_line_frac": F.round(bullet, 4),
+        "alpha_word_frac": F.round(alpha, 4),
+        "symbol_word_ratio": F.round(sym_ratio, 4),
+    }
+
+
+def gopher_passes(col: Column) -> Column:
+    """The Gopher keep/drop conjunction over the signals (published
+    thresholds: 50<=words<=100k, 3<=mean word len<=10, symbol ratio
+    <0.1, bullet lines <90%, ellipsis lines <30%, >=80% words
+    alphabetic, duplicate lines <=30%)."""
+    s = gopher_signals(col)
+    return (s["n_words"].between(50, 100_000)
+            & s["mean_word_len"].between(3.0, 10.0)
+            & (s["symbol_word_ratio"] < 0.1)
+            & (s["bullet_line_frac"] < 0.9)
+            & (s["ellipsis_line_frac"] < 0.3)
+            & (s["alpha_word_frac"] >= 0.8)
+            & (s["dup_line_frac"] <= 0.3))
+
+
 # Cross-engine deterministic hashing: xxhash64 is Spark-only, so the
 # sketch operators (MinHash, SimHash) hash through md5 instead — the
 # first 15 hex chars parsed as a 60-bit integer is computable

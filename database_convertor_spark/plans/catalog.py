@@ -1249,6 +1249,81 @@ _add(
     "per-document quality signals + composite score",
 )
 
+
+# ======================================================== Gopher-style filter
+def _gopher_demo(spark: SparkSession, sf: str) -> DataFrame:
+    from ..functions.text import gopher_passes, gopher_signals
+
+    docs, = _t(spark, sf, "documents")
+    s = gopher_signals(F.col("text"))
+    return docs.select(
+        "doc_id",
+        *[c.alias(name) for name, c in s.items()],
+        gopher_passes(F.col("text")).alias("passes"))
+
+
+_add(
+    "doc_gopher_signals",
+    _gopher_demo,
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             {_TOKS_ALL.format(c='text')} AS toks,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        x -> trim(x)), x -> x <> '') AS lines,
+             CAST(len(regexp_extract_all(text, '#')) AS DOUBLE)
+               + len(regexp_extract_all(text, '\\.\\.\\.')) AS symbols
+      FROM documents),
+    m AS (
+      SELECT doc_id, len(toks) AS n_words, len(lines) AS n_lines, symbols,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+                            AS DOUBLE) / len(toks) END AS mwl,
+             CASE WHEN len(lines) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+                             / len(lines) END AS dlf,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                             / len(toks) END AS dwf,
+             CASE WHEN len(lines) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(lines,
+                         x -> right(x, 3) = '...' OR right(x, 1) = '…'))
+                       AS DOUBLE) / len(lines) END AS elf,
+             CASE WHEN len(lines) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(lines,
+                         x -> left(x, 1) = '-' OR left(x, 1) = '*'
+                              OR left(x, 1) = '•'))
+                       AS DOUBLE) / len(lines) END AS blf,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(toks,
+                         x -> regexp_matches(x, '[A-Za-z]')))
+                       AS DOUBLE) / len(toks) END AS awf,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE symbols / len(toks) END AS swr
+      FROM t)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(mwl, 4) AS mean_word_len,
+           round(dlf, 4) AS dup_line_frac,
+           round(dwf, 4) AS dup_word_frac,
+           round(elf, 4) AS ellipsis_line_frac,
+           round(blf, 4) AS bullet_line_frac,
+           round(awf, 4) AS alpha_word_frac,
+           round(swr, 4) AS symbol_word_ratio,
+           (n_words BETWEEN 50 AND 100000
+            AND round(mwl, 4) BETWEEN 3.0 AND 10.0
+            AND round(swr, 4) < 0.1
+            AND round(blf, 4) < 0.9
+            AND round(elf, 4) < 0.3
+            AND round(awf, 4) >= 0.8
+            AND round(dlf, 4) <= 0.3) AS passes
+    FROM m
+    """,
+    "text-analysis,dedup",
+    "Gopher-style quality filter signals (duplicate-line/word fractions, "
+    "bullet/ellipsis lines, alpha-word and symbol ratios) + keep/drop verdict",
+)
+
 # ==================================================================== lang id
 _LANG_MARKERS_SQL = {
     "en": "['the','and','of','to','is']",

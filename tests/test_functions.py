@@ -227,3 +227,27 @@ def test_select_gb_linkedin_c32(spark):
     assert got[2] == "https://uk.linkedin.com/in/e"
     assert got[3] == "https://uk.linkedin.com/in/f"
     assert got[4] is None
+
+
+def test_gopher_signals_and_filter(spark):
+    from database_convertor_spark.functions.text import (
+        gopher_passes,
+        gopher_signals,
+    )
+    clean = " ".join(f"word{i}" for i in range(60))
+    repetitive = "same line\nsame line\nsame line\nother line"
+    bullety = "- one\n- two\n- three"
+    dotty = "first part...\nsecond part...\nthird"
+    df = spark.createDataFrame(
+        [(1, clean), (2, repetitive), (3, bullety), (4, dotty)],
+        ["doc_id", "text"])
+    s = gopher_signals(F.col("text"))
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", *[c.alias(n) for n, c in s.items()],
+        gopher_passes(F.col("text")).alias("passes")).collect()}
+    assert out[1].n_words == 60 and out[1].dup_word_frac == 0.0
+    assert out[1].passes                                    # clean doc kept
+    assert out[2].dup_line_frac == 0.5                      # 4 lines, 2 distinct
+    assert not out[2].passes                                # dup lines + short
+    assert out[3].bullet_line_frac == 1.0
+    assert out[4].ellipsis_line_frac == round(2 / 3, 4)
