@@ -793,8 +793,14 @@ def _provider_merge_demo(spark: SparkSession, sf: str) -> DataFrame:
         F.when(k % 7 == 0, F.lit("unknown")).alias("industry"),
         F.lit(None).cast("array<string>").alias("technologies"))
     records = p1.unionByName(p2).unionByName(p3)
-    return provider_merge.merge_provider_records(
+    merged = provider_merge.merge_provider_records(
         records, "p_partkey", ["name", "brand", "industry"], ["technologies"])
+    # The driver's order-insensitive canonicalizer sorts/hashes a pandas
+    # frame and cannot hash list cells — serialize the set-union column as
+    # a comma-joined scalar for the checked output.  API callers use
+    # merge_provider_records directly and keep the array form.
+    return merged.withColumn(
+        "technologies", F.array_join(F.col("technologies"), ","))
 
 
 _add(
@@ -827,7 +833,7 @@ _add(
            first(provider ORDER BY priority) FILTER (WHERE brand IS NOT NULL) AS brand_source,
            first(industry ORDER BY priority) FILTER (WHERE industry IS NOT NULL) AS industry,
            first(provider ORDER BY priority) FILTER (WHERE industry IS NOT NULL) AS industry_source,
-           list_sort(list_distinct(flatten(list(coalesce(technologies, []))))) AS technologies,
+           array_to_string(list_sort(list_distinct(flatten(list(coalesce(technologies, []))))), ',') AS technologies,
            count(*) AS n_providers,
            round(100.0 * ((first(name ORDER BY priority) FILTER (WHERE name IS NOT NULL) IS NOT NULL)::INT
                         + (first(brand ORDER BY priority) FILTER (WHERE brand IS NOT NULL) IS NOT NULL)::INT
