@@ -16,12 +16,18 @@ Each phase is one groupBy-min + one join; the edge set contracts
 toward per-component stars in O(log n) rounds — unlike plain
 min-label propagation, which needs O(diameter) rounds and dies on
 long chains (a real shape for near-dup pairs of serialized documents).
-localCheckpoint() per round truncates lineage so plans don't grow
-exponentially (in-session durability; a long-lived cluster job would
-point this at a reliable checkpoint dir instead).
+Each round ends in a RELIABLE checkpoint() — lineage is truncated so
+plans don't grow exponentially, and the round state lives in the
+checkpoint directory (not executor memory), so the iteration survives
+executor loss at cluster scale. If the session has no checkpoint dir
+configured, one is created under the local temp dir — fine for
+local/dev runs; a cluster job should ``setCheckpointDir`` to durable
+storage (HDFS/object store) before calling.
 """
 
 from __future__ import annotations
+
+import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -78,10 +84,13 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
          .filter(F.col("a") != F.col("b"))
          .distinct())
+    sc = edges.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="dcs-components-ckpt-"))
     prev = None
     converged = False
     for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e = _small_star(_large_star(e)).checkpoint(eager=True)
         fp = _fingerprint(e)
         if fp == prev:
             converged = True

@@ -106,6 +106,10 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
 
 
 # -------------------------------------------------------------- MinHash + LSH
+# last invocation's persisted signature frame (see minhash_lsh_pairs)
+_SIG_CACHE: list[DataFrame] = []
+
+
 def _minhash_signature(base_col: Column, num_hashes: int) -> Column:
     """num_hashes-wide MinHash signature over precomputed base hashes:
     sig[i] = min over shingles of (A_i*b + B_i) mod HASH_PRIME — an
@@ -160,8 +164,16 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5,
     # persisted parquet stage).
     from pyspark.storagelevel import StorageLevel
 
+    # bound the session's signature-cache footprint: repeated
+    # invocations (catalog sweeps, bench loops) would otherwise
+    # accumulate DISK_ONLY blocks until session end. Releasing the
+    # PREVIOUS call's cache is safe — if its result DataFrame is still
+    # alive, unpersist only costs recomputation, never correctness.
+    while _SIG_CACHE:
+        _SIG_CACHE.pop().unpersist()
     sigs = minhash_signatures(documents, num_hashes, shingle_n).persist(
         StorageLevel.DISK_ONLY)
+    _SIG_CACHE.append(sigs)
     band_keys = F.array(*[
         F.concat_ws(",", *[F.col("sig").getItem(b * rows_per_band + r)
                            .cast("string") for r in range(rows_per_band)])

@@ -23,6 +23,11 @@ from pyspark.sql import functions as F
 
 from ..functions.similarity import cosine_similarity
 
+# brute_force_topk_numpy materializes the query set on the driver and
+# broadcasts it — the guard that keeps that contract from OOMing when
+# a caller points it at a corpus-sized "query" frame.
+MAX_BROADCAST_QUERIES = 1_000_000
+
 
 def _scored_pairs(queries: DataFrame, corpus: DataFrame) -> DataFrame:
     q = queries.select(F.col("vec_id").alias("query_id"),
@@ -71,7 +76,22 @@ def brute_force_topk_numpy(queries: DataFrame, corpus: DataFrame,
     import pandas as pd
 
     spark = queries.sparkSession
+    # id types follow the inputs (a bigint assumption here silently
+    # corrupted string-keyed callers); the broadcast guard keeps the
+    # "query set is a dimension" contract honest instead of OOMing
+    q_t = dict(queries.dtypes)["vec_id"]
+    c_t = dict(corpus.dtypes)["vec_id"]
+    out_schema = (f"query_id {q_t}, neighbor_id {c_t}, "
+                  f"rank int, cosine double")
+    n_q = queries.limit(MAX_BROADCAST_QUERIES + 1).count()
+    if n_q > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"brute_force_topk_numpy broadcasts the query set; got more "
+            f"than {MAX_BROADCAST_QUERIES} query vectors — use ivf_topk/"
+            f"ivf_topk_multiprobe for corpus-scale query sets")
     qpd = queries.select("vec_id", "embedding").toPandas()
+    if len(qpd) == 0:
+        return spark.createDataFrame([], out_schema)
     qids = qpd["vec_id"].to_numpy()
     qm = np.vstack(qpd["embedding"].to_numpy()).astype("float64")
     qnorm = np.linalg.norm(qm, axis=1, keepdims=True)
@@ -100,7 +120,7 @@ def brute_force_topk_numpy(queries: DataFrame, corpus: DataFrame,
     par = corpus.sparkSession.sparkContext.defaultParallelism
     cands = (corpus.select("vec_id", "embedding").repartition(par)
              .mapInPandas(score,
-                          "query_id long, neighbor_id long, _sim double"))
+                          f"query_id {q_t}, neighbor_id {c_t}, _sim double"))
     w = Window.partitionBy("query_id").orderBy(F.desc("_sim"),
                                                F.asc("neighbor_id"))
     return (cands.filter(F.col("neighbor_id") != F.col("query_id"))

@@ -592,7 +592,8 @@ _add(
              parts[1] AS f, parts[-1] AS l
       FROM parsed WHERE len(parts) >= 2)
     SELECT n.company_domain, officer_id, officer_name, email,
-           CAST(CASE WHEN (contains(e.ef, n.f) OR contains(n.f, e.ef))
+           CAST(CASE WHEN e.ef <> '' AND e.el <> ''
+                 AND (contains(e.ef, n.f) OR contains(n.f, e.ef))
                  AND (contains(e.el, n.l) OR contains(n.l, e.el)) THEN 0.9
                 WHEN substr(n.f, 1, 1) = substr(e.ef, 1, 1) AND e.ef <> ''
                  AND contains(e.el, n.l) THEN 0.7

@@ -100,3 +100,23 @@ def test_blocking_path_agrees_with_broadcast(spark):
     assert sb <= sa
     # and on this data nothing above threshold shares zero tokens
     assert sa == sb
+
+
+def test_name_match_email_join_empty_names_no_false_positives(spark):
+    """An email row with NULL/empty first+last name must not 0.9-match
+    every officer at the domain (the reference's `'' in s` quirk is
+    deliberately NOT mirrored; the oracle SQL carries the same guard)."""
+    from database_convertor_spark.operators.entity_resolution import (
+        name_match_email_join,
+    )
+    officers = spark.createDataFrame(
+        [(1, "John Smith", "acme.com")],
+        ["officer_id", "officer_name", "company_domain"])
+    emails = spark.createDataFrame(
+        [("info@acme.com", None, None, "acme.com"),
+         ("sales@acme.com", "", "", "acme.com"),
+         ("john.smith@acme.com", "John", "Smith", "acme.com")],
+        ["email", "first_name", "last_name", "company_domain"])
+    got = {r.email: r.name_match_confidence
+           for r in name_match_email_join(officers, emails).collect()}
+    assert got == {"john.smith@acme.com": 0.9}

@@ -50,15 +50,16 @@ def test_top_k_avoids_global_sort(spark):
 
 
 def test_fuzzy_is_blocking_first(spark):
-    """The round-1 scale-killer: fuzzy_match must take the token-blocking
-    equi-join, with the nested loop confined to the left-anti residual
-    (lefts with zero token candidates) — never the full cross product."""
+    """The round-1/round-2 scale-killer: fuzzy_match must take the
+    token-blocking equi-join, with the levenshtein rescue confined to
+    the left-anti residual AND itself blocked by rarest q-grams — no
+    nested loop anywhere in the plan (round-3 tightening: was <= 1)."""
     plan = _plan(spark, "fuzzy_match_customers")
     # candidate generation is a hash/merge equi-join on the token key
     assert any(j in plan for j in
                ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
-    # exactly one nested loop (the rescue), fed by the anti-join residual
-    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # the rescue is a gram equi-join now — zero nested loops
+    assert plan.count("BroadcastNestedLoopJoin") == 0
     assert "LeftAnti" in plan                    # residual restriction
     assert "RoundRobinPartitioning" in plan      # rescue probe spread out
     assert "CartesianProduct" not in plan
