@@ -244,6 +244,14 @@ class Engine:
         from .pipelines.corpus import curation_stats
         return curation_stats(documents, threshold)
 
+    def ingest_documents(self, new_docs: DataFrame, corpus_docs: DataFrame,
+                         threshold: float = 0.5) -> DataFrame:
+        """Incremental ingest dedup against an immutable corpus: the
+        new-batch rows worth admitting (near-dups of the corpus, or of
+        admitted batch-mates, dropped)."""
+        from .pipelines.corpus import ingest_documents
+        return ingest_documents(new_docs, corpus_docs, threshold)
+
     # ----------------------------------------------------------- automation
     def run_weekly(self, discovered: DataFrame, companies: DataFrame | None = None):
         """§3.3 weekly automation against the warehouse state."""

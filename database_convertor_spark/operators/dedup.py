@@ -52,6 +52,32 @@ def drop_exact_duplicates(documents: DataFrame) -> DataFrame:
 
 
 # ------------------------------------------------------- n-gram Jaccard pairs
+def _ngram_docs(documents: DataFrame, band_chars: int) -> DataFrame:
+    """Shared blocking projection: (doc_id, lang, band, toks, n_toks)."""
+    docs = documents.select(
+        "doc_id", "lang",
+        F.floor(F.col("n_chars") / band_chars).cast("int").alias("band"),
+        F.array_distinct(tokens(F.lower(F.col("text")))).alias("toks"))
+    return docs.withColumn("n_toks", F.size("toks"))
+
+
+def _jaccard_filter(pairs: DataFrame, threshold: float) -> DataFrame:
+    """Size-ratio prefilter + exact word-set Jaccard over candidate
+    pairs carrying a./b. toks and n_toks; emits (doc_a, doc_b, jaccard)
+    with doc_a < doc_b."""
+    # size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so any
+    # pair failing the ratio cannot reach the threshold — prunes before
+    # the (expensive) intersect without changing results
+    ratio_ok = (F.least("a.n_toks", "b.n_toks").cast("double")
+                / F.greatest("a.n_toks", "b.n_toks") >= threshold)
+    sim = token_jaccard(F.col("a.toks"), F.col("b.toks"))
+    return (pairs.filter(ratio_ok)
+            .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                    F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                    F.round(sim, 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
                         band_chars: int = 100,
                         adjacent_bands: bool = False) -> DataFrame:
@@ -65,11 +91,7 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
     {band, band+1}, so a diff-1 pair meets on the higher band and a
     same-band pair meets on both (deduped). No range join, no nested
     loop."""
-    docs = documents.select(
-        "doc_id", "lang",
-        F.floor(F.col("n_chars") / band_chars).cast("int").alias("band"),
-        F.array_distinct(tokens(F.lower(F.col("text")))).alias("toks"))
-    docs = docs.withColumn("n_toks", F.size("toks"))
+    docs = _ngram_docs(documents, band_chars)
     # single-file inputs arrive as one partition; the (broadcast) self-
     # join would then run on one core — spread the probe side first
     par = documents.sparkSession.sparkContext.defaultParallelism
@@ -92,17 +114,42 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
         pairs = a.join(b, (F.col("a.lang") == F.col("b.lang"))
                        & (F.col("a.band") == F.col("b.band"))
                        & (F.col("a.doc_id") < F.col("b.doc_id")))
-    # size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so any
-    # pair failing the ratio cannot reach the threshold — prunes before
-    # the (expensive) intersect without changing results
-    ratio_ok = (F.least("a.n_toks", "b.n_toks").cast("double")
-                / F.greatest("a.n_toks", "b.n_toks") >= threshold)
-    sim = token_jaccard(F.col("a.toks"), F.col("b.toks"))
-    return (pairs.filter(ratio_ok)
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"),
-                    F.round(sim, 4).alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+    return _jaccard_filter(pairs, threshold)
+
+
+def ngram_jaccard_pairs_incremental(new_docs: DataFrame,
+                                    corpus_docs: DataFrame,
+                                    threshold: float = 0.5,
+                                    band_chars: int = 100) -> DataFrame:
+    """Near-dup pairs for an INCREMENTAL ingest: every pair has at
+    least one side in ``new_docs``; corpus x corpus pairs are never
+    generated (they were found when those docs were ingested). This is
+    the reference's weekly already-seen anti-join discipline
+    (weekly_scheduler.py:586-609) generalized from exact keys to
+    near-duplicate similarity — the operator a daily 100 TB ingest
+    actually runs: cost is |new| x avg-block-overlap, independent of
+    |corpus|^2, and the corpus side needs only its blocking projection
+    (at scale: served from a parquet table partitioned by (lang,
+    band), so the equi-join prunes partitions).
+
+    Invariant (property-tested): pairs(new ∪ corpus) =
+    this(new, corpus) ∪ pairs(corpus). Inputs must be disjoint by
+    doc_id (ingest contract). Output matches ngram_jaccard_pairs:
+    (doc_a < doc_b, jaccard >= threshold).
+    """
+    nd = _ngram_docs(new_docs, band_chars)
+    cd = _ngram_docs(corpus_docs, band_chars)
+    par = new_docs.sparkSession.sparkContext.defaultParallelism
+    a = nd.repartition(par).alias("a")
+    b = (nd.withColumn("_new", F.lit(True))
+         .unionByName(cd.withColumn("_new", F.lit(False)))
+         .alias("b"))
+    # new x new pairs once via id ordering; new x corpus pairs once by
+    # construction (corpus rows never appear on the probe side)
+    pairs = a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                   & (F.col("a.band") == F.col("b.band"))
+                   & (~F.col("b._new") | (F.col("a.doc_id") < F.col("b.doc_id"))))
+    return _jaccard_filter(pairs, threshold)
 
 
 # -------------------------------------------------------------- MinHash + LSH

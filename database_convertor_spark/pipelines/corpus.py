@@ -38,6 +38,39 @@ def curate_corpus(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     return components.drop_near_duplicates(kept, pairs)
 
 
+def ingest_documents(new_docs: DataFrame, corpus_docs: DataFrame,
+                     threshold: float = 0.5) -> DataFrame:
+    """Incremental ingest dedup: return the subset of ``new_docs`` that
+    belongs in the corpus, treating the existing corpus as IMMUTABLE
+    (the reference's weekly ingest discipline — existing rows are never
+    rewritten, weekly_scheduler.py:586-609):
+
+    - a new doc in any near-dup cluster that touches a corpus doc is
+      dropped (its content is already represented — transitively: a
+      new doc chained to the corpus through other new dups drops too);
+    - pure-new clusters keep their canonical (min doc_id) member only.
+
+    Pairwise work is ``ngram_jaccard_pairs_incremental`` — |new| x
+    block-overlap, never corpus x corpus — and components run over the
+    touched neighborhood only (nodes appearing in some incremental
+    pair), not the whole corpus.
+
+    Contract (tested): incremental pairs between the survivors and the
+    (deduped) corpus are EMPTY — nothing the ingest admits duplicates
+    anything already admitted.
+    """
+    pairs = dedup.ngram_jaccard_pairs_incremental(
+        new_docs, corpus_docs, threshold=threshold)
+    comps = components.dedup_clusters(pairs, "doc_a", "doc_b")
+    tainted = (comps.join(corpus_docs.select("doc_id"), "doc_id", "left_semi")
+               .select("cluster_id").distinct())
+    losers_tainted = (comps.join(tainted, "cluster_id", "left_semi")
+                      .select("doc_id"))
+    losers_new = comps.filter(~F.col("is_canonical")).select("doc_id")
+    losers = losers_tainted.unionByName(losers_new).distinct()
+    return new_docs.join(losers, "doc_id", "left_anti")
+
+
 def curation_stats(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     """The curation report: per-language kept-doc and token counts over
     the filtered + deduped corpus."""

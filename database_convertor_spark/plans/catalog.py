@@ -904,6 +904,43 @@ _add(
     "— still an equi-join via dual block keys",
 )
 
+# ======================================== incremental ingest near-dedup
+def _incremental_pairs_demo(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup on driver tables: docs with doc_id %% 5 == 0
+    are the incoming batch, the rest are the existing corpus."""
+    docs, = _t(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0))
+
+
+_add(
+    "dedup_incremental_pairs",
+    _incremental_pairs_demo,
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, CAST(n_chars // 100 AS INTEGER) AS band,
+             {_TOKS.format(c='lower(text)')} AS toks
+      FROM documents),
+    n AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+    b AS (SELECT *, TRUE AS isnew FROM n
+          UNION ALL
+          SELECT *, FALSE FROM d WHERE doc_id % 5 <> 0)
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT least(a.doc_id, b.doc_id) AS doc_a,
+             greatest(a.doc_id, b.doc_id) AS doc_b,
+             round({_jaccard('a.toks', 'b.toks')}, 4) AS jaccard
+      FROM n a JOIN b
+        ON a.lang = b.lang AND a.band = b.band
+       AND (NOT b.isnew OR a.doc_id < b.doc_id))
+    WHERE jaccard >= 0.5
+    """,
+    "dedup,T2,J6",
+    "incremental ingest near-dedup: new-batch pairs against new+corpus "
+    "only — corpus x corpus never re-paired (the weekly anti-join "
+    "discipline generalized to similarity)",
+)
+
 # ============================================== dedup clusters (components)
 _add(
     "dedup_clusters_ngram",

@@ -70,3 +70,48 @@ def test_connected_components_raises_on_iteration_cap(spark):
     # and a generous cap converges fine
     labels = connected_components(chain, max_iterations=10)
     assert {r.component for r in labels.collect()} == {0}
+
+
+def test_incremental_pairs_union_invariant(spark):
+    """pairs(new ∪ corpus) == incremental(new, corpus) ∪ pairs(corpus):
+    the incremental operator finds exactly the pairs the full-batch
+    operator would add when the new batch arrives."""
+    from pyspark.sql import functions as F
+
+    from database_convertor_spark.operators import dedup
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    full = {tuple(r) for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    inc = {tuple(r) for r in
+           dedup.ngram_jaccard_pairs_incremental(new, corpus).collect()}
+    old = {tuple(r) for r in dedup.ngram_jaccard_pairs(corpus).collect()}
+    assert inc | old == full
+    assert inc & old == set()          # disjoint: nothing re-found
+
+
+def test_ingest_documents_admits_no_duplicates(spark):
+    """The ingest contract: survivors of ingest_documents share no
+    near-dup pair with the corpus or with each other."""
+    from pyspark.sql import functions as F
+
+    from database_convertor_spark.operators import dedup
+    from database_convertor_spark.pipelines.corpus import ingest_documents
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = drop_near_duplicates(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        dedup.ngram_jaccard_pairs(docs.filter(F.col("doc_id") % 5 != 0)))
+    surv = ingest_documents(new, corpus)
+    assert surv.count() > 0            # the ingest admits something
+    assert surv.count() < new.count()  # ...and drops something
+    leftover = dedup.ngram_jaccard_pairs_incremental(surv, corpus)
+    assert leftover.count() == 0
