@@ -252,6 +252,26 @@ class Engine:
         from .pipelines.corpus import ingest_documents
         return ingest_documents(new_docs, corpus_docs, threshold)
 
+    def decontaminate(self, documents: DataFrame, benchmark: DataFrame,
+                      shingle_n: int = 5, min_shared: int = 1) -> DataFrame:
+        """Drop corpus docs sharing word shingles with an eval set."""
+        from .operators.curation import decontaminate
+        return decontaminate(documents, benchmark, shingle_n, min_shared)
+
+    def redact_documents(self, documents: DataFrame) -> DataFrame:
+        """Scrub emails/phones from the text column."""
+        from .operators.curation import redact_documents
+        return redact_documents(documents)
+
+    def stratified_sample(self, documents: DataFrame,
+                          fractions: dict[str, float],
+                          stratum_col: str = "lang",
+                          default_fraction: float = 0.0) -> DataFrame:
+        """Deterministic per-stratum corpus sampling (md5 hash gate)."""
+        from .operators.curation import stratified_sample
+        return stratified_sample(documents, fractions, stratum_col,
+                                 default_fraction)
+
     # ----------------------------------------------------------- automation
     def run_weekly(self, discovered: DataFrame, companies: DataFrame | None = None):
         """§3.3 weekly automation against the warehouse state."""

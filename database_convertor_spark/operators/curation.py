@@ -1,0 +1,125 @@
+"""Corpus-curation operators beyond dedup — the standard
+training-data hygiene passes a 100 TB pipeline runs between ingest and
+training, each as pure DataFrame algebra:
+
+- **benchmark decontamination**: flag/drop corpus docs sharing word
+  n-gram shingles with an evaluation set (the published
+  train-test-overlap discipline, e.g. GPT-3 appendix C / PaLM
+  contamination analysis — public methodology). The shingle join runs
+  on 60-bit md5 hashes (engine-portable, narrow shuffle), never on
+  raw strings, and never materializes doc x bench.
+- **boilerplate line removal**: C4-style cross-document repeated-line
+  filtering — lines appearing in >= min_docs distinct docs are
+  boilerplate (nav bars, cookie banners); docs are reassembled with
+  original line order preserved.
+- **PII redaction**: email/phone scrubbing as regexp_replace column
+  expressions (reference's contact-extraction regexes inverted:
+  api_clients.py extract_contact_fields finds them, redact_pii
+  removes them).
+- **deterministic stratified sampling**: per-stratum keep rates via a
+  content-independent md5 hash gate — reproducible across engines and
+  runs (unlike sampleBy's RNG), the corpus-mixing primitive.
+
+Scale notes: every op is one narrow projection + at most one
+aggregate/join on a bounded key (shingle hash, trimmed line, stratum);
+no op carries document text through a shuffle except line reassembly,
+which shuffles each line exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_long, shingles
+
+
+# ------------------------------------------------------- decontamination
+def _shingle_hashes(df: DataFrame, id_col: str, n: int) -> DataFrame:
+    sh = F.explode(F.array_distinct(shingles(F.col("text"), n)))
+    return (df.select(F.col(id_col), sh.alias("_sh"))
+            .select(id_col, md5_long(F.col("_sh")).alias("_h")))
+
+
+def benchmark_contamination(documents: DataFrame, benchmark: DataFrame,
+                            shingle_n: int = 5,
+                            min_shared: int = 1) -> DataFrame:
+    """(doc_id, bench_id, n_shared_shingles) for every corpus/benchmark
+    pair sharing >= min_shared distinct word-``shingle_n``-gram
+    shingles. ``benchmark`` needs (bench_id, text)."""
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    d = _shingle_hashes(documents, "doc_id", shingle_n).repartition(par)
+    b = _shingle_hashes(benchmark, "bench_id", shingle_n)
+    return (d.join(b, "_h")
+            .groupBy("doc_id", "bench_id")
+            .agg(F.count_distinct(F.col("_h")).alias("n_shared_shingles"))
+            .filter(F.col("n_shared_shingles") >= min_shared))
+
+
+def decontaminate(documents: DataFrame, benchmark: DataFrame,
+                  shingle_n: int = 5, min_shared: int = 1) -> DataFrame:
+    """Drop every corpus doc contaminated by the benchmark set."""
+    hits = (benchmark_contamination(documents, benchmark,
+                                    shingle_n, min_shared)
+            .select("doc_id").distinct())
+    return documents.join(hits, "doc_id", "left_anti")
+
+
+# -------------------------------------------------- boilerplate removal
+def remove_boilerplate_lines(documents: DataFrame,
+                             min_docs: int = 5) -> DataFrame:
+    """Remove lines whose trimmed form appears in >= min_docs distinct
+    documents (cross-document boilerplate); returns (doc_id, text)
+    with surviving lines rejoined in original order. Blank lines are
+    never counted as boilerplate."""
+    lines = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"))
+    keyed = lines.withColumn("_k", F.trim(F.col("line")))
+    boiler = (keyed.filter(F.col("_k") != "")
+              .groupBy("_k")
+              .agg(F.count_distinct(F.col("doc_id")).alias("_df"))
+              .filter(F.col("_df") >= min_docs)
+              .select("_k"))
+    kept = keyed.join(boiler, "_k", "left_anti")
+    return (kept.groupBy("doc_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("pos"), F.col("line")))),
+                    lambda s: s.getField("line")),
+                "\n").alias("text")))
+
+
+# ---------------------------------------------------------- PII redaction
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d \-]{8,}\d"
+
+
+def redact_pii(col: Column) -> Column:
+    """Scrub emails then phone-shaped digit runs (order matters: an
+    email's local part may contain digits)."""
+    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def redact_documents(documents: DataFrame) -> DataFrame:
+    return documents.withColumn("text", redact_pii(F.col("text")))
+
+
+# ------------------------------------------------- stratified sampling
+def stratified_sample(documents: DataFrame,
+                      fractions: dict[str, float],
+                      stratum_col: str = "lang",
+                      default_fraction: float = 0.0,
+                      salt: str = "strat") -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff
+    md5(salt || doc_id) mod 10^6 < fraction * 10^6 for its stratum.
+    Content-independent, engine-reproducible, and stable under
+    re-partitioning — none of which holds for sampleBy's RNG. The
+    corpus-mixing primitive (per-language/source weights)."""
+    gate = md5_long(F.concat(F.lit(salt), F.col("doc_id").cast("string"))) % 1_000_000
+    frac = F.lit(default_fraction)
+    for stratum, f in sorted(fractions.items()):
+        frac = F.when(F.col(stratum_col) == stratum, F.lit(f)).otherwise(frac)
+    return documents.filter(gate < (frac * 1_000_000).cast("long"))

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..operators import (
     asof,
     components,
+    curation,
     dedup,
     entity_resolution,
     graph,
@@ -60,6 +61,11 @@ _NORM = ("trim(regexp_replace(regexp_replace(lower({c}), "
 _TOKS = "list_filter(list_distinct(string_split_regex({c}, '\\s+')), t -> t <> '')"
 # DuckDB-side non-distinct token list
 _TOKS_ALL = "list_filter(string_split_regex({c}, '\\s+'), t -> t <> '')"
+
+# DuckDB twin of functions.text.md5_long (first 60 bits of md5 as a
+# non-negative BIGINT) — what makes every hash-based operator fully
+# oracle-checkable instead of rows-only
+_MD5_60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
 
 def _jaccard(a: str, b: str) -> str:
@@ -941,6 +947,158 @@ _add(
     "discipline generalized to similarity)",
 )
 
+# ======================================================= corpus curation ops
+_SHINGLE5_SQL = """CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+                  ELSE list_transform(range(1, len(tk) - 3),
+                                      i -> array_to_string(tk[i:i+4], ' '))
+             END"""
+
+
+def _contamination_demo(spark: SparkSession, sf: str) -> DataFrame:
+    """Decontamination on driver tables: every 97th doc plays the
+    held-out benchmark; the rest are the training corpus."""
+    docs, = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = (docs.filter(F.col("doc_id") % 97 == 0)
+             .select(F.col("doc_id").alias("bench_id"), "text"))
+    return curation.benchmark_contamination(corpus, bench, shingle_n=5)
+
+
+_add(
+    "benchmark_contamination_hits",
+    _contamination_demo,
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    hs AS (
+      SELECT doc_id,
+             list_distinct(list_transform({_SHINGLE5_SQL},
+                           s -> {_MD5_60.format(x='s')})) AS hl
+      FROM toks),
+    d AS (SELECT doc_id, unnest(hl) AS h FROM hs WHERE doc_id % 97 <> 0),
+    b AS (SELECT doc_id AS bench_id, unnest(hl) AS h FROM hs
+          WHERE doc_id % 97 = 0)
+    SELECT d.doc_id, b.bench_id,
+           CAST(count(DISTINCT d.h) AS BIGINT) AS n_shared_shingles
+    FROM d JOIN b ON d.h = b.h
+    GROUP BY d.doc_id, b.bench_id
+    HAVING count(DISTINCT d.h) >= 1
+    """,
+    "dedup,text-analysis",
+    "benchmark decontamination: corpus docs sharing 5-gram shingles "
+    "with a held-out eval set (hash equi-join on md5-60, no doc x "
+    "bench materialization)",
+)
+
+
+def _boilerplate_demo(spark: SparkSession, sf: str) -> DataFrame:
+    """Boilerplate removal on driver tables: deterministic banner lines
+    are injected (every doc gets a cookie banner; every 3rd doc a
+    subscribe footer), then stripped by cross-document line frequency —
+    original single-line text must survive untouched."""
+    docs, = _t(spark, sf, "documents")
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.lit("ACCEPT COOKIES TO CONTINUE"),
+                    F.col("text"),
+                    F.when(F.col("doc_id") % 3 == 0,
+                           F.lit("SUBSCRIBE TO OUR NEWSLETTER"))
+                    ).alias("text"))
+    return curation.remove_boilerplate_lines(multi, min_docs=5)
+
+
+_add(
+    "doc_boilerplate_removed",
+    _boilerplate_demo,
+    """
+    WITH multi AS (
+      SELECT doc_id,
+             concat_ws(chr(10), 'ACCEPT COOKIES TO CONTINUE', text,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'SUBSCRIBE TO OUR NEWSLETTER' END) AS text
+      FROM documents),
+    split AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM multi),
+    exploded AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ls) + 1),
+                                   i -> {'pos': i, 'line': ls[i]}),
+                    recursive := true)
+      FROM split),
+    lines AS (
+      SELECT doc_id, line, pos, trim(line) AS k FROM exploded),
+    boiler AS (
+      SELECT k FROM lines WHERE k <> ''
+      GROUP BY k HAVING count(DISTINCT doc_id) >= 5)
+    SELECT doc_id,
+           array_to_string(list(line ORDER BY pos), chr(10)) AS text
+    FROM lines WHERE k NOT IN (SELECT k FROM boiler)
+    GROUP BY doc_id
+    """,
+    "text-analysis,dedup",
+    "C4-style cross-document boilerplate line removal (line df >= 5), "
+    "original line order preserved on reassembly",
+)
+
+
+def _pii_demo(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction on driver tables: deterministic contact strings
+    are appended (the tables carry none), then scrubbed."""
+    docs, = _t(spark, sf, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@example.co.uk or call +44 20 7946 0"),
+                 (F.col("doc_id") % 900 + 100).cast("string")).alias("text"))
+    return curation.redact_documents(dirty).select("doc_id", "text")
+
+
+_add(
+    "doc_pii_redacted",
+    _pii_demo,
+    f"""
+    WITH dirty AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.co.uk or call +44 20 7946 0'
+                  || CAST(doc_id % 900 + 100 AS VARCHAR) AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text,
+               '{curation.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{curation.PHONE_RE}', '<PHONE>', 'g') AS text
+    FROM dirty
+    """,
+    "C9,text-analysis",
+    "PII redaction: email/phone scrubbing as regexp_replace column "
+    "expressions (contact extraction inverted)",
+)
+
+_STRATA_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.1, "zh": 0.75}
+
+_add(
+    "corpus_stratified_sample",
+    lambda spark, sf: curation.stratified_sample(
+        _t(spark, sf, "documents")[0], _STRATA_FRACTIONS,
+        default_fraction=0.05).select("doc_id", "lang", "n_chars"),
+    f"""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE ('0x' || substr(md5('strat' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1000000
+        < CAST((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25
+                          WHEN 'fr' THEN 0.1 WHEN 'zh' THEN 0.75
+                          ELSE 0.05 END) * 1000000 AS BIGINT)
+    """,
+    "text-analysis,F10",
+    "deterministic stratified corpus sampling: per-language keep rates "
+    "via an md5 hash gate — reproducible across engines/runs/partitions",
+)
+
 # ============================================== dedup clusters (components)
 _add(
     "dedup_clusters_ngram",
@@ -1020,7 +1178,6 @@ from ..functions.text import HASH_PRIME as _HP
 from ..functions.text import MINHASH_A as _MA
 from ..functions.text import MINHASH_B as _MB
 
-_MD5_60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 _SIG_ENTRIES = ",\n             ".join(
     f"list_min(list_transform(bh, x -> ({_MA[i]} * x + {_MB[i]}) % {_HP}))"
     for i in range(32))
