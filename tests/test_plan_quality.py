@@ -69,7 +69,9 @@ def test_pairwise_ops_have_no_cartesian(spark):
     for name in ["dedup_ngram_jaccard", "dedup_ngram_adjacent",
                  "dedup_minhash_lsh", "dedup_simhash",
                  "dedup_embedding_cosine", "ann_ivf_topk",
-                 "ann_ivf_multiprobe", "corpus_curation_stats"]:
+                 "ann_ivf_multiprobe", "corpus_curation_stats",
+                 "dedup_incremental_pairs", "benchmark_contamination_hits",
+                 "doc_boilerplate_removed"]:
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
 
