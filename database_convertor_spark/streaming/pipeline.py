@@ -185,6 +185,54 @@ def run_corpus_dedup_stream(spark: SparkSession, sf_dir: str,
     return spark.sql("SELECT fp FROM corpus_dedup_stream")
 
 
+def run_ingest_stream(spark: SparkSession, sf_dir: str,
+                      checkpoint: str, corpus_path: str,
+                      threshold: float = 0.5) -> DataFrame:
+    """Streaming twin of ``pipelines.corpus.ingest_documents`` — the
+    production shape of a continuous training-data feed: documents
+    arrive in micro-batches through a landing directory; foreachBatch
+    runs the incremental near-dedup (batch pairs against batch ∪
+    corpus-so-far only, never corpus x corpus) and appends the
+    admitted rows to the parquet corpus. Trigger.AvailableNow drains
+    the backlog and exits; the checkpoint makes re-runs resume, not
+    re-ingest.
+
+    Contract (tested): the final corpus contains NO near-dup pair at
+    all — per-batch survivors are pairwise clean, and every later
+    batch deduped against all earlier admissions.
+    """
+    from ..pipelines.corpus import ingest_documents
+    from ..sources.readers import read_table
+
+    landing = checkpoint + "_landing"
+    docs = read_table(spark, sf_dir, "documents")
+    # several part-files so maxFilesPerTrigger yields real micro-batches
+    docs.repartition(8).write.mode("overwrite").parquet(landing)
+    (spark.createDataFrame([], TESTDATA_SCHEMAS["documents"])
+     .write.mode("overwrite").parquet(corpus_path))
+
+    def ingest_batch(batch: DataFrame, epoch_id: int) -> None:
+        sp = batch.sparkSession
+        sp.catalog.refreshByPath(corpus_path)
+        corpus = sp.read.schema(TESTDATA_SCHEMAS["documents"]).parquet(
+            corpus_path)
+        admitted = ingest_documents(batch, corpus, threshold=threshold)
+        admitted.write.mode("append").parquet(corpus_path)
+
+    q = (spark.readStream
+         .schema(TESTDATA_SCHEMAS["documents"])
+         .option("maxFilesPerTrigger", 2)
+         .parquet(landing)
+         .writeStream
+         .foreachBatch(ingest_batch)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    spark.catalog.refreshByPath(corpus_path)
+    return spark.read.schema(TESTDATA_SCHEMAS["documents"]).parquet(corpus_path)
+
+
 def run_windowed_stream(spark: SparkSession, sf_dir: str,
                         checkpoint: str, window: str = "1 hour",
                         watermark: str = "2 hours") -> DataFrame:

@@ -105,3 +105,21 @@ def test_corpus_dedup_stream_matches_batch_dedup(spark, tmp_path):
     batch_fps = {r.fp for r in batch.collect()}
     assert stream_fps == batch_fps
     assert got.count() == len(batch_fps)   # no fingerprint admitted twice
+
+
+def test_ingest_stream_admits_no_duplicates(spark, tmp_path):
+    """Streaming twin of the incremental ingest: after draining the
+    document backlog in micro-batches, the accumulated corpus must
+    contain zero near-dup pairs — each batch deduped internally AND
+    against everything admitted before it."""
+    from database_convertor_spark.operators.dedup import ngram_jaccard_pairs
+    from database_convertor_spark.sources.readers import read_table
+    from database_convertor_spark.streaming.pipeline import run_ingest_stream
+
+    corpus = run_ingest_stream(
+        spark, SF_SMALL, str(tmp_path / "ckpt_ingest"),
+        str(tmp_path / "corpus"))
+    n_in = read_table(spark, SF_SMALL, "documents").count()
+    n_out = corpus.count()
+    assert 0 < n_out < n_in                 # admitted some, dropped some
+    assert ngram_jaccard_pairs(corpus).count() == 0
