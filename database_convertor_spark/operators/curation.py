@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_long, shingles
+from ..functions.text import md5_long, shingles, tokens
 
 
 # ------------------------------------------------------- decontamination
@@ -105,6 +105,60 @@ def redact_pii(col: Column) -> Column:
 
 def redact_documents(documents: DataFrame) -> DataFrame:
     return documents.withColumn("text", redact_pii(F.col("text")))
+
+
+# ----------------------------------------------------- document chunking
+def chunk_documents(documents: DataFrame, chunk_tokens: int = 128,
+                    overlap: int = 16) -> DataFrame:
+    """Split each document into <=``chunk_tokens``-token chunks with
+    ``overlap`` tokens of context carried between neighbors — the
+    sequence-packing precursor every training pipeline runs. One
+    projection + one explode; no shuffle at all (chunking is
+    embarrassingly parallel), so it scales with the scan.
+
+    A trailing chunk fully contained in its predecessor (start >
+    n - overlap) is not emitted. Output: (doc_id, chunk_id, n_tokens,
+    chunk_text)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)),
+        lambda s: (s == 1) | (s + overlap <= n))
+    return (documents
+            .select("doc_id", toks.alias("_tk"), n.alias("_n"),
+                    F.posexplode(starts).alias("chunk_id", "start"))
+            .select("doc_id", "chunk_id",
+                    F.size(F.slice(F.col("_tk"), F.col("start"),
+                                   chunk_tokens)).alias("n_tokens"),
+                    F.array_join(F.slice(F.col("_tk"), F.col("start"),
+                                         chunk_tokens), " ")
+                    .alias("chunk_text")))
+
+
+# ----------------------------------------------- leakage-safe train split
+def leakage_safe_split(documents: DataFrame, pairs: DataFrame,
+                       val_frac: float = 0.1,
+                       salt: str = "split") -> DataFrame:
+    """Train/validation split that can never leak near-duplicate
+    content across the boundary: the split is decided per DUP CLUSTER
+    (connected components over the near-dup pairs), not per document —
+    all members of a cluster land on the same side. Singleton docs are
+    their own cluster. The gate is the deterministic md5 hash used by
+    stratified_sample. Output: (doc_id, split) with split in
+    {'train', 'val'}."""
+    from .components import dedup_clusters
+
+    clusters = dedup_clusters(pairs, "doc_a", "doc_b").select(
+        "doc_id", "cluster_id")
+    labeled = documents.select("doc_id").join(clusters, "doc_id", "left")
+    key = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    gate = md5_long(F.concat(F.lit(salt), key.cast("string"))) % 1_000_000
+    split = F.when(gate < int(val_frac * 1_000_000),
+                   F.lit("val")).otherwise(F.lit("train"))
+    return labeled.select("doc_id", split.alias("split"))
 
 
 # ------------------------------------------------- stratified sampling

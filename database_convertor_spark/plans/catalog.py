@@ -1079,6 +1079,81 @@ _add(
     "expressions (contact extraction inverted)",
 )
 
+_add(
+    "doc_chunks",
+    # 16-token chunks so the ~23-token driver docs genuinely multi-chunk
+    lambda spark, sf: curation.chunk_documents(
+        _t(spark, sf, "documents")[0], chunk_tokens=16, overlap=4)
+    .select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.col("n_tokens").cast("long").alias("n_tokens"), "chunk_text"),
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_ALL.format(c='text')} AS tk FROM documents),
+    s AS (
+      SELECT doc_id, tk,
+             list_filter(range(1, greatest(len(tk), 1) + 1, 12),
+                         s -> s = 1 OR s + 4 <= len(tk)) AS starts
+      FROM t),
+    e AS (
+      SELECT doc_id, tk,
+             unnest(list_transform(range(1, len(starts) + 1),
+                    i -> {{'chunk_id': i - 1, 'start': starts[i]}}),
+                    recursive := true)
+      FROM s)
+    SELECT doc_id, chunk_id,
+           CAST(len(tk[start : start + 15]) AS BIGINT) AS n_tokens,
+           array_to_string(tk[start : start + 15], ' ') AS chunk_text
+    FROM e
+    """,
+    "text-analysis,pipeline",
+    "document chunking into fixed-token segments with overlap "
+    "(sequence-packing precursor; pure projection + explode, no shuffle)",
+)
+
+
+def _split_demo(spark: SparkSession, sf: str) -> DataFrame:
+    docs, = _t(spark, sf, "documents")
+    return curation.leakage_safe_split(
+        docs, dedup.ngram_jaccard_pairs(docs), val_frac=0.1)
+
+
+_add(
+    "corpus_train_val_split",
+    _split_demo,
+    f"""
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id, lang, CAST(n_chars // 100 AS INTEGER) AS band,
+             {_TOKS.format(c='lower(text)')} AS toks
+      FROM documents),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round({_jaccard('a.toks', 'b.toks')}, 4) AS jaccard
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.5),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+    comp AS (SELECT node AS doc_id, min(r) AS cluster_id
+             FROM reach GROUP BY node)
+    SELECT dd.doc_id,
+           CASE WHEN {_MD5_60.format(
+               x="'split' || CAST(coalesce(comp.cluster_id, dd.doc_id) AS VARCHAR)")}
+                     % 1000000 < 100000
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents dd LEFT JOIN comp ON dd.doc_id = comp.doc_id
+    """,
+    "dedup,F10,pipeline",
+    "leakage-safe train/val split: the md5 gate decides per DUP CLUSTER "
+    "(components over near-dup pairs), so no near-duplicate content "
+    "straddles the split boundary",
+)
+
 _STRATA_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.1, "zh": 0.75}
 
 _add(

@@ -82,3 +82,44 @@ def test_stratified_sample_deterministic_and_exclusive(spark):
     # different salt -> different (but still deterministic) sample
     c = {r.doc_id for r in stratified_sample(docs, frac, salt="v2").collect()}
     assert c != a
+
+
+def test_chunk_documents_reconstructs_and_overlaps(spark):
+    words = " ".join(f"w{i}" for i in range(1, 31))   # 30 tokens
+    docs = spark.createDataFrame([(1, words), (2, "short text")],
+                                 ["doc_id", "text"])
+    from database_convertor_spark.operators.curation import chunk_documents
+
+    out = sorted((r.chunk_id, r.n_tokens, r.chunk_text)
+                 for r in chunk_documents(docs, chunk_tokens=16, overlap=4)
+                 .filter(F.col("doc_id") == 1).collect())
+    # starts 1, 13, 25 -> chunks [1..16], [13..28], [25..30]
+    assert [c[0] for c in out] == [0, 1, 2]
+    assert [c[1] for c in out] == [16, 16, 6]
+    assert out[0][2].startswith("w1 w2") and out[0][2].endswith("w16")
+    assert out[1][2].startswith("w13")             # 4-token overlap
+    assert out[2][2] == "w25 w26 w27 w28 w29 w30"
+    # every token of the doc is covered by some chunk
+    covered = set()
+    for _, _, text in out:
+        covered.update(text.split())
+    assert covered == set(words.split())
+    # a short doc yields exactly one chunk
+    short = chunk_documents(docs, 16, 4).filter(F.col("doc_id") == 2)
+    assert short.count() == 1
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    from database_convertor_spark.operators.curation import leakage_safe_split
+
+    docs = spark.createDataFrame([(i, "t") for i in range(1, 101)],
+                                 ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (50, 99)], ["doc_a", "doc_b"])
+    split = leakage_safe_split(docs, pairs, val_frac=0.3)
+    by_doc = {r.doc_id: r.split for r in split.collect()}
+    assert len(by_doc) == 100
+    assert by_doc[1] == by_doc[2] == by_doc[3]     # chained cluster together
+    assert by_doc[10] == by_doc[11]
+    assert by_doc[50] == by_doc[99]
+    assert set(by_doc.values()) == {"train", "val"}  # both sides populated
