@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "corpus_deduped",
+    "doc_chunks",
     "ann_brute_topk",
     "ann_ivf_multiprobe",
     "user_sessions",
