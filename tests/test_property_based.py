@@ -123,3 +123,41 @@ def test_provider_merge_matches_model(spark, rows):
            for r in merge_provider_records(
                df, "entity", ["name"], ["technologies"]).collect()}
     assert got == _merge_model(uniq)
+
+
+# ------------------------------------------------ chunking invariants
+_doc_texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=120),
+    min_size=1, max_size=8)
+
+
+@given(texts=_doc_texts,
+       chunk=st.integers(2, 12), overlap=st.integers(0, 6))
+@_slow
+def test_chunk_documents_invariants(spark, texts, chunk, overlap):
+    """For any text and any (chunk, overlap < chunk): concatenating the
+    chunks minus their overlap prefixes reconstructs the token stream
+    exactly, every chunk is <= chunk tokens, and consecutive chunks
+    share exactly min(overlap, remaining) leading tokens."""
+    from hypothesis import assume
+
+    from database_convertor_spark.operators.curation import chunk_documents
+
+    assume(overlap < chunk)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    out = chunk_documents(docs, chunk_tokens=chunk, overlap=overlap)
+    rows = sorted((r.doc_id, r.chunk_id, r.chunk_text)
+                  for r in out.collect())
+    stride = chunk - overlap
+    for doc_id, text in enumerate(texts):
+        toks = [t for t in text.split() if t]
+        mine = [r[2].split() if r[2] else [] for r in rows
+                if r[0] == doc_id]
+        assert len(mine) >= 1                      # even empty docs chunk
+        assert all(len(c) <= chunk for c in mine)
+        # reconstruction: chunk 0 whole, then drop the overlap prefix
+        rebuilt = list(mine[0])
+        for c in mine[1:]:
+            rebuilt.extend(c[overlap:])
+        assert rebuilt == toks
