@@ -103,3 +103,20 @@ def test_name_match_join_blocks_on_domain(spark):
     plan = _plan(spark, "officer_email_matches")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_partitioned_layout_prunes_on_read(spark, tmp_path_factory):
+    """The 100 TB disk layout contract: a corpus written partitioned by
+    lang must plan a lang-filtered read as partition pruning (no data
+    files of other langs touched), with the predicate absent from the
+    post-scan filter."""
+    from database_convertor_spark.sources.readers import read_table
+
+    path = str(tmp_path_factory.mktemp("bylang") / "docs")
+    (read_table(spark, SF_SMALL, "documents")
+     .write.partitionBy("lang").mode("overwrite").parquet(path))
+    df = spark.read.parquet(path).filter("lang = 'en'").select("doc_id")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "Scan parquet" in ln or
+            "PartitionFilters" in ln]
+    assert any("PartitionFilters" in ln and "lang" in ln for ln in scan)
