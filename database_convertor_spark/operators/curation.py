@@ -161,6 +161,26 @@ def leakage_safe_split(documents: DataFrame, pairs: DataFrame,
     return labeled.select("doc_id", split.alias("split"))
 
 
+# ------------------------------------------- quality-threshold selection
+def select_top_quality(documents: DataFrame, score: Column,
+                       keep_frac: float = 0.25) -> DataFrame:
+    """Quality-based corpus selection: keep the documents whose
+    ``score`` reaches the (1-keep_frac) exact interpolated percentile
+    (ties at the threshold are kept). The threshold is ONE full
+    aggregate pass materialized as a driver scalar — inherent to any
+    global-quantile selection; at cluster scale swap ``percentile``
+    for ``approx_percentile`` with a tolerance contract (identical
+    plan shape, same as tests/test_approx_fallbacks.py).
+
+    Output: input columns + ``quality_sel_score``."""
+    scored = documents.withColumn("quality_sel_score", score)
+    th = scored.agg(
+        F.expr(f"percentile(quality_sel_score, {1.0 - keep_frac})")).first()[0]
+    if th is None:  # empty input
+        return scored
+    return scored.filter(F.col("quality_sel_score") >= F.lit(th))
+
+
 # ------------------------------------------------- stratified sampling
 def stratified_sample(documents: DataFrame,
                       fractions: dict[str, float],

@@ -1527,6 +1527,53 @@ _add(
 )
 
 
+# =========================================== quality-threshold selection
+def _quality_selection_demo(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep the top quartile of the corpus by a continuous quality
+    blend (stopword share up, punctuation down, length capped) — the
+    quality-classifier-threshold selection stage of a curation
+    pipeline, with an exact-percentile threshold."""
+    from ..functions.text import punct_ratio, stopword_ratio, token_count
+
+    docs, = _t(spark, sf, "documents")
+    t = F.col("text")
+    score = F.round(stopword_ratio(t) * 100 - punct_ratio(t) * 50
+                    + F.least(token_count(t), F.lit(40)), 4)
+    return (curation.select_top_quality(docs, score, keep_frac=0.25)
+            .select("doc_id", "lang", "quality_sel_score"))
+
+
+_add(
+    "corpus_quality_selection",
+    _quality_selection_demo,
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             {_TOKS_ALL.format(c='text')} AS toks,
+             {_TOKS_ALL.format(c='lower(text)')} AS ltoks
+      FROM documents),
+    m AS (
+      SELECT doc_id, lang,
+             round((CASE WHEN len(ltoks) = 0 THEN 0.0
+                    ELSE CAST(len(list_filter(ltoks,
+                         x -> list_contains({_STOPWORDS_SQL}, x))) AS DOUBLE)
+                         / len(ltoks) END) * 100
+                 - (CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+                         / length(text) END) * 50
+                 + least(len(toks), 40), 4) AS quality_sel_score
+      FROM t),
+    th AS (SELECT quantile_cont(quality_sel_score, 0.75) AS t FROM m)
+    SELECT doc_id, lang, quality_sel_score
+    FROM m, th WHERE quality_sel_score >= th.t
+    """,
+    "text-analysis,C24,pipeline",
+    "quality-threshold corpus selection: keep docs at or above the "
+    "75th-percentile score (exact interpolated percentile; ties kept; "
+    "approx_percentile is the documented cluster-scale swap)",
+)
+
+
 # ======================================================== Gopher-style filter
 def _gopher_demo(spark: SparkSession, sf: str) -> DataFrame:
     from ..functions.text import gopher_passes, gopher_signals

@@ -123,3 +123,18 @@ def test_leakage_safe_split_never_splits_a_cluster(spark):
     assert by_doc[10] == by_doc[11]
     assert by_doc[50] == by_doc[99]
     assert set(by_doc.values()) == {"train", "val"}  # both sides populated
+
+
+def test_select_top_quality_threshold_and_ties(spark):
+    from database_convertor_spark.operators.curation import select_top_quality
+
+    docs = spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 8, 8])],
+        ["doc_id", "s"])
+    out = select_top_quality(docs, F.col("s"), keep_frac=0.25)
+    got = sorted(r.doc_id for r in out.collect())
+    # 75th percentile of [1..8,8,8] = 7.75 -> keep scores 8,8,8 (ties kept)
+    assert got == [7, 8, 9]
+    # empty input short-circuits instead of filtering on a NULL threshold
+    empty = select_top_quality(docs.filter("doc_id < 0"), F.col("s"))
+    assert empty.count() == 0
