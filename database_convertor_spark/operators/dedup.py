@@ -80,7 +80,8 @@ def _jaccard_filter(pairs: DataFrame, threshold: float) -> DataFrame:
 
 def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
                         band_chars: int = 100,
-                        adjacent_bands: bool = False) -> DataFrame:
+                        adjacent_bands: bool = False,
+                        block_splits: int = 1) -> DataFrame:
     """Near-duplicate pairs by word-set Jaccard within (lang,
     length-band) blocks. The block join replaces the cross product; the
     Jaccard itself is array algebra (array_intersect/array_union).
@@ -90,11 +91,46 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
     boundary — while STAYING an equi-join: each doc emits block keys
     {band, band+1}, so a diff-1 pair meets on the higher band and a
     same-band pair meets on both (deduped). No range join, no nested
-    loop."""
+    loop.
+
+    ``block_splits`` (S) is the straggler lever for cluster scale: the
+    block key space is small (|langs| x |bands|), so at 100x data the
+    biggest block's pair work lands on ONE task. With S > 1 each block
+    is sharded into S sub-buckets by doc-id hash and the join key grows
+    to (lang, band, i, j) — every pair still meets exactly once (at
+    i = bucket(a), j = bucket(b)), each side is replicated S times, and
+    per-block parallelism becomes S^2 (Okcan & Riedewald's theta-join
+    sharding — public algorithm). Results are identical for any S
+    (tested); the default 1 adds no replication for local runs.
+
+    Scale note — why not PPJoin prefix filtering: measured on the
+    driver corpus at sf0.1, rarest-prefix-token candidates are MORE
+    numerous than band candidates (586k vs 459k) because the synthetic
+    vocabulary is tiny and uniformly frequent; on a natural long-tail
+    vocabulary prefix filtering prunes well, but the scale-robust path
+    in this engine is MinHash-LSH (candidates bounded by similarity
+    structure, not block size)."""
     docs = _ngram_docs(documents, band_chars)
     # single-file inputs arrive as one partition; the (broadcast) self-
     # join would then run on one core — spread the probe side first
     par = documents.sparkSession.sparkContext.defaultParallelism
+    if block_splits > 1:
+        if adjacent_bands:
+            raise ValueError(
+                "block_splits composes with the default path only")
+        s = block_splits
+        bucket = F.pmod(F.xxhash64("doc_id"), F.lit(s))
+        j_copies = F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+        a = (docs.withColumn("i", bucket).withColumn("j", j_copies)
+             .repartition(par).alias("a"))
+        b = (docs.withColumn("j", bucket).withColumn("i", j_copies)
+             .alias("b"))
+        pairs = a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                       & (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.i") == F.col("b.i"))
+                       & (F.col("a.j") == F.col("b.j"))
+                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+        return _jaccard_filter(pairs, threshold)
     if adjacent_bands:
         blocked = docs.withColumn(
             "block", F.explode(F.array(F.col("band"), F.col("band") + 1)))

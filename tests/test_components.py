@@ -115,3 +115,19 @@ def test_ingest_documents_admits_no_duplicates(spark):
     assert surv.count() < new.count()  # ...and drops something
     leftover = dedup.ngram_jaccard_pairs_incremental(surv, corpus)
     assert leftover.count() == 0
+
+
+def test_block_splits_pairs_identical(spark):
+    """The straggler shard (block_splits=S) must produce EXACTLY the
+    default path's pairs — every pair meets at exactly one (i, j)
+    sub-bucket combination."""
+    from database_convertor_spark.operators import dedup
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    base = sorted(tuple(r) for r in dedup.ngram_jaccard_pairs(docs).collect())
+    shard = sorted(tuple(r) for r in
+                   dedup.ngram_jaccard_pairs(docs, block_splits=4).collect())
+    assert shard == base and len(base) > 0
