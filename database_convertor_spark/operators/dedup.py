@@ -367,16 +367,35 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 # ------------------------------------------------------ embedding near-dup
 def embedding_neardup_pairs(embeddings: DataFrame,
-                            threshold: float = 0.95) -> DataFrame:
+                            threshold: float = 0.95,
+                            block_splits: int = 1) -> DataFrame:
     """Embedding-cosine near-duplicates within IVF-style buckets (the
     ``label`` column is the precomputed coarse quantizer assignment):
     pairs are generated only inside a bucket — the blocked join pattern
-    again, this time in vector space."""
+    again, this time in vector space.
+
+    ``block_splits`` is the same straggler lever as the n-gram path:
+    the label space is small (a coarse quantizer has maybe hundreds of
+    cells), so the hottest cell's pair work is one task at cluster
+    scale; S > 1 shards each cell into S^2 sub-joins with every pair
+    met exactly once (identical results, tested)."""
     e = embeddings.select("vec_id", "label", "embedding")
     par = embeddings.sparkSession.sparkContext.defaultParallelism
-    a, b = e.repartition(par).alias("a"), e.alias("b")
-    pairs = a.join(b, (F.col("a.label") == F.col("b.label"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+    if block_splits > 1:
+        s = block_splits
+        bucket = F.pmod(F.xxhash64("vec_id"), F.lit(s))
+        copies = F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
+        a = (e.withColumn("i", bucket).withColumn("j", copies)
+             .repartition(par).alias("a"))
+        b = (e.withColumn("j", bucket).withColumn("i", copies).alias("b"))
+        pairs = a.join(b, (F.col("a.label") == F.col("b.label"))
+                       & (F.col("a.i") == F.col("b.i"))
+                       & (F.col("a.j") == F.col("b.j"))
+                       & (F.col("a.vec_id") < F.col("b.vec_id")))
+    else:
+        a, b = e.repartition(par).alias("a"), e.alias("b")
+        pairs = a.join(b, (F.col("a.label") == F.col("b.label"))
+                       & (F.col("a.vec_id") < F.col("b.vec_id")))
     sim = cosine_similarity(F.col("a.embedding").cast("array<double>"),
                             F.col("b.embedding").cast("array<double>"))
     return (pairs.select(F.col("a.vec_id").alias("vec_a"),

@@ -131,3 +131,20 @@ def test_block_splits_pairs_identical(spark):
     shard = sorted(tuple(r) for r in
                    dedup.ngram_jaccard_pairs(docs, block_splits=4).collect())
     assert shard == base and len(base) > 0
+
+
+def test_embedding_block_splits_pairs_identical(spark):
+    from database_convertor_spark.operators import dedup
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    # 0.3: sf0.001 has no >=0.5-cosine near-dups — the shard
+    # equivalence needs a non-trivial pair set to be meaningful
+    base = sorted(tuple(r) for r in
+                  dedup.embedding_neardup_pairs(emb, threshold=0.3).collect())
+    shard = sorted(tuple(r) for r in
+                   dedup.embedding_neardup_pairs(emb, threshold=0.3,
+                                                 block_splits=3).collect())
+    assert shard == base and len(base) > 0
