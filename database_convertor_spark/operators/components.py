@@ -33,11 +33,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _large_star(e: DataFrame) -> DataFrame:
-    """Connect every larger neighbor of u to min(Γ(u) ∪ {u})."""
-    sym = (e.unionByName(e.select(F.col("b").alias("a"),
-                                  F.col("a").alias("b")))
-           .distinct())
+def _large_star(e: DataFrame, symmetric_safe: bool = False) -> DataFrame:
+    """Connect every larger neighbor of u to min(Γ(u) ∪ {u}).
+
+    ``symmetric_safe``: the input is distinct AND oriented one way
+    (every edge has a > b) — then e ∪ swap(e) cannot contain
+    duplicates and the symmetrization distinct (a full extra shuffle)
+    is skipped. True for every loop round after the first, whose input
+    is _small_star output. Output is always distinct and oriented
+    a > b by construction."""
+    sym = e.unionByName(e.select(F.col("b").alias("a"),
+                                 F.col("a").alias("b")))
+    if not symmetric_safe:
+        sym = sym.distinct()
     mins = (sym.groupBy("a")
             .agg(F.min("b").alias("_mn"))
             .select("a", F.least("a", "_mn").alias("m")))
@@ -48,13 +56,20 @@ def _large_star(e: DataFrame) -> DataFrame:
             .distinct())
 
 
-def _small_star(e: DataFrame) -> DataFrame:
+def _small_star(e: DataFrame, oriented: bool = False) -> DataFrame:
     """Orient large->small, then connect u's smaller neighbors and u
-    itself to its minimum neighbor."""
-    d = (e.select(F.greatest("a", "b").alias("a"),
-                  F.least("a", "b").alias("b"))
-         .filter(F.col("a") != F.col("b"))
-         .distinct())
+    itself to its minimum neighbor.
+
+    ``oriented``: the input is already distinct with a > b on every
+    row (true for _large_star output), so the re-orientation and its
+    distinct shuffle are skipped."""
+    if oriented:
+        d = e
+    else:
+        d = (e.select(F.greatest("a", "b").alias("a"),
+                      F.least("a", "b").alias("b"))
+             .filter(F.col("a") != F.col("b"))
+             .distinct())
     mins = d.groupBy("a").agg(F.min("b").alias("m"))  # m < a always
     nbrs = (d.join(mins, "a")
             .select(F.col("b").alias("a"), F.col("m").alias("b")))
@@ -95,8 +110,12 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     e = e0.filter(F.col("a") != F.col("b"))
     prev = None
     converged = False
-    for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).checkpoint(eager=True)
+    for it in range(max_iterations):
+        # round 0's input has arbitrary orientation; every later round
+        # consumes _small_star output (distinct, a > b), letting both
+        # stars skip their normalization shuffles
+        ls = _large_star(e, symmetric_safe=it > 0)
+        e = _small_star(ls, oriented=True).checkpoint(eager=True)
         fp = _fingerprint(e)
         if fp == prev:
             converged = True
