@@ -93,9 +93,14 @@ def refresh_edges_incremental(existing_edges: DataFrame, edges: DataFrame,
                      .groupBy("supp_a", "supp_b")
                      .agg(F.count(F.lit(1)).alias("shared_parts"))
                      .filter(F.col("shared_parts") >= min_shared))
+    # "edge touches NO affected supplier" as TWO chained hash
+    # anti-joins — the OR-disjunction form plans as a nested loop
+    # (OR of equalities has no single hash key), which at scale is
+    # |edges| x |affected| per-row scans; chained anti-joins are
+    # hash joins with identical semantics
     untouched = (existing_edges
-                 .join(aff, (existing_edges.supp_a == F.col("s"))
-                       | (existing_edges.supp_b == F.col("s")), "left_anti"))
+                 .join(aff, existing_edges.supp_a == F.col("s"), "left_anti")
+                 .join(aff, F.col("supp_b") == F.col("s"), "left_anti"))
     return untouched.unionByName(touched_pairs)
 
 
