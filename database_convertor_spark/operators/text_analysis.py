@@ -53,6 +53,65 @@ def token_stats_by_lang(documents: DataFrame) -> DataFrame:
                  F.round(F.avg("_n"), 4).alias("avg_tokens")))
 
 
+def repetition_signals(documents: DataFrame,
+                       top_ns: tuple[int, ...] = (2, 3),
+                       dup_ns: tuple[int, ...] = (5,)) -> DataFrame:
+    """Gopher §A1.1 repetition filters (Rae et al. 2021 — public
+    rules): per document,
+
+    - ``top{n}_char_frac``: characters covered by the heaviest word
+      n-gram (occurrences x gram length) / document length. On a
+      count tie Gopher's prose is ambiguous; this takes the gram
+      maximizing covered characters (count x length) — deterministic
+      and equal whenever there is no tie.
+    - ``dup{n}_char_frac``: characters covered by n-grams occurring
+      more than once / document length (the RefinedWeb/NeMo-style
+      public approximation of "characters in duplicated n-grams";
+      overlapping occurrences are counted per occurrence).
+
+    Shape: one explode -> two-key count -> per-doc aggregate per n —
+    every stage partial-aggregable, the explode feeds a map-side
+    combine, nothing pairwise. Published thresholds for reference:
+    top2 <= 0.20, top3 <= 0.18, dup5 <= 0.15.
+    """
+    from ..functions.text import shingles
+
+    out = documents.select("doc_id",
+                           F.length("text").cast("double").alias("_len"))
+
+    def per_gram_counts(n: int) -> DataFrame:
+        g = documents.select(
+            "doc_id", F.explode(shingles(F.col("text"), n)).alias("g"))
+        return (g.groupBy("doc_id", "g")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .withColumn("_chars", F.col("c") * F.length("g")))
+
+    for n in top_ns:
+        sig = (per_gram_counts(n)
+               .groupBy("doc_id")
+               .agg(F.max("_chars").alias(f"_top{n}")))
+        out = out.join(sig, "doc_id", "left")
+    for n in dup_ns:
+        sig = (per_gram_counts(n)
+               .groupBy("doc_id")
+               .agg(F.sum(F.when(F.col("c") >= 2, F.col("_chars"))
+                          .otherwise(0)).alias(f"_dup{n}")))
+        out = out.join(sig, "doc_id", "left")
+
+    cols = [F.col("doc_id")]
+    for n in top_ns:
+        cols.append(F.round(
+            F.when(F.col("_len") > 0,
+                   F.coalesce(F.col(f"_top{n}"), F.lit(0)) / F.col("_len"))
+            .otherwise(0.0), 4).alias(f"top{n}_char_frac"))
+    for n in dup_ns:
+        cols.append(F.round(
+            F.when(F.col("_len") > 0,
+                   F.coalesce(F.col(f"_dup{n}"), F.lit(0)) / F.col("_len"))
+            .otherwise(0.0), 4).alias(f"dup{n}_char_frac"))
+    return out.select(*cols)
+
+
 def top_terms_per_lang(documents: DataFrame, k: int = 5) -> DataFrame:
     """Term-frequency top-k per language: explode tokens -> two-key
     aggregate -> top-k window over the (small) aggregated table. The

@@ -1699,6 +1699,55 @@ _add(
     "kept-doc/token report",
 )
 
+# ====================================================== repetition signals
+def _shingle_sql(n: int) -> str:
+    """DuckDB word-n-gram twin of functions.text.shingles (whole text
+    as one gram when shorter than n)."""
+    return (f"CASE WHEN len(tk) < {n} THEN [array_to_string(tk, ' ')] "
+            f"ELSE list_transform(range(1, len(tk) - {n - 2}), "
+            f"i -> array_to_string(tk[i:i+{n - 1}], ' ')) END")
+
+
+_REP_CTES = ",\n    ".join(
+    f"""c{n} AS (
+      SELECT doc_id, g, count(*) AS c FROM (
+        SELECT doc_id, unnest({_shingle_sql(n)}) AS g FROM rtoks)
+      GROUP BY doc_id, g)"""
+    for n in (2, 3, 5))
+
+_add(
+    "doc_repetition_signals",
+    lambda spark, sf: text_analysis.repetition_signals(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH rtoks AS (
+      SELECT doc_id, CAST(length(text) AS DOUBLE) AS L,
+             {_TOKS_ALL.format(c='lower(text)')} AS tk
+      FROM documents),
+    {_REP_CTES},
+    top2 AS (SELECT doc_id, max(c * length(g)) AS v FROM c2 GROUP BY doc_id),
+    top3 AS (SELECT doc_id, max(c * length(g)) AS v FROM c3 GROUP BY doc_id),
+    dup5 AS (SELECT doc_id,
+                    sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS v
+             FROM c5 GROUP BY doc_id)
+    SELECT t.doc_id,
+           round(CASE WHEN t.L > 0 THEN coalesce(top2.v, 0) / t.L
+                      ELSE 0.0 END, 4) AS top2_char_frac,
+           round(CASE WHEN t.L > 0 THEN coalesce(top3.v, 0) / t.L
+                      ELSE 0.0 END, 4) AS top3_char_frac,
+           round(CASE WHEN t.L > 0 THEN coalesce(dup5.v, 0) / t.L
+                      ELSE 0.0 END, 4) AS dup5_char_frac
+    FROM rtoks t
+    LEFT JOIN top2 USING (doc_id)
+    LEFT JOIN top3 USING (doc_id)
+    LEFT JOIN dup5 USING (doc_id)
+    """,
+    "text-analysis,dedup",
+    "Gopher repetition filters: top-2/3-gram and duplicate-5-gram "
+    "character fractions (explode -> two-key count -> per-doc "
+    "aggregate, all partial-aggregable)",
+)
+
 # ==================================================================== lang id
 _LANG_MARKERS_SQL = {
     "en": "['the','and','of','to','is']",

@@ -138,3 +138,30 @@ def test_select_top_quality_threshold_and_ties(spark):
     # empty input short-circuits instead of filtering on a NULL threshold
     empty = select_top_quality(docs.filter("doc_id < 0"), F.col("s"))
     assert empty.count() == 0
+
+
+def test_repetition_signals_goldens(spark):
+    """Hand-computed Gopher repetition fractions."""
+    from database_convertor_spark.operators.text_analysis import (
+        repetition_signals,
+    )
+
+    # 'a b a b a b': 2-grams = [a b, b a, a b, b a, a b] -> 'a b' x3,
+    # chars = 3*3 = 9, len = 11 -> top2 = 0.8182
+    # 5-grams: [a b a b a, b a b a b] each once -> dup5 = 0
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z w v u"), (3, "")],
+        ["doc_id", "text"])
+    got = {r.doc_id: (r.top2_char_frac, r.dup5_char_frac)
+           for r in repetition_signals(docs).collect()}
+    assert got[1][0] == 0.8182
+    assert got[1][1] == 0.0
+    # all-distinct 2-grams: top2 = 1*3/11 = 0.2727
+    assert got[2][0] == 0.2727
+    assert got[3] == (0.0, 0.0)                 # empty doc guarded
+    # a doc that repeats a 5-gram: 'p q r s t p q r s t' ->
+    # 5-gram 'p q r s t' occurs 2x (positions 1 and 6) among 6 grams
+    dup = spark.createDataFrame([(9, "p q r s t p q r s t")],
+                                ["doc_id", "text"])
+    r9 = repetition_signals(dup).collect()[0]
+    assert r9.dup5_char_frac == round(2 * 9 / 19, 4)
