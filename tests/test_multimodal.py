@@ -68,3 +68,68 @@ def test_real_backend_is_stubbed():
     with pytest.raises(NotImplementedError):
         DecodeBackend().features(b"x", "image")
     assert FakeDecodeBackend().features(b"", "image") == [0.0] * 8
+
+
+def _sine_wav(freq=440, dur=0.25, rate=8000, amp=0.5) -> bytes:
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    n = int(dur * rate)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"".join(
+            struct.pack("<h", int(amp * 32767
+                                  * math.sin(2 * math.pi * freq * i / rate)))
+            for i in range(n)))
+    return buf.getvalue()
+
+
+def _ppm(width=4, height=2, rgb=(255, 0, 0)) -> bytes:
+    return (f"P6\n{width} {height}\n255\n".encode()
+            + bytes(rgb) * (width * height))
+
+
+def test_stdlib_backend_decodes_real_wav_and_ppm(spark):
+    """The decode layer is REAL for WAV/PPM: a 440 Hz sine must
+    produce physically meaningful features (RMS = amp/sqrt(2),
+    zero-crossing rate = 2f), and a solid-red PPM exact channel
+    means — not byte-statistics fakes."""
+    import math
+
+    from database_convertor_spark.operators.multimodal import (
+        StdlibDecodeBackend,
+        extract_features,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(_sine_wav()), (None, None, 250, "wav")),
+         (2, "image", bytearray(_ppm()), (4, 2, None, "ppm"))],
+        MEDIA_SCHEMA)
+    got = {r.media_id: r.feature
+           for r in extract_features(media, StdlibDecodeBackend()).collect()}
+    dur_ms, n_ch, rate, rms, peak, zcr, dc, _ = got[1]
+    assert (dur_ms, n_ch, rate) == (250.0, 1.0, 8000.0)
+    assert abs(rms - 0.5 / math.sqrt(2)) < 0.01
+    assert 0.49 < peak <= 0.51
+    assert abs(zcr - 2 * 440) < 25          # crossings/sec ~ 2f
+    assert abs(dc) < 1e-3
+    w, h, r_, g_, b_, luma, luma_std, is_img = got[2]
+    assert (w, h, is_img) == (4.0, 2.0, 1.0)
+    assert (r_, g_, b_) == (1.0, 0.0, 0.0)
+    assert abs(luma - 0.2126) < 1e-9 and luma_std < 1e-12
+
+
+def test_stdlib_backend_rejects_unknown_codecs(spark):
+    import pytest as _pytest
+
+    from database_convertor_spark.operators.multimodal import (
+        StdlibDecodeBackend,
+    )
+
+    with _pytest.raises(NotImplementedError, match="Pillow/av"):
+        StdlibDecodeBackend().features(b"\x89PNG\r\n\x1a\n....", "image")
