@@ -273,6 +273,12 @@ class Engine:
                                  default_fraction)
 
     # ----------------------------------------------------------- automation
+    def run_health(self, runs: DataFrame) -> DataFrame:
+        """Health verdicts + alert reasons for automation runs against
+        the reference's monitoring thresholds."""
+        from .operators.monitoring import run_health
+        return run_health(runs)
+
     def run_weekly(self, discovered: DataFrame, companies: DataFrame | None = None):
         """§3.3 weekly automation against the warehouse state."""
         from .pipelines.weekly import run_weekly_pipeline

@@ -32,6 +32,7 @@ from ..operators import (
     dedup,
     entity_resolution,
     graph,
+    monitoring,
     relational,
     provider_merge,
     similarity_search,
@@ -415,6 +416,44 @@ _add(
     """,
     "T5,W2",
     "gap-based sessionization (lag + conditional sum)",
+)
+
+# ================================================================ monitoring
+_add(
+    "automation_run_health",
+    lambda spark, sf: monitoring.user_run_health(*_t(spark, sf, "events")),
+    """
+    WITH runs AS (
+      SELECT user_id || ':' || strftime(ts, '%Y-%m-%d') AS run_id,
+             date_diff('second', min(ts), max(ts)) / 60.0 AS dm,
+             count(*) AS n,
+             sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS e
+      FROM events GROUP BY 1),
+    m AS (
+      SELECT run_id, round(dm, 2) AS duration_minutes,
+             CAST(n AS BIGINT) AS n_processed, CAST(e AS BIGINT) AS n_errors,
+             round(CASE WHEN n > 0
+                        THEN (n - e) * 100.0 / n ELSE 0.0 END, 2)
+               AS success_rate_pct,
+             round(CASE WHEN n > 0 THEN e * 100.0 / n ELSE 0.0 END, 2)
+               AS error_rate_pct
+      FROM runs)
+    SELECT run_id, duration_minutes, n_processed, n_errors,
+           success_rate_pct, error_rate_pct,
+           (duration_minutes <= 120.0 AND success_rate_pct >= 80.0
+            AND error_rate_pct <= 20.0 AND n_processed >= 1) AS healthy,
+           concat_ws(',',
+             CASE WHEN duration_minutes > 120.0 THEN 'duration_exceeded' END,
+             CASE WHEN success_rate_pct < 80.0 THEN 'low_success_rate' END,
+             CASE WHEN error_rate_pct > 20.0 THEN 'high_error_rate' END,
+             CASE WHEN n_processed < 1 THEN 'nothing_processed' END)
+             AS alert_reasons
+    FROM m
+    """,
+    "A12,T5",
+    "automation run-health verdicts: the reference's monitoring "
+    "thresholds (duration/success/error/processed) as one grouped "
+    "aggregate + expression ladder, alerts in fixed check order",
 )
 
 # ========================================================================= T7

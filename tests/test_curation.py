@@ -165,3 +165,25 @@ def test_repetition_signals_goldens(spark):
                                 ["doc_id", "text"])
     r9 = repetition_signals(dup).collect()[0]
     assert r9.dup5_char_frac == round(2 * 9 / 19, 4)
+
+
+def test_run_health_thresholds_golden(spark):
+    """The reference's monitoring ladder: each threshold trips its own
+    reason, reasons come in fixed check order."""
+    from database_convertor_spark.operators.monitoring import run_health
+
+    runs = spark.createDataFrame(
+        [("ok",      30.0, 10, 1),    # 90% success -> healthy
+         ("slow",   121.0, 10, 0),    # duration only
+         ("flaky",   10.0, 10, 3),    # 70% success + 30% errors
+         ("idle",     0.0,  0, 0),    # nothing processed (0% success)
+         ("awful",  200.0, 10, 9)],   # everything at once
+        ["run_id", "duration_minutes", "n_processed", "n_errors"])
+    got = {r.run_id: (r.healthy, r.alert_reasons)
+           for r in run_health(runs).collect()}
+    assert got["ok"] == (True, "")
+    assert got["slow"] == (False, "duration_exceeded")
+    assert got["flaky"] == (False, "low_success_rate,high_error_rate")
+    assert got["idle"] == (False, "low_success_rate,nothing_processed")
+    assert got["awful"] == (
+        False, "duration_exceeded,low_success_rate,high_error_rate")
