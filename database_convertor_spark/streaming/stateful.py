@@ -31,6 +31,86 @@ def _update_totals(key: tuple, pdfs: Iterator[pd.DataFrame],
                          "sum_value": round(total, 2)}])
 
 
+HEALTH_OUTPUT_SCHEMA = ("run_id string, duration_minutes double, "
+                        "n_processed long, n_errors long, "
+                        "success_rate_pct double, error_rate_pct double, "
+                        "healthy boolean, alert_reasons string")
+HEALTH_STATE_SCHEMA = "min_ts double, max_ts double, n long, err long"
+
+
+def _update_health(key: tuple, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+    """Progressive run-health (the reference's AutomationMonitor
+    counter updates, automation_monitoring.py:89-120, evaluated
+    against its 52-57 thresholds): state carries (first_ts, last_ts,
+    processed, errors); every micro-batch re-emits the run's CURRENT
+    verdict — alerting that fires mid-run, not only at completion."""
+    mn, mx, n, err = (state.get if state.exists
+                      else (float("inf"), float("-inf"), 0, 0))
+    for pdf in pdfs:
+        # whole seconds, matching the batch twin's unix_timestamp()
+        ts = pdf["ts"].astype("int64") // 10 ** 9
+        mn, mx = min(mn, float(ts.min())), max(mx, float(ts.max()))
+        n += len(pdf)
+        err += int((pdf["event_type"] == "error").sum())
+    state.update((mn, mx, n, err))
+    dm = round((mx - mn) / 60.0, 2) if n else 0.0
+    success = round((n - err) * 100.0 / n, 2) if n else 0.0
+    erate = round(err * 100.0 / n, 2) if n else 0.0
+    reasons = [r for cond, r in [
+        (dm > 120.0, "duration_exceeded"),
+        (success < 80.0, "low_success_rate"),
+        (erate > 20.0, "high_error_rate"),
+        (n < 1, "nothing_processed")] if cond]
+    yield pd.DataFrame([{
+        "run_id": key[0], "duration_minutes": dm,
+        "n_processed": n, "n_errors": err,
+        "success_rate_pct": success, "error_rate_pct": erate,
+        "healthy": not reasons, "alert_reasons": ",".join(reasons)}])
+
+
+def run_health_stream(spark: SparkSession, sf_dir: str,
+                      checkpoint: str, n_batches: int = 4) -> DataFrame:
+    """Streaming twin of ``monitoring.user_run_health``: per-run
+    health state maintained across micro-batches; returns each run's
+    FINAL verdict (which must equal the batch operator's — tested).
+    State is one 4-tuple per run: the store scales with runs, not
+    events."""
+    from ..schemas import TESTDATA_SCHEMAS
+    from ..sources.readers import read_table
+
+    landing = checkpoint + "_landing"
+    (read_table(spark, sf_dir, "events")
+     .repartition(n_batches).write.mode("overwrite").parquet(landing))
+
+    from pyspark.sql import functions as F
+
+    stream = (spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+              .option("maxFilesPerTrigger", 1).parquet(landing)
+              .withColumn("run_id",
+                          F.concat_ws(":", F.col("user_id").cast("string"),
+                                      F.date_format("ts", "yyyy-MM-dd"))))
+    health = (stream.groupBy("run_id")
+              .applyInPandasWithState(
+                  _update_health, HEALTH_OUTPUT_SCHEMA, HEALTH_STATE_SCHEMA,
+                  "update", GroupStateTimeout.NoTimeout))
+    q = (health.writeStream.outputMode("update")
+         .format("memory").queryName("run_health_stream")
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    # update mode emits one row per (run, batch); keep the final state
+    return spark.sql("""
+        SELECT run_id, duration_minutes, n_processed, n_errors,
+               success_rate_pct, error_rate_pct, healthy, alert_reasons
+        FROM (
+          SELECT *, row_number() OVER (PARTITION BY run_id
+                                       ORDER BY n_processed DESC) AS rn
+          FROM run_health_stream) WHERE rn = 1
+    """)
+
+
 def run_stateful_totals(spark: SparkSession, sf_dir: str,
                         checkpoint: str, n_batches: int = 4) -> DataFrame:
     """Drive the events table through the stateful operator in

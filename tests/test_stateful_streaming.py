@@ -30,3 +30,21 @@ def test_stateful_totals_match_batch(spark, tmp_path):
         # state accumulates floats serially; batch sum is distributed —
         # compare to cents
         assert abs(got[uid][1] - want[uid][1]) < 0.05
+
+
+def test_streaming_health_equals_batch(spark, tmp_path):
+    """The stateful health stream's FINAL verdict per run must equal
+    the batch operator over the same events."""
+    from database_convertor_spark.operators.monitoring import user_run_health
+    from database_convertor_spark.sources.readers import read_table
+    from database_convertor_spark.streaming.stateful import run_health_stream
+
+    from .conftest import SF_SMALL
+
+    got = sorted(tuple(r) for r in run_health_stream(
+        spark, SF_SMALL, str(tmp_path / "ckpt_health")).collect())
+    want = sorted(tuple(r) for r in
+                  user_run_health(read_table(spark, SF_SMALL, "events"))
+                  .collect())
+    assert len(got) > 0
+    assert got == want
