@@ -58,10 +58,12 @@ def main() -> None:
                  "cast(id as string) AS s")
      .selectExpr(
          "array_distinct(filter(split(lower(t), '\\\\s+'), x -> x != '')) AS toks",
-         "md5(t) AS h", "levenshtein(t, s) AS lev", "t")
+         "md5(t) AS h", "levenshtein(t, s) AS lev",
+         "regexp_replace(t, '[^a-z0-9 ]', '') AS rr",
+         "cast(conv(substring(md5(t), 1, 15), 16, 10) as long) AS h60", "t")
      .selectExpr("size(array_intersect(toks, toks)) AS i",
                  "size(array_union(toks, toks)) AS u",
-                 "explode(toks) AS tok", "h", "lev")
+                 "explode(toks) AS tok", "h", "lev", "rr", "h60")
      .groupBy("tok").count().collect())
 
     timings: dict[str, float] = {}
