@@ -67,9 +67,15 @@ def _jaccard_filter(pairs: DataFrame, threshold: float) -> DataFrame:
     with doc_a < doc_b."""
     # size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so any
     # pair failing the ratio cannot reach the threshold — prunes before
-    # the (expensive) intersect without changing results
-    ratio_ok = (F.least("a.n_toks", "b.n_toks").cast("double")
-                / F.greatest("a.n_toks", "b.n_toks") >= threshold)
+    # the (expensive) intersect without changing results. The when()
+    # guards the ANSI divide: two empty token sets have J = 0 by
+    # definition (token_jaccard), so they are correctly pruned, not a
+    # division-by-zero crash (found by the hypothesis invariant test)
+    mx = F.greatest("a.n_toks", "b.n_toks").cast("double")
+    ratio_ok = F.when(
+        mx > 0,
+        F.least("a.n_toks", "b.n_toks").cast("double") / mx >= threshold
+    ).otherwise(F.lit(False))
     sim = token_jaccard(F.col("a.toks"), F.col("b.toks"))
     return (pairs.filter(ratio_ok)
             .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),

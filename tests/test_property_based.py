@@ -161,3 +161,33 @@ def test_chunk_documents_invariants(spark, texts, chunk, overlap):
         for c in mine[1:]:
             rebuilt.extend(c[overlap:])
         assert rebuilt == toks
+
+
+# --------------------------------------- incremental dedup invariant
+_corpus = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=40),
+    min_size=2, max_size=14)
+
+
+@given(texts=_corpus, split_mod=st.integers(2, 4))
+@_slow
+def test_incremental_pairs_invariant_random_corpora(spark, texts, split_mod):
+    """pairs(new ∪ corpus) = incremental(new, corpus) ⊎ pairs(corpus)
+    for ANY corpus and ANY disjoint split — the ingest operator finds
+    exactly the pairs the batch operator would add, never re-finding
+    or missing one."""
+    from pyspark.sql import functions as F
+
+    from database_convertor_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", len(t)) for i, t in enumerate(texts)],
+        ["doc_id", "text", "lang", "n_chars"])
+    new = docs.filter(F.col("doc_id") % split_mod == 0)
+    corpus = docs.filter(F.col("doc_id") % split_mod != 0)
+    full = {tuple(r) for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    inc = {tuple(r) for r in
+           dedup.ngram_jaccard_pairs_incremental(new, corpus).collect()}
+    old = {tuple(r) for r in dedup.ngram_jaccard_pairs(corpus).collect()}
+    assert inc | old == full
+    assert inc & old == set()
