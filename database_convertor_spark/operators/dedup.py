@@ -159,6 +159,33 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
     return _jaccard_filter(pairs, threshold)
 
 
+def cross_corpus_overlap(corpus_a: DataFrame, corpus_b: DataFrame,
+                         threshold: float = 0.5,
+                         band_chars: int = 100) -> DataFrame:
+    """Between-corpora near-dup report: every pair has one side in A
+    and one in B (neither corpus is paired against itself) — the
+    "how much of dataset B duplicates dataset A" question asked before
+    mixing two sources into one training corpus. Same (lang, band)
+    equi-join blocking; output (doc_a, doc_b, jaccard) with doc_a from
+    A and doc_b from B."""
+    par = corpus_a.sparkSession.sparkContext.defaultParallelism
+    a = _ngram_docs(corpus_a, band_chars).repartition(par).alias("a")
+    b = _ngram_docs(corpus_b, band_chars).alias("b")
+    pairs = a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                   & (F.col("a.band") == F.col("b.band")))
+    mx = F.greatest("a.n_toks", "b.n_toks").cast("double")
+    ratio_ok = F.when(
+        mx > 0,
+        F.least("a.n_toks", "b.n_toks").cast("double") / mx >= threshold
+    ).otherwise(F.lit(False))
+    sim = token_jaccard(F.col("a.toks"), F.col("b.toks"))
+    return (pairs.filter(ratio_ok)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.round(sim, 4).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
 def ngram_jaccard_pairs_incremental(new_docs: DataFrame,
                                     corpus_docs: DataFrame,
                                     threshold: float = 0.5,

@@ -986,6 +986,34 @@ _add(
     "discipline generalized to similarity)",
 )
 
+_add(
+    "cross_corpus_overlap",
+    lambda spark, sf: dedup.cross_corpus_overlap(
+        _t(spark, sf, "documents")[0].filter(
+            F.col("source").isin("src0", "src1", "src2", "src3", "src4")),
+        _t(spark, sf, "documents")[0].filter(
+            ~F.col("source").isin("src0", "src1", "src2", "src3", "src4"))),
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, lang, CAST(n_chars // 100 AS INTEGER) AS band,
+             {_TOKS.format(c='lower(text)')} AS toks
+      FROM documents),
+    sel AS (SELECT *, source IN ('src0','src1','src2','src3','src4') AS in_a
+            FROM d)
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round({_jaccard('a.toks', 'b.toks')}, 4) AS jaccard
+      FROM sel a JOIN sel b
+        ON a.lang = b.lang AND a.band = b.band
+      WHERE a.in_a AND NOT b.in_a)
+    WHERE jaccard >= 0.5
+    """,
+    "dedup",
+    "between-corpora near-dup report (sources src0-4 vs the rest): "
+    "every pair crosses the corpus boundary — the pre-mixing "
+    "duplication question for combining two sources",
+)
+
 # ======================================================= corpus curation ops
 _SHINGLE5_SQL = """CASE WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
                   ELSE list_transform(range(1, len(tk) - 3),

@@ -148,3 +148,29 @@ def test_embedding_block_splits_pairs_identical(spark):
                    dedup.embedding_neardup_pairs(emb, threshold=0.3,
                                                  block_splits=3).collect())
     assert shard == base and len(base) > 0
+
+
+def test_cross_corpus_overlap_is_strictly_between(spark):
+    """Every reported pair must cross the corpus boundary, and the
+    report must equal full-batch pairs minus both within-corpus sets."""
+    from pyspark.sql import functions as F
+
+    from database_convertor_spark.operators import dedup
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 3 != 0)
+    cross = dedup.cross_corpus_overlap(a, b)
+    rows = cross.collect()
+    assert len(rows) > 0
+    assert all(r.doc_a % 3 == 0 and r.doc_b % 3 != 0 for r in rows)
+    full = {frozenset((r.doc_a, r.doc_b))
+            for r in dedup.ngram_jaccard_pairs(docs).collect()}
+    within = {frozenset((r.doc_a, r.doc_b))
+              for r in dedup.ngram_jaccard_pairs(a).collect()}
+    within |= {frozenset((r.doc_a, r.doc_b))
+               for r in dedup.ngram_jaccard_pairs(b).collect()}
+    assert {frozenset((r.doc_a, r.doc_b)) for r in rows} == full - within
