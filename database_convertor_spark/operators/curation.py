@@ -71,7 +71,10 @@ def remove_boilerplate_lines(documents: DataFrame,
     """Remove lines whose trimmed form appears in >= min_docs distinct
     documents (cross-document boilerplate); returns (doc_id, text)
     with surviving lines rejoined in original order. Blank lines are
-    never counted as boilerplate."""
+    never counted as boilerplate. A document whose EVERY line is
+    boilerplate is dropped (the C4 discipline: empty docs leave the
+    corpus). Idempotent: survivors' line frequencies are < min_docs by
+    construction, so a second pass removes nothing."""
     lines = documents.select(
         "doc_id",
         F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"))

@@ -191,3 +191,31 @@ def test_incremental_pairs_invariant_random_corpora(spark, texts, split_mod):
     old = {tuple(r) for r in dedup.ngram_jaccard_pairs(corpus).collect()}
     assert inc | old == full
     assert inc & old == set()
+
+
+# ------------------------------------------- boilerplate removal laws
+_bp_texts = st.lists(st.text(alphabet="xy \n", max_size=60),
+                     min_size=1, max_size=10)
+
+
+@given(texts=_bp_texts)
+@_slow
+def test_boilerplate_identity_and_idempotence(spark, texts):
+    """min_docs above the corpus size = identity (split/rejoin is
+    lossless); at any min_docs the operator is idempotent (survivor
+    lines have frequency < min_docs by construction)."""
+    from database_convertor_spark.operators.curation import (
+        remove_boilerplate_lines,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    ident = {r.doc_id: r.text
+             for r in remove_boilerplate_lines(docs,
+                                               min_docs=len(texts) + 1)
+             .collect()}
+    assert ident == {i: t for i, t in enumerate(texts)}
+    once = remove_boilerplate_lines(docs, min_docs=2)
+    twice = remove_boilerplate_lines(once, min_docs=2)
+    assert (sorted(map(tuple, once.collect()))
+            == sorted(map(tuple, twice.collect())))
