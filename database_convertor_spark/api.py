@@ -272,6 +272,25 @@ class Engine:
         return stratified_sample(documents, fractions, stratum_col,
                                  default_fraction)
 
+    def chunk_documents(self, documents: DataFrame,
+                        chunk_tokens: int = 128,
+                        overlap: int = 16) -> DataFrame:
+        """Fixed-token chunking with overlap (sequence-packing prep)."""
+        from .operators.curation import chunk_documents
+        return chunk_documents(documents, chunk_tokens, overlap)
+
+    def train_val_split(self, documents: DataFrame, pairs: DataFrame,
+                        val_frac: float = 0.1) -> DataFrame:
+        """Leakage-safe split: dup clusters never straddle the boundary."""
+        from .operators.curation import leakage_safe_split
+        return leakage_safe_split(documents, pairs, val_frac)
+
+    def select_top_quality(self, documents: DataFrame, score,
+                           keep_frac: float = 0.25) -> DataFrame:
+        """Quality-threshold selection at an exact percentile cut."""
+        from .operators.curation import select_top_quality
+        return select_top_quality(documents, score, keep_frac)
+
     # ----------------------------------------------------------- automation
     def run_health(self, runs: DataFrame) -> DataFrame:
         """Health verdicts + alert reasons for automation runs against
