@@ -19,7 +19,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # Representative, scale-stressing subset of the catalog: scan+agg, big
 # self-join, window top-k, left-join rollup, fuzzy ER join, dedup
-# family, ANN, sessionization, streaming's batch twin.
+# family, corpus-curation composites, ANN, sessionization, streaming's
+# batch twin.
 HEADLINE = [
     "pricing_summary",
     "customer_order_stats",
@@ -31,6 +32,8 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "corpus_deduped",
+    "corpus_curation_stats",
+    "corpus_quality_selection",
     "doc_chunks",
     "ann_brute_topk",
     "ann_ivf_multiprobe",

@@ -238,6 +238,16 @@ class Engine:
         from .pipelines.corpus import curate_corpus
         return curate_corpus(documents, threshold)
 
+    def prepare_training_corpus(self, documents: DataFrame,
+                                **kwargs) -> dict[str, DataFrame]:
+        """One call, raw docs -> {'train', 'val', 'report'}: Gopher
+        filter -> redact -> (optional) decontaminate -> blocked
+        near-dedup -> (optional) quality selection -> leakage-safe
+        split -> (optional) chunking. See
+        pipelines.corpus.prepare_training_corpus for the knobs."""
+        from .pipelines.corpus import prepare_training_corpus
+        return prepare_training_corpus(documents, **kwargs)
+
     def curation_report(self, documents: DataFrame,
                         threshold: float = 0.5) -> DataFrame:
         """Per-language kept-doc/token stats over the curated corpus."""

@@ -27,10 +27,27 @@ storage (HDFS/object store) before calling.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# temp checkpoint dirs auto-created below, swept at interpreter exit —
+# Spark never removes the checkpoint ROOT itself, and per-RDD file
+# cleanup only happens when spark.cleaner.referenceTracking
+# .cleanCheckpoints is on (session.get_spark sets it; a foreign session
+# may not)
+_AUTO_CKPT_DIRS: list[str] = []
+
+
+def _sweep_auto_ckpt_dirs() -> None:
+    while _AUTO_CKPT_DIRS:
+        shutil.rmtree(_AUTO_CKPT_DIRS.pop(), ignore_errors=True)
+
+
+atexit.register(_sweep_auto_ckpt_dirs)
 
 
 def _large_star(e: DataFrame, symmetric_safe: bool = False) -> DataFrame:
@@ -95,7 +112,9 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     the minimum node id reachable. Output one row per distinct node."""
     sc = edges.sparkSession.sparkContext
     if sc.getCheckpointDir() is None:
-        sc.setCheckpointDir(tempfile.mkdtemp(prefix="dcs-components-ckpt-"))
+        ckpt = tempfile.mkdtemp(prefix="dcs-components-ckpt-")
+        _AUTO_CKPT_DIRS.append(ckpt)
+        sc.setCheckpointDir(ckpt)
     # materialize the input ONCE: the edge list is usually the output
     # of an expensive pairwise operator (blocked near-dup join), and
     # the first star round references it four times — without this

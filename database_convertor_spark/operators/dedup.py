@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.similarity import cosine_similarity, token_jaccard
+from ..plans.persist_slots import swap_persisted
 from ..functions.text import (
     HASH_PRIME,
     MINHASH_A,
@@ -222,8 +223,6 @@ def ngram_jaccard_pairs_incremental(new_docs: DataFrame,
 
 
 # -------------------------------------------------------------- MinHash + LSH
-# last invocation's persisted signature frame (see minhash_lsh_pairs)
-_SIG_CACHE: list[DataFrame] = []
 
 
 def _minhash_signature(base_col: Column, num_hashes: int) -> Column:
@@ -282,14 +281,14 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5,
 
     # bound the session's signature-cache footprint: repeated
     # invocations (catalog sweeps, bench loops) would otherwise
-    # accumulate DISK_ONLY blocks until session end. Releasing the
-    # PREVIOUS call's cache is safe — if its result DataFrame is still
-    # alive, unpersist only costs recomputation, never correctness.
-    while _SIG_CACHE:
-        _SIG_CACHE.pop().unpersist()
+    # accumulate DISK_ONLY blocks until session end. The session-keyed
+    # slot releases the PREVIOUS call's cache (safe: lineage intact,
+    # unpersist only costs recomputation) and, unlike the old
+    # module-global list, never calls unpersist into a stopped
+    # SparkContext after a session restart.
     sigs = minhash_signatures(documents, num_hashes, shingle_n).persist(
         StorageLevel.DISK_ONLY)
-    _SIG_CACHE.append(sigs)
+    swap_persisted("minhash_sigs", sigs)
     band_keys = F.array(*[
         F.concat_ws(",", *[F.col("sig").getItem(b * rows_per_band + r)
                            .cast("string") for r in range(rows_per_band)])

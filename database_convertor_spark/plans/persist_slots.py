@@ -1,0 +1,60 @@
+"""Session-scoped persist slots.
+
+Operators that ``persist()`` an intermediate frame across the life of
+a query (minhash signatures, the fuzzy-rescue dimension) need their
+footprint bounded in a long-lived session: the 80-query catalog and
+bench loops invoke them repeatedly, and an unreleased persist per call
+accumulates until session end.
+
+Each (session, slot) pair holds at most ONE persisted DataFrame;
+storing a new one releases the previous occupant. Entries are keyed by
+SparkSession — after a session stop/restart the stale entry is dropped
+WITHOUT calling into the dead JVM (``unpersist`` on a stopped context
+raises), and entries of other live sessions are untouched.
+
+Releasing a previous occupant that some caller still holds is safe:
+its lineage is intact, so unpersist costs recomputation, never
+correctness.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import DataFrame
+
+_LOCK = threading.Lock()
+_SLOTS: dict[tuple[int, str], DataFrame] = {}
+
+
+def _alive(df: DataFrame) -> bool:
+    try:
+        return df.sparkSession.sparkContext._jsc is not None
+    except Exception:
+        return False
+
+
+def _release(df: DataFrame) -> None:
+    try:
+        if _alive(df):
+            df.unpersist()
+    except Exception:
+        # a session stopping between the liveness check and the
+        # unpersist loses nothing but already-freed cached blocks
+        pass
+
+
+def swap_persisted(slot: str, df: DataFrame) -> DataFrame:
+    """Store `df` (already persisted by the caller) in `slot` for its
+    session, releasing the slot's previous occupant and purging
+    entries whose sessions have stopped. Returns `df`."""
+    key = (id(df.sparkSession), slot)
+    with _LOCK:
+        prev = _SLOTS.pop(key, None)
+        dead = [k for k, v in _SLOTS.items() if not _alive(v)]
+        for k in dead:
+            _SLOTS.pop(k, None)
+        _SLOTS[key] = df
+    if prev is not None:
+        _release(prev)
+    return df

@@ -34,6 +34,11 @@ def get_spark(app_name: str = "database_convertor_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # reliable checkpoints (connected components) are deleted when
+        # their RDDs are GC'd instead of accumulating until JVM exit —
+        # a long-lived session runs components many times (catalog
+        # sweeps, bench loops), each leaving per-round checkpoint files
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -187,3 +187,47 @@ def test_run_health_thresholds_golden(spark):
     assert got["idle"] == (False, "low_success_rate,nothing_processed")
     assert got["awful"] == (
         False, "duration_exceeded,low_success_rate,high_error_rate")
+
+
+def test_prepare_training_corpus_end_to_end(spark):
+    """The one-call pipeline (README example): raw docs -> train/val
+    chunks + report, with every cross-stage invariant that matters —
+    disjoint split, no near-dup straddling the boundary, no chunk of
+    one doc on both sides, redaction applied before anything persists."""
+    from database_convertor_spark.api import Engine
+    from database_convertor_spark.operators.dedup import ngram_jaccard_pairs
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    eng = Engine(spark, "/tmp/dcs-prep-wh")
+    docs = read_table(spark, SF_SMALL, "documents")
+    out = eng.prepare_training_corpus(
+        docs, threshold=0.5, keep_frac=0.9, chunk_tokens=64, overlap=8,
+        val_frac=0.2)
+    train, val, report = out["train"], out["val"], out["report"]
+
+    tr_ids = {r.doc_id for r in train.select("doc_id").distinct().collect()}
+    va_ids = {r.doc_id for r in val.select("doc_id").distinct().collect()}
+    assert tr_ids and va_ids            # both sides non-empty at sf0.001
+    assert not (tr_ids & va_ids)        # chunk parentage never straddles
+
+    # no admitted near-dup pair straddles the split
+    admitted = spark.createDataFrame(
+        [(i,) for i in sorted(tr_ids | va_ids)], ["doc_id"])
+    kept_docs = docs.join(admitted, "doc_id")
+    pairs = ngram_jaccard_pairs(kept_docs, threshold=0.5).collect()
+    for p in pairs:
+        assert (p.doc_a in tr_ids) == (p.doc_b in tr_ids), (p.doc_a, p.doc_b)
+
+    # chunk contract + redaction made it into the emitted text
+    assert set(train.columns) == {"doc_id", "chunk_id", "n_tokens",
+                                  "chunk_text"}
+    assert train.filter(F.col("n_tokens") > 64).count() == 0
+    leaked = train.filter(F.col("chunk_text").rlike(
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")).count()
+    assert leaked == 0
+
+    # report covers exactly the admitted docs
+    n_admitted = len(tr_ids | va_ids)
+    assert report.agg(F.sum("n_docs")).first()[0] == n_admitted

@@ -50,19 +50,43 @@ def test_top_k_avoids_global_sort(spark):
 
 
 def test_fuzzy_is_blocking_first(spark):
-    """The round-1/round-2 scale-killer: fuzzy_match must take the
-    token-blocking equi-join, with the levenshtein rescue confined to
-    the left-anti residual AND itself blocked by rarest q-grams — no
-    nested loop anywhere in the plan (round-3 tightening: was <= 1)."""
+    """Fuzzy_match must take the token-blocking equi-join, with the
+    rescue confined to the left-anti residual. At test scale the right
+    side is dimension-sized, so the size gate selects the EXACT rescue:
+    one broadcast nested loop bounded by |residual| x |dim| — the
+    round-3 verdict's prescribed trade (gram blocking provably returns
+    wrong argmaxes at loose thresholds; correctness outranks plan
+    aesthetics). The gate itself is exercised in
+    test_fuzzy_scale_regime_has_no_nested_loop below."""
     plan = _plan(spark, "fuzzy_match_customers")
     # candidate generation is a hash/merge equi-join on the token key
     assert any(j in plan for j in
                ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
-    # the rescue is a gram equi-join now — zero nested loops
-    assert plan.count("BroadcastNestedLoopJoin") == 0
+    # exactly the ONE gated nested loop (the exact rescue), no more
+    assert plan.count("BroadcastNestedLoopJoin") == 1
     assert "LeftAnti" in plan                    # residual restriction
     assert "RoundRobinPartitioning" in plan      # rescue probe spread out
     assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_scale_regime_has_no_nested_loop(spark):
+    """Above the size gate (forced here with exact_rescue_limit=0) the
+    rescue must degrade to the rarest-q-gram equi-join: zero nested
+    loops, zero cartesians — the 100-TB plan shape."""
+    from pyspark.sql import functions as F
+
+    from database_convertor_spark.operators.entity_resolution import fuzzy_join
+    from database_convertor_spark.sources.readers import read_table
+
+    customer = read_table(spark, SF_SMALL, "customer")
+    supplier = read_table(spark, SF_SMALL, "supplier")
+    df = fuzzy_join(customer, supplier, "c_name", "s_name",
+                    "c_custkey", "s_suppkey", threshold=0.5, top_k=1,
+                    exact_rescue_limit=0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") == 0
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
 
 
 def test_pairwise_ops_have_no_cartesian(spark):
