@@ -28,7 +28,7 @@ which shuffles each line exactly once.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_long, shingles, tokens
@@ -92,6 +92,126 @@ def remove_boilerplate_lines(documents: DataFrame,
                         F.struct(F.col("pos"), F.col("line")))),
                     lambda s: s.getField("line")),
                 "\n").alias("text")))
+
+
+# ----------------------------------------------- line dedup (keep-first)
+def dedup_lines_keep_first(documents: DataFrame) -> DataFrame:
+    """Cross-document exact LINE dedup, keep-first-occurrence (the
+    RefinedWeb/C4-family line-dedup discipline, distinct from
+    ``remove_boilerplate_lines``: boilerplate removal deletes EVERY
+    occurrence of a frequent line; this keeps exactly ONE — the
+    occurrence with the smallest (doc_id, position) — and deletes the
+    rest, so shared content survives once in the corpus).
+
+    Blank lines are never deduplicated. Documents left with only
+    blank content are dropped (empty docs leave the corpus).
+
+    Scale shape: "first occurrence per line" is min(struct(doc_id,
+    pos)) — a PARTIAL-AGGREGABLE aggregate, not a window. A line
+    shared by millions of documents map-side-combines to one row per
+    input partition before the shuffle, so the frequent-line skew that
+    would stall a row_number window never reaches the reducer. The
+    join back is an equi-join on (line, doc_id, pos); reassembly
+    shuffles each surviving line once on doc_id.
+    """
+    lines = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"))
+    keyed = lines.withColumn("_k", F.trim(F.col("line")))
+    firsts = (keyed.filter(F.col("_k") != "")
+              .groupBy("_k")
+              .agg(F.min(F.struct(F.col("doc_id"), F.col("pos")))
+                   .alias("_first")))
+    kept = (keyed.join(firsts, "_k", "left")
+            .filter((F.col("_k") == "")
+                    | ((F.col("doc_id") == F.col("_first.doc_id"))
+                       & (F.col("pos") == F.col("_first.pos")))))
+    docs = (kept.groupBy("doc_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("pos"), F.col("line")))),
+                    lambda s: s.getField("line")),
+                "\n").alias("text")))
+    # whitespace-only means empty here: trim() strips only spaces, but
+    # a doc surviving on blank lines alone may hold tabs/newlines too
+    return docs.filter(~F.col("text").rlike(r"^\s*$"))
+
+
+# ---------------------------------------- temperature-balanced sampling
+def temperature_sample(documents: DataFrame, alpha: float = 0.5,
+                       stratum_col: str = "lang",
+                       salt: str = "temp") -> DataFrame:
+    """Temperature-scaled corpus balancing (the multilingual-LM mixing
+    rule, p_l ∝ n_l^alpha — XLM-R/mT5-style, public methodology):
+    downsample each stratum so expected kept counts are proportional
+    to n_l^alpha. With alpha < 1 large languages shrink toward the
+    small ones; the SMALLEST stratum keeps 100% (a pure filter cannot
+    upsample), i.e. keep_frac_l = (n_min / n_l)^(1-alpha).
+
+    The gate is the deterministic md5 hash of (salt, doc_id) —
+    engine-reproducible and partition-stable like stratified_sample,
+    which this generalizes: there the caller dictates per-stratum
+    rates; here the rates come from the corpus's own counts (one
+    tiny groupBy broadcast back). Two scans of nothing: the counts
+    aggregate is partial-aggregable and its output is |strata| rows.
+    """
+    counts = documents.groupBy(stratum_col).agg(
+        F.count(F.lit(1)).alias("_n"))
+    nmin = counts.agg(F.min("_n").alias("_nmin"))
+    frac = F.round(
+        F.pow(F.col("_nmin").cast("double") / F.col("_n"),
+              F.lit(1.0 - alpha)), 6)
+    gates = (counts.crossJoin(F.broadcast(nmin))
+             .select(stratum_col,
+                     F.round(frac * 1_000_000, 0).cast("long")
+                     .alias("_gate")))
+    h = md5_long(F.concat(F.lit(salt),
+                          F.col("doc_id").cast("string"))) % 1_000_000
+    return (documents.join(F.broadcast(gates), stratum_col)
+            .filter(h < F.col("_gate"))
+            .drop("_gate"))
+
+
+# -------------------------------------------------- sequence packing
+def pack_chunks(chunks: DataFrame, documents: DataFrame,
+                budget: int = 512, n_shards: int = 4,
+                salt: str = "pack") -> DataFrame:
+    """Training-shard sequence packing: assign token chunks to
+    fixed-token-budget bins by contiguous concatenation (the GPT-style
+    pack-then-split discipline: chunks are laid end-to-end in
+    deterministic (doc_id, chunk_id) order and a bin boundary falls
+    every ``budget`` tokens; a chunk is assigned to the bin where it
+    STARTS, so a bin may run over by at most one chunk's tail — which
+    training consumes as the next sequence's head).
+
+    Packing only needs LOCAL contiguity, so the stream is sharded:
+    each document's chunks ride one of ``n_shards`` deterministic
+    md5 shards within its language, and the running token offset is a
+    window partitioned by (lang, shard) — at cluster scale n_shards
+    rises with the input and every shard packs in parallel; no global
+    sort, no single-task window.
+
+    Output: one row per bin — (lang, shard, bin_id, n_chunks,
+    bin_tokens, fill_frac).
+    """
+    lang = documents.select("doc_id", "lang")
+    shard = (md5_long(F.concat(F.lit(salt),
+                               F.col("doc_id").cast("string")))
+             % n_shards).alias("shard")
+    c = (chunks.join(lang, "doc_id")
+         .select("doc_id", "chunk_id", "n_tokens", "lang", shard))
+    w = (Window.partitionBy("lang", "shard")
+         .orderBy("doc_id", "chunk_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = c.withColumn("_cum", F.sum("n_tokens").over(w))
+    bin_id = F.floor((F.col("_cum") - F.col("n_tokens")) / budget)
+    return (packed
+            .groupBy("lang", "shard", bin_id.alias("bin_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                 F.sum("n_tokens").cast("long").alias("bin_tokens"))
+            .withColumn("fill_frac",
+                        F.round(F.col("bin_tokens") / budget, 4)))
 
 
 # ---------------------------------------------------------- PII redaction

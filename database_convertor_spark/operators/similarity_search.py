@@ -18,7 +18,7 @@ dims the expression path wins (no Arrow transfer).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.similarity import cosine_similarity
@@ -161,6 +161,154 @@ def label_centroids(corpus: DataFrame) -> DataFrame:
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "cx"))),
                 lambda s: s["cx"]).alias("centroid")))
+
+
+def _sq_dist(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance between an array<double> column and a
+    constant centroid — one zip_with + aggregate expression, JVM-side."""
+    cent = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, cent, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _l2_normalize(vec: Column) -> Column:
+    """Unit-normalize an array<double> column (zero vectors pass
+    through). On unit vectors squared-L2 argmin == cosine argmax, so a
+    codebook trained on normalized data (spherical k-means) buckets by
+    the same metric the ANN search ranks with."""
+    norm = F.sqrt(F.aggregate(
+        F.transform(vec, lambda x: x * x), F.lit(0.0),
+        lambda acc, x: acc + x))
+    return F.when(norm == 0, vec).otherwise(
+        F.transform(vec, lambda x: x / norm))
+
+
+def kmeans_fit(corpus: DataFrame, k: int = 8, n_iter: int = 5,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               normalize: bool = False,
+               ) -> tuple[list[list[float]], list[float]]:
+    """Lloyd's k-means over the embedding column — trains the IVF
+    coarse quantizer instead of trusting a precomputed ``label``
+    (which real corpora don't have). Returns (centroids, inertia per
+    iteration).
+
+    Spark shape (the same loop MLlib's KMeans runs): the codebook is
+    k x dim doubles — driver-side state by design, broadcast into
+    each iteration's expressions; the DATA never leaves executors.
+    Per iteration:
+      1. assignment — argmin over k squared-distance expressions,
+         a pure projection (no shuffle, no UDF);
+      2. re-centering — posexplode dims -> groupBy (cluster, dim)
+         avg: partial-aggregable, one narrow shuffle of k*dim rows
+         out; the k x dim result is collected (codebook-sized, the
+         only driver materialization).
+    Deterministic: init picks the k rows with the smallest
+    md5(id) (content-independent, engine-reproducible), ties on id;
+    an emptied cluster keeps its previous centroid.
+
+    ``normalize=True`` trains on unit vectors (spherical k-means) —
+    the right codebook when the downstream search metric is cosine.
+    """
+    from ..functions.text import md5_long
+
+    v = F.col(vec_col).cast("array<double>")
+    if normalize:
+        v = _l2_normalize(v)
+    emb = corpus.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    emb = emb.persist()
+    try:
+        init = (emb.select(
+                    "_id", "_v",
+                    md5_long(F.col("_id").cast("string")).alias("_h"))
+                .orderBy("_h", "_id").limit(k).collect())
+        cents = [list(r._v) for r in init]
+        inertia: list[float] = []
+        for _ in range(n_iter):
+            dists = F.array(*[_sq_dist(F.col("_v"), c) for c in cents])
+            agg = (emb.select("_v", dists.alias("_ds"))
+                   .select((F.array_position(F.col("_ds"),
+                                             F.array_min("_ds")) - 1)
+                           .alias("_c"),
+                           F.array_min("_ds").alias("_d"),
+                           F.posexplode("_v").alias("_p", "_x"))
+                   .groupBy("_c", "_p")
+                   .agg(F.avg("_x").alias("_m"), F.sum("_d").alias("_sd"))
+                   .collect())
+            new_cents = [list(c) for c in cents]  # empty cluster keeps
+            per_dim: dict[int, list[float]] = {}
+            sq_sum = 0.0
+            for row in agg:
+                per_dim.setdefault(row._c, [0.0] * len(cents[0]))
+                per_dim[row._c][row._p] = row._m
+                if row._p == 0:
+                    sq_sum += row._sd
+            for cid, vec in per_dim.items():
+                new_cents[int(cid)] = vec
+            cents = new_cents
+            inertia.append(sq_sum)
+        return cents, inertia
+    finally:
+        emb.unpersist()
+
+
+def kmeans_assign(corpus: DataFrame, centroids: list[list[float]],
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  normalize: bool = False) -> DataFrame:
+    """(id, cluster_id) under a fixed codebook: argmin projection,
+    shuffle-free — the write path that lands a corpus partitioned by
+    cluster for IVF file pruning. ``normalize`` must match the fit."""
+    v = F.col(vec_col).cast("array<double>")
+    if normalize:
+        v = _l2_normalize(v)
+    dists = F.array(*[_sq_dist(v, c) for c in centroids])
+    return corpus.select(
+        F.col(id_col),
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int").alias("cluster_id"))
+
+
+def ivf_topk_kmeans(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                    n_clusters: int = 8, n_iter: int = 5,
+                    nprobe: int = 2) -> DataFrame:
+    """End-to-end learned-codebook IVF: train k-means on the corpus,
+    assign corpus vectors to buckets, rank the codebook per query and
+    probe the top-``nprobe`` buckets (same probe/search shape as
+    ``ivf_topk_multiprobe``, with the trained quantizer replacing the
+    precomputed labels). The codebook is SPHERICAL (trained on unit
+    vectors): the search ranks by cosine, so buckets must partition by
+    angle, not magnitude — L2 buckets on raw vectors probe the wrong
+    cells."""
+    cents, _ = kmeans_fit(corpus, k=n_clusters, n_iter=n_iter,
+                          normalize=True)
+    c = (corpus.join(kmeans_assign(corpus, cents, normalize=True),
+                     "vec_id")
+         .select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").cast("array<double>").alias("c_emb"),
+                 F.col("cluster_id").alias("label")))
+    cents_df = queries.sparkSession.createDataFrame(
+        [(i, c_) for i, c_ in enumerate(cents)],
+        "label int, centroid array<double>")
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").cast("array<double>").alias("q_emb"))
+    csim = F.round(cosine_similarity(F.col("q_emb"), F.col("centroid")), 4)
+    pw = (Window.partitionBy("query_id")
+          .orderBy(F.desc("_csim"), F.asc("label")))
+    probes = (q.crossJoin(F.broadcast(cents_df))
+              .withColumn("_csim", csim)
+              .withColumn("_pr", F.row_number().over(pw))
+              .filter(F.col("_pr") <= nprobe)
+              .select("query_id", "q_emb", "label"))
+    pairs = c.join(F.broadcast(probes), "label").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    sim = cosine_similarity(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"),
+                                               F.asc("neighbor_id"))
+    return (pairs.withColumn("_sim", sim)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("_sim", 4).alias("cosine")))
 
 
 def ivf_topk_multiprobe(queries: DataFrame, corpus: DataFrame,

@@ -127,6 +127,45 @@ def top_terms_per_lang(documents: DataFrame, k: int = 5) -> DataFrame:
             .filter(F.col("rank") <= k))
 
 
+def doc_lm_logprob(documents: DataFrame) -> DataFrame:
+    """Per-document mean log-probability under the corpus's own
+    unigram language model (MLE token frequencies) — the classic
+    cheap "LM quality" signal a training-data pipeline uses to rank
+    documents before an expensive model-based filter: gibberish and
+    boilerplate-heavy docs score far from the corpus center.
+
+    Two passes, both shuffle-bounded by the TOKEN key:
+      1. token frequencies: explode -> groupBy(token) count — fully
+         partial-aggregable, so Zipf-head tokens ("the") map-side
+         combine before the shuffle; the corpus total rides along as
+         one broadcast row (never a driver scalar).
+      2. scoring: re-explode, equi-join tokens to the frequency
+         table (AQE handles head-token skew; at 100 TB the vocab
+         table is GBs — a shuffle hash join on the token key, the
+         same shape as any word-count), then groupBy(doc_id) mean.
+
+    Output: (doc_id, n_tokens, avg_logprob) with avg_logprob = mean
+    ln P(token) rounded to 4dp; empty docs carry NULL.
+    """
+    from ..functions.text import tokens
+
+    toks = documents.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("_tok"))
+    freq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
+    total = freq.agg(F.sum("_c").cast("double").alias("_tot"))
+    scored = (toks.join(freq, "_tok")
+              .crossJoin(F.broadcast(total))
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                   F.round(F.avg(F.log(F.col("_c") / F.col("_tot"))), 4)
+                   .alias("avg_logprob")))
+    return (documents.select("doc_id")
+            .join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    "avg_logprob"))
+
+
 def fingerprint_docs(documents: DataFrame) -> DataFrame:
     """Content fingerprint + duplicate flag (count over the fingerprint
     window; the window shuffles on the fingerprint — same key as an

@@ -2234,6 +2234,209 @@ _add(
     "binary-column decode/feature-extract via mapInPandas (fake backend)",
 )
 
+# ===================================== round-4 corpus-hygiene additions
+def _line_dedup_demo(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-first line dedup on driver tables: shared lines are
+    injected (a promo line on even docs, a footer on every 5th), so
+    exactly one occurrence — the smallest (doc_id, pos) — survives;
+    naturally-duplicated full-text lines dedup the same way."""
+    docs, = _t(spark, sf, "documents")
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("SHARED PROMO LINE")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("COMMON FOOTER")))
+        .alias("text"))
+    return curation.dedup_lines_keep_first(multi)
+
+
+_add(
+    "doc_line_dedup",
+    _line_dedup_demo,
+    """
+    WITH multi AS (
+      SELECT doc_id,
+             concat_ws(chr(10),
+               CASE WHEN doc_id % 2 = 0 THEN 'SHARED PROMO LINE' END,
+               text,
+               CASE WHEN doc_id % 5 = 0 THEN 'COMMON FOOTER' END) AS text
+      FROM documents),
+    split AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM multi),
+    exploded AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ls) + 1),
+                                   i -> {'pos': i, 'line': ls[i]}),
+                    recursive := true)
+      FROM split),
+    lines AS (
+      SELECT doc_id, line, pos, trim(line) AS k FROM exploded),
+    ranked AS (
+      SELECT doc_id, line, pos,
+             row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+      FROM lines WHERE k <> ''),
+    kept AS (
+      SELECT doc_id, pos, line FROM ranked WHERE rn = 1
+      UNION ALL
+      SELECT doc_id, pos, line FROM lines WHERE k = ''),
+    docs AS (
+      SELECT doc_id,
+             array_to_string(list(line ORDER BY pos), chr(10)) AS text
+      FROM kept GROUP BY doc_id)
+    SELECT doc_id, text FROM docs
+    WHERE NOT regexp_matches(text, '^\\s*$')
+    """,
+    "dedup,text-analysis",
+    "cross-document exact line dedup keeping the first occurrence "
+    "(RefinedWeb-style; min-struct aggregate, no frequent-line window "
+    "skew)",
+)
+
+_add(
+    "doc_lm_logprob",
+    lambda spark, sf: text_analysis.doc_lm_logprob(
+        _t(spark, sf, "documents")[0]),
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest({_TOKS_ALL.format(c='lower(text)')}) AS tok
+      FROM documents),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM freq),
+    scored AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(ln(f.c / tot.tot)), 4) AS avg_logprob
+      FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+      GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           s.avg_logprob
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+    "text-analysis",
+    "per-doc mean log-prob under the corpus unigram LM (cheap quality "
+    "ranking signal; both passes shuffle on the token key, "
+    "partial-aggregable)",
+)
+
+_add(
+    "corpus_temperature_sample",
+    lambda spark, sf: curation.temperature_sample(
+        _t(spark, sf, "documents")[0], alpha=0.5)
+    .select("doc_id", "lang"),
+    f"""
+    WITH counts AS (
+      SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    gates AS (
+      SELECT lang,
+             CAST(round(round(
+               pow(CAST((SELECT min(n) FROM counts) AS DOUBLE) / n,
+                   0.5), 6) * 1000000) AS BIGINT) AS gate
+      FROM counts)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN gates g ON d.lang = g.lang
+    WHERE ({_MD5_60.format(x="'temp' || CAST(d.doc_id AS VARCHAR)")}
+           % 1000000) < g.gate
+    """,
+    "pipeline,text-analysis",
+    "temperature-scaled language rebalancing (kept ∝ n^alpha, "
+    "XLM-R-style): per-stratum keep rates from the corpus's own "
+    "counts, deterministic md5 gate",
+)
+
+
+def _packing_demo(spark: SparkSession, sf: str) -> DataFrame:
+    docs, = _t(spark, sf, "documents")
+    chunks = curation.chunk_documents(docs, chunk_tokens=16, overlap=4)
+    return curation.pack_chunks(chunks, docs, budget=64, n_shards=4)
+
+
+_add(
+    "training_shard_packing",
+    _packing_demo,
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_ALL.format(c='text')} AS tk FROM documents),
+    s AS (
+      SELECT doc_id, tk,
+             list_filter(range(1, greatest(len(tk), 1) + 1, 12),
+                         s -> s = 1 OR s + 4 <= len(tk)) AS starts
+      FROM t),
+    e AS (
+      SELECT doc_id, tk,
+             unnest(list_transform(range(1, len(starts) + 1),
+                    i -> {{'chunk_id': i - 1, 'start': starts[i]}}),
+                    recursive := true)
+      FROM s),
+    c AS (
+      SELECT doc_id, chunk_id,
+             CAST(len(tk[start : start + 15]) AS BIGINT) AS n_tokens
+      FROM e),
+    j AS (
+      SELECT c.doc_id, c.chunk_id, c.n_tokens, d.lang,
+             ({_MD5_60.format(x="'pack' || CAST(c.doc_id AS VARCHAR)")}
+              % 4) AS shard
+      FROM c JOIN documents d ON c.doc_id = d.doc_id),
+    p AS (
+      SELECT lang, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang, shard
+                                 ORDER BY doc_id, chunk_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM j)
+    SELECT lang, shard,
+           CAST(floor((cum - n_tokens) / 64.0) AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           round(sum(n_tokens) / 64.0, 4) AS fill_frac
+    FROM p GROUP BY lang, shard, bin_id
+    """,
+    "pipeline,text-analysis",
+    "GPT-style sequence packing into fixed-token training bins "
+    "(contiguous concat per (lang, md5-shard); running-sum window, "
+    "shard-parallel, no global sort)",
+)
+
+
+def _kmeans_demo(spark: SparkSession, sf: str) -> DataFrame:
+    emb, = _t(spark, sf, "embeddings")
+    cents, _ = similarity_search.kmeans_fit(emb, k=8, n_iter=5)
+    return similarity_search.kmeans_assign(emb, cents)
+
+
+_add(
+    "embedding_kmeans_clusters",
+    _kmeans_demo,
+    None,  # iterative (5 Lloyd rounds) — not SQL-expressible; invariants
+    # (argmin assignment, monotone inertia, centroid=mean) are
+    # pytest-checked against a numpy reference in test_similarity_search
+    "similarity-search,dedup",
+    "distributed Lloyd's k-means: trains the IVF coarse quantizer "
+    "(assignment is a shuffle-free argmin projection; re-centering a "
+    "partial-aggregable (cluster, dim) avg; only the k x dim codebook "
+    "touches the driver)",
+)
+
+
+def _ann_ivf_kmeans_demo(spark: SparkSession, sf: str) -> DataFrame:
+    emb, = _t(spark, sf, "embeddings")
+    queries = emb.filter(emb.vec_id < 5)
+    return similarity_search.ivf_topk_kmeans(
+        queries, emb, k=5, n_clusters=8, n_iter=5, nprobe=2)
+
+
+_add(
+    "ann_ivf_kmeans",
+    _ann_ivf_kmeans_demo,
+    None,  # depends on the iterative codebook above; recall vs the
+    # brute-force oracle is pytest-asserted instead
+    "similarity-search",
+    "IVF ANN over the LEARNED k-means codebook (multi-probe): the "
+    "production path when no precomputed label exists",
+)
+
+
 # --------------------------------------------------- driver-window rotation
 # The correctness driver samples the FIRST 50 catalog entries in
 # order. Every oracle query should earn a hard driver-green row at
@@ -2247,11 +2450,18 @@ _PULL_FORWARD = [
     "salted_customer_counts", "lineitem_profile",
     "corpus_quality_selection", "corpus_curation_stats",
     "doc_repetition_signals",
+    # round 4: brand-new operators go straight into the window (each
+    # passes the identical local DuckDB mirror at sf0.001 AND sf0.01
+    # before shipping), displacing four more multi-round-green veterans
+    "doc_line_dedup", "doc_lm_logprob",
+    "corpus_temperature_sample", "training_shard_packing",
 ]
 _PUSH_BACK = [
     "top_orders", "scalar_cleaning", "order_date_dimensions",
     "part_search_ilike", "open_orders", "shipments_by_month",
     "event_type_counts", "orders_union_dedup",
+    "customer_order_stats", "customers_without_orders",
+    "priority_order_pick", "event_props_extract",
 ]
 
 _by_name = {s.name: s for s in _SPECS}

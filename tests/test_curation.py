@@ -231,3 +231,97 @@ def test_prepare_training_corpus_end_to_end(spark):
     # report covers exactly the admitted docs
     n_admitted = len(tr_ids | va_ids)
     assert report.agg(F.sum("n_docs")).first()[0] == n_admitted
+
+
+# ------------------------------------------- line dedup (keep-first)
+def test_line_dedup_keeps_first_occurrence_only(spark):
+    from database_convertor_spark.operators.curation import (
+        dedup_lines_keep_first,
+    )
+    docs = spark.createDataFrame(
+        [(1, "shared line\nunique one"),
+         (2, "unique two\nshared line"),
+         (3, "shared line\nshared line\nunique three")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r.text
+           for r in dedup_lines_keep_first(docs).collect()}
+    # the first occurrence (doc 1, pos 0) survives; doc 2's and both of
+    # doc 3's are removed — including the within-doc repeat
+    assert out[1] == "shared line\nunique one"
+    assert out[2] == "unique two"
+    assert out[3] == "unique three"
+
+
+def test_line_dedup_drops_emptied_docs_and_is_idempotent(spark):
+    from database_convertor_spark.operators.curation import (
+        dedup_lines_keep_first,
+    )
+    docs = spark.createDataFrame(
+        [(1, "only line"),
+         (2, "only line"),        # fully deduplicated away -> dropped
+         (3, "   \n\t")],         # blank-only -> dropped
+        ["doc_id", "text"])
+    once = dedup_lines_keep_first(docs)
+    assert {r.doc_id for r in once.collect()} == {1}
+    twice = dedup_lines_keep_first(once)
+    assert sorted(map(tuple, twice.collect())) == sorted(
+        map(tuple, once.collect()))
+
+
+# ---------------------------------------- temperature sampling
+def test_temperature_sample_keeps_smallest_stratum_whole(spark):
+    from database_convertor_spark.operators.curation import (
+        temperature_sample,
+    )
+    rows = [(i, "big") for i in range(400)] + \
+           [(1000 + i, "small") for i in range(20)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = temperature_sample(docs, alpha=0.5)
+    counts = {r.lang: r.n for r in
+              kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # keep_frac(small) = 1.0 exactly; big keeps ~sqrt(20/400) ~ 22%
+    assert counts["small"] == 20
+    assert 50 <= counts["big"] <= 130
+    # deterministic: a re-run keeps the identical doc set
+    again = {r.doc_id for r in temperature_sample(docs, alpha=0.5).collect()}
+    assert again == {r.doc_id for r in kept.collect()}
+
+
+def test_temperature_alpha_one_is_identity(spark):
+    from database_convertor_spark.operators.curation import (
+        temperature_sample,
+    )
+    rows = [(i, "a") for i in range(50)] + [(100 + i, "b") for i in range(5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "lang"])
+    # alpha=1 -> keep_frac = (n_min/n)^0 = 1 for every stratum
+    assert temperature_sample(docs, alpha=1.0).count() == 55
+
+
+# ------------------------------------------------ sequence packing
+def test_pack_chunks_conserves_tokens_and_bins_contiguous(spark):
+    from database_convertor_spark.operators.curation import (
+        chunk_documents,
+        pack_chunks,
+    )
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}t{j}" for j in range(37)), "en")
+         for i in range(30)],
+        ["doc_id", "text", "lang"])
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap=4)
+    total = chunks.agg(F.sum("n_tokens")).first()[0]
+    bins = pack_chunks(chunks, docs, budget=64, n_shards=4).collect()
+    # token conservation: every chunk lands in exactly one bin
+    assert sum(r.bin_tokens for r in bins) == total
+    by_shard: dict[tuple, list] = {}
+    for r in bins:
+        by_shard.setdefault((r.lang, r.shard), []).append(r)
+    for rows in by_shard.values():
+        ids = sorted(r.bin_id for r in rows)
+        # bin ids are the contiguous prefix 0..n-1 within each shard
+        assert ids == list(range(len(ids)))
+        # every bin but the last is filled to the budget boundary
+        # (may overrun by the straddling chunk's tail, never underrun)
+        for r in rows:
+            if r.bin_id != ids[-1]:
+                assert r.bin_tokens >= 64 - 15
+        assert rows[0].fill_frac == round(rows[0].bin_tokens / 64, 4)

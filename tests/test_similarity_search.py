@@ -3,6 +3,8 @@ HOF-expression baseline (same semantics, different execution)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from database_convertor_spark.operators.similarity_search import (
     brute_force_topk,
     brute_force_topk_numpy,
@@ -60,3 +62,79 @@ def test_numpy_topk_broadcast_guard_raises(spark, monkeypatch):
     monkeypatch.setattr(ss, "MAX_BROADCAST_QUERIES", 3)
     with pytest.raises(ValueError, match="broadcasts the query set"):
         ss.brute_force_topk_numpy(emb.filter(emb.vec_id < 10), emb, k=2)
+
+
+# ------------------------------------------------------- k-means IVF
+def test_kmeans_matches_numpy_lloyds(spark):
+    """The distributed loop IS Lloyd's: same deterministic init, same
+    5 rounds recomputed in numpy must give the same codebook (to FP
+    tolerance) and the same argmin assignment."""
+    import numpy as np
+
+    from database_convertor_spark.functions.text import md5_long
+    from database_convertor_spark.operators.similarity_search import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    k, n_iter = 4, 3
+    cents, inertia = kmeans_fit(emb, k=k, n_iter=n_iter)
+    # inertia (computed on the PRE-update assignment each round) never
+    # increases across Lloyd iterations
+    assert all(b <= a + 1e-9 for a, b in zip(inertia, inertia[1:]))
+
+    pdf = (emb.select("vec_id",
+                      F.col("embedding").cast("array<double>").alias("v"),
+                      md5_long(F.col("vec_id").cast("string")).alias("h"))
+           .toPandas())
+    X = np.vstack(pdf["v"].to_numpy())
+    init_idx = pdf.sort_values(["h", "vec_id"]).index[:k]
+    C = X[init_idx].copy()
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(k):
+            if (a == c).any():
+                C[c] = X[a == c].mean(axis=0)
+    assert np.allclose(np.array(cents), C, atol=1e-8)
+
+    got = {r.vec_id: r.cluster_id
+           for r in kmeans_assign(emb, cents).collect()}
+    d = ((X[:, None, :] - np.array(cents)[None, :, :]) ** 2).sum(axis=2)
+    want = dict(zip(pdf["vec_id"].to_numpy(), d.argmin(axis=1)))
+    assert got == {int(k_): int(v) for k_, v in want.items()}
+
+
+def test_ivf_kmeans_full_probe_equals_brute_force(spark):
+    """nprobe = n_clusters degenerates learned-codebook IVF to exact
+    search — same anchor as the label-IVF multiprobe test."""
+    from database_convertor_spark.operators.similarity_search import (
+        ivf_topk_kmeans,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(emb.vec_id < 5)
+    a = sorted(map(tuple, brute_force_topk(queries, emb, k=5).collect()))
+    b = sorted(map(tuple, ivf_topk_kmeans(queries, emb, k=5, n_clusters=4,
+                                          n_iter=3, nprobe=4).collect()))
+    assert a == b
+
+
+def test_ivf_kmeans_multiprobe_recall_beats_chance(spark):
+    """At nprobe=2 of 8 trained buckets, recall@5 must clearly beat
+    the random-bucketing floor (nprobe/n_clusters = 0.25). The driver
+    embeddings are near-uniform in 64-dim — the hardest case for any
+    coarse quantizer (cosine neighbors barely separate from the
+    bulk), so the spherical codebook earning ~1.8x chance (measured
+    0.45) is the signal that bucketing follows the search metric;
+    absolute-recall guarantees belong to real, clustered corpora."""
+    from database_convertor_spark.operators.similarity_search import (
+        ivf_topk_kmeans,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(emb.vec_id < 20)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(queries, emb, k=5).collect()}
+    approx = {(r.query_id, r.neighbor_id)
+              for r in ivf_topk_kmeans(queries, emb, k=5, n_clusters=8,
+                                       n_iter=5, nprobe=2).collect()}
+    assert len(approx & exact) / len(exact) >= 0.4  # chance = 0.25
