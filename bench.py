@@ -35,8 +35,12 @@ HEADLINE = [
     "corpus_curation_stats",
     "corpus_quality_selection",
     "doc_chunks",
+    "doc_line_dedup",
+    "doc_lm_logprob",
+    "training_shard_packing",
     "ann_brute_topk",
     "ann_ivf_multiprobe",
+    "ann_ivf_kmeans",
     "user_sessions",
     "hourly_event_rollup",
     "asof_purchase_last_click",

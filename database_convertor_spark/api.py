@@ -301,6 +301,44 @@ class Engine:
         from .operators.curation import select_top_quality
         return select_top_quality(documents, score, keep_frac)
 
+    def dedup_lines(self, documents: DataFrame) -> DataFrame:
+        """Cross-document exact line dedup, keep-first-occurrence."""
+        from .operators.curation import dedup_lines_keep_first
+        return dedup_lines_keep_first(documents)
+
+    def temperature_sample(self, documents: DataFrame,
+                           alpha: float = 0.5,
+                           stratum_col: str = "lang") -> DataFrame:
+        """Temperature-scaled language rebalancing (kept ∝ n^alpha)."""
+        from .operators.curation import temperature_sample
+        return temperature_sample(documents, alpha, stratum_col)
+
+    def lm_logprob(self, documents: DataFrame) -> DataFrame:
+        """Per-doc mean log-prob under the corpus unigram LM."""
+        from .operators.text_analysis import doc_lm_logprob
+        return doc_lm_logprob(documents)
+
+    def pack_chunks(self, chunks: DataFrame, documents: DataFrame,
+                    budget: int = 512, n_shards: int = 4) -> DataFrame:
+        """Sequence-packing bin report (per-bin chunk/token counts)."""
+        from .operators.curation import pack_chunks
+        return pack_chunks(chunks, documents, budget, n_shards)
+
+    def ann_topk(self, queries: DataFrame, corpus: DataFrame,
+                 k: int = 5, n_clusters: int | None = None,
+                 nprobe: int = 2) -> DataFrame:
+        """Cosine top-k: exact brute force by default; with
+        ``n_clusters`` set, IVF over a spherical k-means codebook
+        trained on the corpus (the scale path)."""
+        from .operators.similarity_search import (
+            brute_force_topk,
+            ivf_topk_kmeans,
+        )
+        if n_clusters is None:
+            return brute_force_topk(queries, corpus, k)
+        return ivf_topk_kmeans(queries, corpus, k=k,
+                               n_clusters=n_clusters, nprobe=nprobe)
+
     # ----------------------------------------------------------- automation
     def run_health(self, runs: DataFrame) -> DataFrame:
         """Health verdicts + alert reasons for automation runs against

@@ -174,9 +174,9 @@ def temperature_sample(documents: DataFrame, alpha: float = 0.5,
 
 
 # -------------------------------------------------- sequence packing
-def pack_chunks(chunks: DataFrame, documents: DataFrame,
-                budget: int = 512, n_shards: int = 4,
-                salt: str = "pack") -> DataFrame:
+def assign_chunk_bins(chunks: DataFrame, documents: DataFrame,
+                      budget: int = 512, n_shards: int = 4,
+                      salt: str = "pack") -> DataFrame:
     """Training-shard sequence packing: assign token chunks to
     fixed-token-budget bins by contiguous concatenation (the GPT-style
     pack-then-split discipline: chunks are laid end-to-end in
@@ -192,22 +192,31 @@ def pack_chunks(chunks: DataFrame, documents: DataFrame,
     rises with the input and every shard packs in parallel; no global
     sort, no single-task window.
 
-    Output: one row per bin — (lang, shard, bin_id, n_chunks,
-    bin_tokens, fill_frac).
+    Output: the input chunk columns + (lang, shard, bin_id) — the
+    write path partitions by (lang, shard) and sorts by bin_id to lay
+    training shards on disk.
     """
     lang = documents.select("doc_id", "lang")
     shard = (md5_long(F.concat(F.lit(salt),
                                F.col("doc_id").cast("string")))
              % n_shards).alias("shard")
-    c = (chunks.join(lang, "doc_id")
-         .select("doc_id", "chunk_id", "n_tokens", "lang", shard))
+    c = chunks.join(lang, "doc_id").withColumn("shard", shard)
     w = (Window.partitionBy("lang", "shard")
          .orderBy("doc_id", "chunk_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    packed = c.withColumn("_cum", F.sum("n_tokens").over(w))
-    bin_id = F.floor((F.col("_cum") - F.col("n_tokens")) / budget)
-    return (packed
-            .groupBy("lang", "shard", bin_id.alias("bin_id"))
+    cum = F.sum("n_tokens").over(w)
+    return c.withColumn(
+        "bin_id", F.floor((cum - F.col("n_tokens")) / budget))
+
+
+def pack_chunks(chunks: DataFrame, documents: DataFrame,
+                budget: int = 512, n_shards: int = 4,
+                salt: str = "pack") -> DataFrame:
+    """Per-bin roll-up of ``assign_chunk_bins``: one row per training
+    bin — (lang, shard, bin_id, n_chunks, bin_tokens, fill_frac)."""
+    assigned = assign_chunk_bins(chunks, documents, budget, n_shards, salt)
+    return (assigned
+            .groupBy("lang", "shard", "bin_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
                  F.sum("n_tokens").cast("long").alias("bin_tokens"))
             .withColumn("fill_frac",

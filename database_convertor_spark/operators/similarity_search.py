@@ -163,25 +163,12 @@ def label_centroids(corpus: DataFrame) -> DataFrame:
                 lambda s: s["cx"]).alias("centroid")))
 
 
-def _sq_dist(vec: Column, centroid: list[float]) -> Column:
-    """Squared L2 distance between an array<double> column and a
-    constant centroid — one zip_with + aggregate expression, JVM-side."""
-    cent = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(vec, cent, lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0), lambda acc, x: acc + x)
+def _norm_rows(mat):
+    """Unit-normalize numpy rows in place-safe form (zero rows kept)."""
+    import numpy as np
 
-
-def _l2_normalize(vec: Column) -> Column:
-    """Unit-normalize an array<double> column (zero vectors pass
-    through). On unit vectors squared-L2 argmin == cosine argmax, so a
-    codebook trained on normalized data (spherical k-means) buckets by
-    the same metric the ANN search ranks with."""
-    norm = F.sqrt(F.aggregate(
-        F.transform(vec, lambda x: x * x), F.lit(0.0),
-        lambda acc, x: acc + x))
-    return F.when(norm == 0, vec).otherwise(
-        F.transform(vec, lambda x: x / norm))
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    return mat / np.where(n == 0, 1.0, n)
 
 
 def kmeans_fit(corpus: DataFrame, k: int = 8, n_iter: int = 5,
@@ -195,14 +182,16 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, n_iter: int = 5,
 
     Spark shape (the same loop MLlib's KMeans runs): the codebook is
     k x dim doubles — driver-side state by design, broadcast into
-    each iteration's expressions; the DATA never leaves executors.
-    Per iteration:
-      1. assignment — argmin over k squared-distance expressions,
-         a pure projection (no shuffle, no UDF);
-      2. re-centering — posexplode dims -> groupBy (cluster, dim)
-         avg: partial-aggregable, one narrow shuffle of k*dim rows
-         out; the k x dim result is collected (codebook-sized, the
-         only driver materialization).
+    each iteration; the DATA never leaves executors. Per iteration one
+    ``mapInPandas`` pass scores each Arrow batch against the codebook
+    with a single (batch x dim) @ (dim x k) GEMM and emits only the
+    k x dim partial sums + counts + inertia of that batch; a
+    groupBy(cluster, dim) over those codebook-sized partials is the
+    whole shuffle. (A pure-expression argmin was tried first: every
+    iteration's new centroid LITERALS force a fresh whole-stage-codegen
+    compile of a k x dim expression tree — ~2s/iteration of compile
+    for milliseconds of data work. The GEMM path recompiles nothing.)
+
     Deterministic: init picks the k rows with the smallest
     md5(id) (content-independent, engine-reproducible), ties on id;
     an emptied cluster keeps its previous centroid.
@@ -210,44 +199,77 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, n_iter: int = 5,
     ``normalize=True`` trains on unit vectors (spherical k-means) —
     the right codebook when the downstream search metric is cosine.
     """
+    import numpy as np
+    import pandas as pd
+
     from ..functions.text import md5_long
 
-    v = F.col(vec_col).cast("array<double>")
-    if normalize:
-        v = _l2_normalize(v)
-    emb = corpus.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    spark = corpus.sparkSession
+    emb = corpus.select(F.col(id_col).alias("_id"),
+                        F.col(vec_col).cast("array<double>").alias("_v"))
     emb = emb.persist()
     try:
         init = (emb.select(
                     "_id", "_v",
                     md5_long(F.col("_id").cast("string")).alias("_h"))
                 .orderBy("_h", "_id").limit(k).collect())
-        cents = [list(r._v) for r in init]
+        C = np.vstack([np.asarray(r._v, dtype="float64") for r in init])
+        if normalize:
+            C = _norm_rows(C)
+        dim = C.shape[1]
         inertia: list[float] = []
         for _ in range(n_iter):
-            dists = F.array(*[_sq_dist(F.col("_v"), c) for c in cents])
-            agg = (emb.select("_v", dists.alias("_ds"))
-                   .select((F.array_position(F.col("_ds"),
-                                             F.array_min("_ds")) - 1)
-                           .alias("_c"),
-                           F.array_min("_ds").alias("_d"),
-                           F.posexplode("_v").alias("_p", "_x"))
-                   .groupBy("_c", "_p")
-                   .agg(F.avg("_x").alias("_m"), F.sum("_d").alias("_sd"))
+            bc = spark.sparkContext.broadcast(C)
+
+            def partials(batches):
+                cents = bc.value
+                c_sq = (cents ** 2).sum(axis=1)
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    X = np.vstack(pdf["_v"].to_numpy()).astype("float64")
+                    if normalize:
+                        X = _norm_rows(X)
+                    d2 = (X ** 2).sum(1)[:, None] - 2 * X @ cents.T + c_sq
+                    a = d2.argmin(axis=1)
+                    mind = d2[np.arange(len(X)), a]
+                    out = []
+                    for c in np.unique(a):
+                        m = a == c
+                        out.append({"c": int(c), "s": X[m].sum(0).tolist(),
+                                    "n": int(m.sum()),
+                                    "d": float(mind[m].sum())})
+                    yield pd.DataFrame(out)
+
+            agg = (emb.mapInPandas(
+                       partials,
+                       "c int, s array<double>, n long, d double")
+                   .select("c", "n", "d",
+                           F.posexplode("s").alias("p", "x"))
+                   .groupBy("c", "p")
+                   .agg(F.sum("x").alias("sx"),
+                        F.sum(F.when(F.col("p") == 0, F.col("n"))
+                              .otherwise(0)).alias("np"),
+                        F.sum(F.when(F.col("p") == 0, F.col("d"))
+                              .otherwise(0.0)).alias("dp"))
                    .collect())
-            new_cents = [list(c) for c in cents]  # empty cluster keeps
-            per_dim: dict[int, list[float]] = {}
+            # per (cluster, dim): sum of partial sums; counts/inertia
+            # ride dim 0 only so they are not multiplied by dim
+            sums = np.zeros((k, dim))
+            counts = np.zeros(k)
             sq_sum = 0.0
             for row in agg:
-                per_dim.setdefault(row._c, [0.0] * len(cents[0]))
-                per_dim[row._c][row._p] = row._m
-                if row._p == 0:
-                    sq_sum += row._sd
-            for cid, vec in per_dim.items():
-                new_cents[int(cid)] = vec
-            cents = new_cents
+                sums[row.c, row.p] = row.sx
+                if row.p == 0:
+                    counts[row.c] = row.np
+                    sq_sum += row.dp
+            newC = C.copy()  # an emptied cluster keeps its centroid
+            nz = counts > 0
+            newC[nz] = sums[nz] / counts[nz, None]
+            C = newC
             inertia.append(sq_sum)
-        return cents, inertia
+            bc.destroy()
+        return [row.tolist() for row in C], inertia
     finally:
         emb.unpersist()
 
@@ -255,17 +277,34 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, n_iter: int = 5,
 def kmeans_assign(corpus: DataFrame, centroids: list[list[float]],
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   normalize: bool = False) -> DataFrame:
-    """(id, cluster_id) under a fixed codebook: argmin projection,
-    shuffle-free — the write path that lands a corpus partitioned by
+    """(id, cluster_id) under a fixed codebook: a shuffle-free
+    Arrow-batched argmin (one GEMM per batch against the broadcast
+    codebook) — the write path that lands a corpus partitioned by
     cluster for IVF file pruning. ``normalize`` must match the fit."""
-    v = F.col(vec_col).cast("array<double>")
-    if normalize:
-        v = _l2_normalize(v)
-    dists = F.array(*[_sq_dist(v, c) for c in centroids])
-    return corpus.select(
-        F.col(id_col),
-        (F.array_position(dists, F.array_min(dists)) - 1)
-        .cast("int").alias("cluster_id"))
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    C = np.asarray(centroids, dtype="float64")
+    bc = spark.sparkContext.broadcast(C)
+    id_t = dict(corpus.dtypes)[id_col]
+
+    def assign(batches):
+        cents = bc.value
+        c_sq = (cents ** 2).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf["_v"].to_numpy()).astype("float64")
+            if normalize:
+                X = _norm_rows(X)
+            d2 = (X ** 2).sum(1)[:, None] - 2 * X @ cents.T + c_sq
+            yield pd.DataFrame({id_col: pdf["_id"],
+                                "cluster_id": d2.argmin(axis=1)})
+
+    return (corpus.select(F.col(id_col).alias("_id"),
+                          F.col(vec_col).cast("array<double>").alias("_v"))
+            .mapInPandas(assign, f"{id_col} {id_t}, cluster_id int"))
 
 
 def ivf_topk_kmeans(queries: DataFrame, corpus: DataFrame, k: int = 5,

@@ -75,10 +75,13 @@ def prepare_training_corpus(documents: DataFrame, *,
                             threshold: float = 0.5,
                             benchmark: DataFrame | None = None,
                             redact: bool = True,
+                            line_dedup: bool = False,
                             keep_frac: float | None = None,
+                            temperature_alpha: float | None = None,
                             chunk_tokens: int | None = None,
                             overlap: int = 16,
-                            val_frac: float = 0.1
+                            val_frac: float = 0.1,
+                            pack_budget: int | None = None
                             ) -> dict[str, DataFrame]:
     """The one-call raw-parquet -> curated-train/val pipeline — every
     corpus-hygiene stage this engine implements, chained in the order
@@ -86,19 +89,26 @@ def prepare_training_corpus(documents: DataFrame, *,
 
       1. Gopher quality filter (predicate on the scan);
       2. PII redaction (``redact=False`` to skip);
-      3. benchmark decontamination (when ``benchmark`` is given:
+      3. cross-document keep-first line dedup (``line_dedup=True``:
+         repeated content survives exactly once corpus-wide);
+      4. benchmark decontamination (when ``benchmark`` is given:
          5-gram shingle equi-join, never doc x bench);
-      4. near-dup pair generation within (lang, length-band) blocks —
-         computed ONCE and reused by stages 5 and 7;
-      5. connected-components dedup (drop non-canonical members);
-      6. quality-threshold selection (when ``keep_frac`` is given:
+      5. near-dup pair generation within (lang, length-band) blocks —
+         computed ONCE and reused by stages 6 and 9;
+      6. connected-components dedup (drop non-canonical members);
+      7. quality-threshold selection (when ``keep_frac`` is given:
          exact percentile cut on the composite quality score);
-      7. leakage-safe train/val split keyed per DUP CLUSTER (reusing
-         stage 4's pairs), so near-dup content never straddles the
+      8. temperature-scaled language rebalancing (when
+         ``temperature_alpha`` is given: kept ∝ n^alpha, the
+         multilingual mixing rule, deterministic md5 gate);
+      9. leakage-safe train/val split keyed per DUP CLUSTER (reusing
+         stage 5's pairs), so near-dup content never straddles the
          boundary even for docs the dedup kept;
-      8. fixed-token chunking (when ``chunk_tokens`` is given) applied
+     10. fixed-token chunking (when ``chunk_tokens`` is given) applied
          AFTER the split — chunks of one doc can never land on both
-         sides.
+         sides; with ``pack_budget`` also set, each chunk carries its
+         (shard, bin_id) training-bin assignment (GPT-style sequence
+         packing, shard-parallel).
 
     Returns {'train': ..., 'val': ..., 'report': ...}: train/val are
     document frames (or chunk frames when chunking is on), report is
@@ -112,6 +122,10 @@ def prepare_training_corpus(documents: DataFrame, *,
     kept = documents.filter(gopher_passes(F.col("text")))
     if redact:
         kept = curation.redact_documents(kept)
+    if line_dedup:
+        # rejoin the non-text columns the line pass doesn't carry
+        deduped_text = curation.dedup_lines_keep_first(kept)
+        kept = (kept.drop("text").join(deduped_text, "doc_id"))
     if benchmark is not None:
         kept = curation.decontaminate(kept, benchmark)
     pairs = dedup.ngram_jaccard_pairs(kept, threshold=threshold)
@@ -119,13 +133,22 @@ def prepare_training_corpus(documents: DataFrame, *,
     if keep_frac is not None:
         curated = curation.select_top_quality(
             curated, quality_score(F.col("text")), keep_frac)
+    if temperature_alpha is not None:
+        curated = curation.temperature_sample(
+            curated, alpha=temperature_alpha)
     split = curation.leakage_safe_split(curated, pairs, val_frac)
     labeled = curated.join(split, "doc_id")
     train = labeled.filter(F.col("split") == "train").drop("split")
     val = labeled.filter(F.col("split") == "val").drop("split")
     if chunk_tokens is not None:
+        docs_for_lang = curated.select("doc_id", "lang")
         train = curation.chunk_documents(train, chunk_tokens, overlap)
         val = curation.chunk_documents(val, chunk_tokens, overlap)
+        if pack_budget is not None:
+            train = curation.assign_chunk_bins(
+                train, docs_for_lang, budget=pack_budget)
+            val = curation.assign_chunk_bins(
+                val, docs_for_lang, budget=pack_budget)
     n = F.size(tokens(F.col("text")))
     report = (curated
               .select("lang", n.alias("_n"))

@@ -325,3 +325,63 @@ def test_pack_chunks_conserves_tokens_and_bins_contiguous(spark):
             if r.bin_id != ids[-1]:
                 assert r.bin_tokens >= 64 - 15
         assert rows[0].fill_frac == round(rows[0].bin_tokens / 64, 4)
+
+
+def test_prepare_training_corpus_line_dedup_temperature_packing(spark):
+    """The round-4 pipeline knobs compose end-to-end: keep-first line
+    dedup runs before pair generation, temperature rebalancing
+    downsamples only the over-represented languages, and packed chunks
+    carry their (lang, shard, bin_id) training-bin assignment."""
+    from database_convertor_spark.api import Engine
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    eng = Engine(spark, "/tmp/dcs-prep-wh2")
+    docs = read_table(spark, SF_SMALL, "documents")
+    out = eng.prepare_training_corpus(
+        docs, threshold=0.5, line_dedup=True, temperature_alpha=0.7,
+        chunk_tokens=32, overlap=4, val_frac=0.2, pack_budget=128)
+    train = out["train"]
+    assert {"doc_id", "chunk_id", "n_tokens", "chunk_text",
+            "lang", "shard", "bin_id"} <= set(train.columns)
+    rows = train.collect()
+    assert rows
+    assert all(0 <= r.shard < 4 and r.bin_id >= 0 and r.n_tokens <= 32
+               for r in rows)
+    # temperature rebalancing can only shrink a language's share, and
+    # the smallest admitted language is kept whole relative to the
+    # alpha=None run
+    base = eng.prepare_training_corpus(
+        docs, threshold=0.5, line_dedup=True, val_frac=0.2)
+
+    def _lang_docs(frame):
+        return {r.lang: r.n for r in frame.groupBy("lang")
+                .agg(F.count_distinct("doc_id").alias("n")).collect()}
+
+    t_counts = _lang_docs(train)
+    b_counts = _lang_docs(base["train"])
+    assert all(t_counts[lang] <= b_counts[lang] for lang in t_counts)
+
+
+def test_engine_facade_round4_surface(spark):
+    """The facade exposes the new operators (thin pass-throughs)."""
+    from database_convertor_spark.api import Engine
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    eng = Engine(spark, "/tmp/dcs-facade-wh")
+    docs = read_table(spark, SF_SMALL, "documents")
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    assert eng.dedup_lines(docs).count() > 0
+    lm = eng.lm_logprob(docs)
+    assert {"doc_id", "n_tokens", "avg_logprob"} == set(lm.columns)
+    assert eng.temperature_sample(docs, alpha=0.5).count() <= docs.count()
+    chunks = eng.chunk_documents(docs, chunk_tokens=16, overlap=4)
+    bins = eng.pack_chunks(chunks, docs, budget=64)
+    assert bins.filter(F.col("bin_tokens") <= 0).count() == 0
+    q = emb.filter(emb.vec_id < 3)
+    exact = eng.ann_topk(q, emb, k=3)
+    ivf = eng.ann_topk(q, emb, k=3, n_clusters=4, nprobe=4)
+    assert exact.count() == 9 and ivf.count() == 9

@@ -219,3 +219,87 @@ def test_boilerplate_identity_and_idempotence(spark, texts):
     twice = remove_boilerplate_lines(once, min_docs=2)
     assert (sorted(map(tuple, once.collect()))
             == sorted(map(tuple, twice.collect())))
+
+
+_line_texts = st.lists(
+    st.lists(st.sampled_from(["alpha beta", "gamma", "shared line",
+                              "delta five", "", "  "]),
+             min_size=1, max_size=5).map(lambda ls: "\n".join(ls)),
+    min_size=1, max_size=8)
+
+
+@given(texts=_line_texts)
+@_slow
+def test_line_dedup_keep_first_model(spark, texts):
+    """Keep-first line dedup against a 20-line python model: every
+    non-blank trimmed line survives exactly once corpus-wide, at its
+    minimal (doc_id, pos); blank lines always survive; doc order
+    preserved; the pass is idempotent."""
+    from database_convertor_spark.operators.curation import (
+        dedup_lines_keep_first,
+    )
+    docs = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = {r.doc_id: r.text
+           for r in dedup_lines_keep_first(docs).collect()}
+
+    seen: set[str] = set()
+    model: dict[int, str] = {}
+    for i, t in enumerate(texts):
+        kept = []
+        for line in t.split("\n"):
+            k = line.strip()
+            if k == "":
+                kept.append(line)
+            elif k not in seen:
+                seen.add(k)
+                kept.append(line)
+        joined = "\n".join(kept)
+        if joined.strip("\n\t "):
+            model[i] = joined
+    assert out == model
+
+    # idempotence (explicit schema: `out` may be empty)
+    again = {r.doc_id: r.text for r in dedup_lines_keep_first(
+        spark.createDataFrame(sorted(out.items()),
+                              "doc_id long, text string")
+    ).collect()}
+    assert again == out
+
+
+_chunk_rows = st.lists(
+    st.tuples(st.sampled_from(["en", "fr", "zh"]), st.integers(1, 40)),
+    min_size=1, max_size=30)
+
+
+@given(rows=_chunk_rows, budget=st.sampled_from([16, 64]))
+@_slow
+def test_pack_chunks_model(spark, rows, budget):
+    """Bin assignment against the sequential python model: chunks laid
+    end-to-end per (lang, shard) in (doc_id, chunk_id) order, a chunk
+    belongs to the bin where its first token falls."""
+    from database_convertor_spark.operators.curation import (
+        assign_chunk_bins,
+    )
+    from database_convertor_spark.functions.text import md5_long
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, lang) for i, (lang, _) in enumerate(rows)],
+        ["doc_id", "lang"])
+    chunks = spark.createDataFrame(
+        [(i, 0, n) for i, (_, n) in enumerate(rows)],
+        ["doc_id", "chunk_id", "n_tokens"])
+    got = {(r.doc_id): (r.lang, r.shard, r.bin_id)
+           for r in assign_chunk_bins(chunks, docs, budget=budget,
+                                      n_shards=2).collect()}
+
+    shard_of = {r.doc_id: r.s for r in docs.select(
+        "doc_id", (md5_long(F.concat(F.lit("pack"),
+                                     F.col("doc_id").cast("string")))
+                   % 2).alias("s")).collect()}
+    streams: dict[tuple, int] = {}
+    for i, (lang, n) in enumerate(rows):     # doc_id order == input order
+        key = (lang, shard_of[i])
+        start = streams.get(key, 0)
+        assert got[i] == (lang, shard_of[i], start // budget), (i, rows)
+        streams[key] = start + n
