@@ -155,6 +155,10 @@ def temperature_sample(documents: DataFrame, alpha: float = 0.5,
     rates; here the rates come from the corpus's own counts (one
     tiny groupBy broadcast back). Two scans of nothing: the counts
     aggregate is partial-aggregable and its output is |strata| rows.
+
+    Rows with a NULL stratum are dropped (the rate join is inner): a
+    language-less doc has no defensible rate under p ∝ n^alpha —
+    pre-bucket unknowns into a sentinel stratum if they should ride.
     """
     counts = documents.groupBy(stratum_col).agg(
         F.count(F.lit(1)).alias("_n"))

@@ -213,6 +213,8 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, n_iter: int = 5,
                     "_id", "_v",
                     md5_long(F.col("_id").cast("string")).alias("_h"))
                 .orderBy("_h", "_id").limit(k).collect())
+        if not init:
+            raise ValueError("kmeans_fit: empty corpus — nothing to train on")
         C = np.vstack([np.asarray(r._v, dtype="float64") for r in init])
         if normalize:
             C = _norm_rows(C)

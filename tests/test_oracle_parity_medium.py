@@ -32,6 +32,15 @@ SCALE_SENSITIVE = [
     "dedup_embedding_cosine",
     "ann_ivf_topk",
     "ann_ivf_multiprobe",
+    # round-4 additions: not cap-gated, but their signals derive from
+    # corpus-wide statistics (line document frequencies, unigram
+    # frequencies, per-language counts, bin occupancy) that only get
+    # interesting mass at this scale — driver-scale rows here keep
+    # them from regressing silently
+    "doc_line_dedup",
+    "doc_lm_logprob",
+    "corpus_temperature_sample",
+    "training_shard_packing",
 ]
 
 
