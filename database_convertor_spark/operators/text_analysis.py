@@ -166,6 +166,49 @@ def doc_lm_logprob(documents: DataFrame) -> DataFrame:
                     "avg_logprob"))
 
 
+def cross_doc_span_signals(documents: DataFrame,
+                           window: int = 8) -> DataFrame:
+    """Per-document coverage by CROSS-DOCUMENT duplicated token spans:
+    the fraction of a doc's ``window``-token sliding windows that also
+    occur in at least one OTHER document (distinct-doc frequency ≥ 2;
+    within-doc repeats don't count — ``repetition_signals`` owns
+    those) — the cheap,
+    window-level stand-in for exact substring dedup (Lee et al. 2022's
+    suffix-array discipline, public methodology): a doc with high
+    coverage is mostly made of text that exists elsewhere in the
+    corpus, even when no single near-dup pair fires.
+
+    Complements ``repetition_signals`` (WITHIN-doc repetition) and the
+    pairwise near-dup family (document-level similarity): this is the
+    corpus-level duplication diagnostic in between.
+
+    Shape: windows ride as 60-bit md5 hashes; the occurrence list and
+    the distinct-doc frequency table shuffle on the HASH key
+    (partial-aggregable counts, Zipf-head combines map-side), the
+    final roll-up on doc_id. A doc shorter than ``window`` tokens
+    contributes its whole text as one window — two short identical
+    docs therefore count as duplicated spans, which is the intended
+    exact-dup degenerate case.
+
+    Output: (doc_id, n_windows, cross_dup_frac).
+    """
+    from ..functions.text import md5_long, shingles
+
+    w = (documents
+         .select("doc_id",
+                 F.explode(shingles(F.col("text"), window)).alias("_w"))
+         .select("doc_id", md5_long(F.col("_w")).alias("_h")))
+    docfreq = (w.distinct()
+               .groupBy("_h")
+               .agg(F.count(F.lit(1)).alias("_df")))
+    return (w.join(docfreq, "_h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_windows"),
+                 F.round(F.avg(F.when(F.col("_df") >= 2, 1.0)
+                               .otherwise(0.0)), 4)
+                 .alias("cross_dup_frac")))
+
+
 def fingerprint_docs(documents: DataFrame) -> DataFrame:
     """Content fingerprint + duplicate flag (count over the fingerprint
     window; the window shuffles on the fingerprint — same key as an

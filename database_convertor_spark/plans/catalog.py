@@ -2437,6 +2437,37 @@ _add(
 )
 
 
+_add(
+    "doc_cross_dup_spans",
+    lambda spark, sf: text_analysis.cross_doc_span_signals(
+        _t(spark, sf, "documents")[0], window=8),
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             {_TOKS_ALL.format(c='lower(text)')} AS tk FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(tk) < 8
+                         THEN [array_to_string(tk, ' ')]
+                         ELSE list_transform(range(1, len(tk) - 6),
+                                i -> array_to_string(tk[i:i+7], ' '))
+                    END) AS w
+      FROM toks),
+    h AS (SELECT doc_id, {_MD5_60.format(x='w')} AS hh FROM sh),
+    docfreq AS (
+      SELECT hh, count(DISTINCT doc_id) AS df FROM h GROUP BY hh)
+    SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+           round(avg(CASE WHEN d.df >= 2 THEN 1.0 ELSE 0.0 END), 4)
+             AS cross_dup_frac
+    FROM h JOIN docfreq d ON h.hh = d.hh
+    GROUP BY h.doc_id
+    """,
+    "dedup,text-analysis",
+    "cross-document duplicated-span coverage per doc (window-level "
+    "stand-in for exact substring dedup; hash-keyed shuffles only)",
+)
+
+
 # --------------------------------------------------- driver-window rotation
 # The correctness driver samples the FIRST 50 catalog entries in
 # order. Every oracle query should earn a hard driver-green row at
@@ -2455,6 +2486,7 @@ _PULL_FORWARD = [
     # before shipping), displacing four more multi-round-green veterans
     "doc_line_dedup", "doc_lm_logprob",
     "corpus_temperature_sample", "training_shard_packing",
+    "doc_cross_dup_spans",
 ]
 _PUSH_BACK = [
     "top_orders", "scalar_cleaning", "order_date_dimensions",
@@ -2462,6 +2494,7 @@ _PUSH_BACK = [
     "event_type_counts", "orders_union_dedup",
     "customer_order_stats", "customers_without_orders",
     "priority_order_pick", "event_props_extract",
+    "active_customer_keys",
 ]
 
 _by_name = {s.name: s for s in _SPECS}

@@ -385,3 +385,28 @@ def test_engine_facade_round4_surface(spark):
     exact = eng.ann_topk(q, emb, k=3)
     ivf = eng.ann_topk(q, emb, k=3, n_clusters=4, nprobe=4)
     assert exact.count() == 9 and ivf.count() == 9
+
+
+def test_cross_doc_span_signals_golden(spark):
+    """Window-level cross-document duplication: doc 1 and 2 share an
+    8-token span (their windows overlap on it), doc 3 shares nothing;
+    a doc shorter than the window is one whole-text window and two
+    identical short docs count as mutual duplicates."""
+    from database_convertor_spark.operators.text_analysis import (
+        cross_doc_span_signals,
+    )
+    shared = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(1, shared + " alpha beta"),
+         (2, "gamma " + shared),
+         (3, "wholly original text with nothing repeated anywhere here"),
+         (4, "tiny dup"),
+         (5, "tiny dup")],
+        ["doc_id", "text"])
+    got = {r.doc_id: (r.n_windows, r.cross_dup_frac)
+           for r in cross_doc_span_signals(docs, window=8).collect()}
+    # doc 1: 10 tokens -> 3 windows, exactly one (the shared span) dup
+    assert got[1] == (3, 0.3333)
+    assert got[2] == (2, 0.5)
+    assert got[3][1] == 0.0
+    assert got[4] == (1, 1.0) and got[5] == (1, 1.0)
