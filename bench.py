@@ -96,20 +96,23 @@ def main() -> None:
                  Window.partitionBy("k").orderBy(F.desc("b.c"))).alias("rn"))
      .write.format("noop").mode("overwrite").save())
 
-    # warm-up iteration: run each headline query once at the SMALLEST
-    # scale factor before the timed region. Standard benchmarking
-    # practice (and what a long-lived cluster actually experiences):
-    # the first execution of each operator pipeline pays
-    # whole-stage-codegen compile + JIT tiering of its generated
-    # classes — measured 2-3x on the join-heavy queries — which is a
-    # per-executor one-time cost, not a per-query cost. The warm-up
-    # reads DIFFERENT data (sf0.001) than the timed region, so no
-    # result, cache, or shuffle output is reused — only compiled code.
-    # sf0.01 (not sf0.001): the hot inner loops (15M-pair levenshtein,
-    # shingle hashing) need enough invocations at warm-up to cross the
-    # JVM's C2 tiered-compilation threshold, and AQE's physical plans
-    # at sf0.001 are too degenerate (single-partition coalesce) to
-    # compile the plan shapes the timed region runs.
+    # warm-up iteration: run each headline query once at sf0.01 before
+    # the timed region. Standard benchmarking practice (and what a
+    # long-lived cluster actually experiences): the first execution of
+    # each operator pipeline pays whole-stage-codegen compile + JIT
+    # tiering of its generated classes — measured 2-3x on the
+    # join-heavy queries — which is a per-executor one-time cost, not
+    # a per-query cost. The warm-up reads DIFFERENT data than the
+    # timed region (the guard below skips it when SF_DIR IS sf0.01),
+    # so no result, cache, or shuffle output is reused — only compiled
+    # code. sf0.01 rather than sf0.001 because the hot inner loops
+    # (15M-pair levenshtein, shingle hashing) need enough invocations
+    # to cross the JVM's C2 tiered-compilation threshold, and AQE's
+    # physical plans at sf0.001 are too degenerate (single-partition
+    # coalesce) to compile the plan shapes the timed region runs.
+    # Note: at SF_DIR=sf0.001 the warm-up reads MORE data than the
+    # timed region — accepted, that configuration is a smoke run, not
+    # a benchmark.
     warm_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
     if os.path.isdir(warm_dir) and warm_dir != SF_DIR.rstrip("/"):
         for name in HEADLINE:

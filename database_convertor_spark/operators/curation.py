@@ -118,14 +118,20 @@ def dedup_lines_keep_first(documents: DataFrame) -> DataFrame:
         "doc_id",
         F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"))
     keyed = lines.withColumn("_k", F.trim(F.col("line")))
-    firsts = (keyed.filter(F.col("_k") != "")
+    # blank lines never dedup and never need the join — routing them
+    # around it also keeps every blank in the corpus out of what would
+    # be a single '' mega-partition if the join falls back to
+    # sort-merge at corpus scale
+    blanks = keyed.filter(F.col("_k") == "")
+    nonblank = keyed.filter(F.col("_k") != "")
+    firsts = (nonblank
               .groupBy("_k")
               .agg(F.min(F.struct(F.col("doc_id"), F.col("pos")))
                    .alias("_first")))
-    kept = (keyed.join(firsts, "_k", "left")
-            .filter((F.col("_k") == "")
-                    | ((F.col("doc_id") == F.col("_first.doc_id"))
-                       & (F.col("pos") == F.col("_first.pos")))))
+    kept = (nonblank.join(firsts, "_k")
+            .filter((F.col("doc_id") == F.col("_first.doc_id"))
+                    & (F.col("pos") == F.col("_first.pos")))
+            .unionByName(blanks, allowMissingColumns=True))
     docs = (kept.groupBy("doc_id")
             .agg(F.array_join(
                 F.transform(
@@ -275,20 +281,31 @@ def chunk_documents(documents: DataFrame, chunk_tokens: int = 128,
 
 
 # ----------------------------------------------- leakage-safe train split
-def leakage_safe_split(documents: DataFrame, pairs: DataFrame,
+def leakage_safe_split(documents: DataFrame, pairs: DataFrame | None = None,
                        val_frac: float = 0.1,
-                       salt: str = "split") -> DataFrame:
+                       salt: str = "split",
+                       clusters: DataFrame | None = None) -> DataFrame:
     """Train/validation split that can never leak near-duplicate
     content across the boundary: the split is decided per DUP CLUSTER
     (connected components over the near-dup pairs), not per document —
     all members of a cluster land on the same side. Singleton docs are
     their own cluster. The gate is the deterministic md5 hash used by
     stratified_sample. Output: (doc_id, split) with split in
-    {'train', 'val'}."""
-    from .components import dedup_clusters
+    {'train', 'val'}.
 
-    clusters = dedup_clusters(pairs, "doc_a", "doc_b").select(
-        "doc_id", "cluster_id")
+    Pass ``clusters`` — a precomputed (doc_id, cluster_id) frame — when
+    the caller already ran connected components over the same pairs
+    (prepare_training_corpus does): the iterative star rounds are the
+    pipeline's most expensive stage after pair generation, and lineage
+    reuse is NOT computation reuse — without this, handing ``pairs``
+    here re-executes the whole components loop."""
+    if clusters is None:
+        if pairs is None:
+            raise ValueError("leakage_safe_split needs pairs or clusters")
+        from .components import dedup_clusters
+
+        clusters = dedup_clusters(pairs, "doc_a", "doc_b")
+    clusters = clusters.select("doc_id", "cluster_id")
     labeled = documents.select("doc_id").join(clusters, "doc_id", "left")
     key = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
     gate = md5_long(F.concat(F.lit(salt), key.cast("string"))) % 1_000_000

@@ -215,6 +215,10 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, n_iter: int = 5,
                 .orderBy("_h", "_id").limit(k).collect())
         if not init:
             raise ValueError("kmeans_fit: empty corpus — nothing to train on")
+        # fewer rows than requested clusters: every row is its own
+        # centroid (k silently clamps — the counts/sums arrays below
+        # are sized by the ACTUAL codebook, not the request)
+        k = len(init)
         C = np.vstack([np.asarray(r._v, dtype="float64") for r in init])
         if normalize:
             C = _norm_rows(C)
@@ -309,6 +313,38 @@ def kmeans_assign(corpus: DataFrame, centroids: list[list[float]],
             .mapInPandas(assign, f"{id_col} {id_t}, cluster_id int"))
 
 
+def _probe_and_search(queries: DataFrame, labeled_corpus: DataFrame,
+                      centroids_df: DataFrame, k: int,
+                      nprobe: int) -> DataFrame:
+    """Shared probe/rank/search tail of every multi-probe IVF variant
+    (label-derived or trained codebook): rank the broadcast codebook
+    per query by centroid cosine (rounded so the probe choice is
+    reproducible across engines; label breaks ties), equi-join the
+    top-``nprobe`` buckets against the labeled corpus, window-rank the
+    scored pairs. ``labeled_corpus`` columns: (neighbor_id, c_emb,
+    label); ``centroids_df``: (label, centroid)."""
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").cast("array<double>").alias("q_emb"))
+    csim = F.round(cosine_similarity(F.col("q_emb"), F.col("centroid")), 4)
+    pw = (Window.partitionBy("query_id")
+          .orderBy(F.desc("_csim"), F.asc("label")))
+    probes = (q.crossJoin(F.broadcast(centroids_df))
+              .withColumn("_csim", csim)
+              .withColumn("_pr", F.row_number().over(pw))
+              .filter(F.col("_pr") <= nprobe)
+              .select("query_id", "q_emb", "label"))
+    pairs = labeled_corpus.join(F.broadcast(probes), "label").filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    sim = cosine_similarity(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"),
+                                               F.asc("neighbor_id"))
+    return (pairs.withColumn("_sim", sim)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("_sim", 4).alias("cosine")))
+
+
 def ivf_topk_kmeans(queries: DataFrame, corpus: DataFrame, k: int = 5,
                     n_clusters: int = 8, n_iter: int = 5,
                     nprobe: int = 2) -> DataFrame:
@@ -330,26 +366,7 @@ def ivf_topk_kmeans(queries: DataFrame, corpus: DataFrame, k: int = 5,
     cents_df = queries.sparkSession.createDataFrame(
         [(i, c_) for i, c_ in enumerate(cents)],
         "label int, centroid array<double>")
-    q = queries.select(F.col("vec_id").alias("query_id"),
-                       F.col("embedding").cast("array<double>").alias("q_emb"))
-    csim = F.round(cosine_similarity(F.col("q_emb"), F.col("centroid")), 4)
-    pw = (Window.partitionBy("query_id")
-          .orderBy(F.desc("_csim"), F.asc("label")))
-    probes = (q.crossJoin(F.broadcast(cents_df))
-              .withColumn("_csim", csim)
-              .withColumn("_pr", F.row_number().over(pw))
-              .filter(F.col("_pr") <= nprobe)
-              .select("query_id", "q_emb", "label"))
-    pairs = c.join(F.broadcast(probes), "label").filter(
-        F.col("neighbor_id") != F.col("query_id"))
-    sim = cosine_similarity(F.col("q_emb"), F.col("c_emb"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"),
-                                               F.asc("neighbor_id"))
-    return (pairs.withColumn("_sim", sim)
-            .withColumn("rank", F.row_number().over(w).cast("int"))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank",
-                    F.round("_sim", 4).alias("cosine")))
+    return _probe_and_search(queries, c, cents_df, k, nprobe)
 
 
 def ivf_topk_multiprobe(queries: DataFrame, corpus: DataFrame,
@@ -363,26 +380,7 @@ def ivf_topk_multiprobe(queries: DataFrame, corpus: DataFrame,
     query. Centroid cosines are rounded before ranking so the probe
     choice is reproducible across engines (label breaks ties)."""
     cents = label_centroids(corpus)
-    q = queries.select(F.col("vec_id").alias("query_id"),
-                       F.col("embedding").cast("array<double>").alias("q_emb"))
-    csim = F.round(cosine_similarity(F.col("q_emb"), F.col("centroid")), 4)
-    pw = (Window.partitionBy("query_id")
-          .orderBy(F.desc("_csim"), F.asc("label")))
-    probes = (q.crossJoin(F.broadcast(cents))
-              .withColumn("_csim", csim)
-              .withColumn("_pr", F.row_number().over(pw))
-              .filter(F.col("_pr") <= nprobe)
-              .select("query_id", "q_emb", "label"))
     c = corpus.select(F.col("vec_id").alias("neighbor_id"),
                       F.col("embedding").cast("array<double>").alias("c_emb"),
                       "label")
-    pairs = c.join(F.broadcast(probes), "label").filter(
-        F.col("neighbor_id") != F.col("query_id"))
-    sim = cosine_similarity(F.col("q_emb"), F.col("c_emb"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"),
-                                               F.asc("neighbor_id"))
-    return (pairs.withColumn("_sim", sim)
-            .withColumn("rank", F.row_number().over(w).cast("int"))
-            .filter(F.col("rank") <= k)
-            .select("query_id", "neighbor_id", "rank",
-                    F.round("_sim", 4).alias("cosine")))
+    return _probe_and_search(queries, c, cents, k, nprobe)

@@ -93,17 +93,19 @@ def prepare_training_corpus(documents: DataFrame, *,
          repeated content survives exactly once corpus-wide);
       4. benchmark decontamination (when ``benchmark`` is given:
          5-gram shingle equi-join, never doc x bench);
-      5. near-dup pair generation within (lang, length-band) blocks —
-         computed ONCE and reused by stages 6 and 9;
-      6. connected-components dedup (drop non-canonical members);
+      5. near-dup pair generation within (lang, length-band) blocks,
+         then ONE connected-components run whose cluster map feeds
+         both stages 6 and 9 (the iterative star rounds never execute
+         twice — lineage reuse is not computation reuse);
+      6. cluster dedup (drop non-canonical members);
       7. quality-threshold selection (when ``keep_frac`` is given:
          exact percentile cut on the composite quality score);
       8. temperature-scaled language rebalancing (when
          ``temperature_alpha`` is given: kept ∝ n^alpha, the
          multilingual mixing rule, deterministic md5 gate);
       9. leakage-safe train/val split keyed per DUP CLUSTER (reusing
-         stage 5's pairs), so near-dup content never straddles the
-         boundary even for docs the dedup kept;
+         stage 5's cluster map), so near-dup content never straddles
+         the boundary even for docs the dedup kept;
      10. fixed-token chunking (when ``chunk_tokens`` is given) applied
          AFTER the split — chunks of one doc can never land on both
          sides; with ``pack_budget`` also set, each chunk carries its
@@ -129,14 +131,18 @@ def prepare_training_corpus(documents: DataFrame, *,
     if benchmark is not None:
         kept = curation.decontaminate(kept, benchmark)
     pairs = dedup.ngram_jaccard_pairs(kept, threshold=threshold)
-    curated = components.drop_near_duplicates(kept, pairs)
+    clusters = components.dedup_clusters(pairs, "doc_a", "doc_b")
+    losers = (clusters.filter(~F.col("is_canonical"))
+              .select(F.col("doc_id")))
+    curated = kept.join(losers, "doc_id", "left_anti")
     if keep_frac is not None:
         curated = curation.select_top_quality(
             curated, quality_score(F.col("text")), keep_frac)
     if temperature_alpha is not None:
         curated = curation.temperature_sample(
             curated, alpha=temperature_alpha)
-    split = curation.leakage_safe_split(curated, pairs, val_frac)
+    split = curation.leakage_safe_split(curated, val_frac=val_frac,
+                                        clusters=clusters)
     labeled = curated.join(split, "doc_id")
     train = labeled.filter(F.col("split") == "train").drop("split")
     val = labeled.filter(F.col("split") == "val").drop("split")

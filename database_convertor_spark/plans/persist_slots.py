@@ -19,12 +19,29 @@ correctness.
 
 from __future__ import annotations
 
+import atexit
 import threading
 
 from pyspark.sql import DataFrame
 
 _LOCK = threading.Lock()
 _SLOTS: dict[tuple[int, str], DataFrame] = {}
+
+
+def _purge_all() -> None:
+    """Release every live occupant and drop the rest. Registered at
+    interpreter exit so a process that stops its session and never
+    swaps again doesn't retain dead DataFrame/session object graphs
+    for its remaining lifetime (the purge in swap_persisted only runs
+    on the NEXT swap)."""
+    with _LOCK:
+        entries = list(_SLOTS.values())
+        _SLOTS.clear()
+    for df in entries:
+        _release(df)
+
+
+atexit.register(_purge_all)
 
 
 def _alive(df: DataFrame) -> bool:

@@ -212,8 +212,14 @@ def run_ingest_stream(spark: SparkSession, sf_dir: str,
     landing = checkpoint + "_landing"
     # a file-stream checkpoint writes its offsets log on first trigger;
     # its presence marks a resumed run (local-path heuristic — the test
-    # harness always runs on local storage)
-    resuming = os.path.exists(os.path.join(checkpoint, "offsets"))
+    # harness always runs on local storage). Trust it only if the data
+    # the checkpoint refers to is actually still there: checkpoint and
+    # landing/corpus can live on different volumes with different
+    # lifetimes, and resuming onto missing paths fails at stream start
+    # instead of re-initializing.
+    resuming = (os.path.exists(os.path.join(checkpoint, "offsets"))
+                and os.path.exists(landing)
+                and os.path.exists(corpus_path))
     if not resuming:
         docs = read_table(spark, sf_dir, "documents")
         # several part-files so maxFilesPerTrigger yields real
