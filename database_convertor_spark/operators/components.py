@@ -166,12 +166,21 @@ def dedup_clusters(pairs: DataFrame, left_col: str, right_col: str) -> DataFrame
         (F.col("node") == F.col("component")).alias("is_canonical"))
 
 
-def drop_near_duplicates(documents: DataFrame, pairs: DataFrame,
+def drop_near_duplicates(documents: DataFrame, pairs: DataFrame | None = None,
                          left_col: str = "doc_a",
-                         right_col: str = "doc_b") -> DataFrame:
+                         right_col: str = "doc_b",
+                         clusters: DataFrame | None = None) -> DataFrame:
     """The end-to-end dedup contract: remove every non-canonical member
-    of every near-dup cluster from the corpus."""
-    losers = (dedup_clusters(pairs, left_col, right_col)
+    of every near-dup cluster from the corpus. Pass ``clusters`` (a
+    precomputed ``dedup_clusters`` frame) when the caller also needs
+    the cluster map for something else (a leakage-safe split) — the
+    canonical-member semantics then live HERE only, and the iterative
+    components run executes once."""
+    if clusters is None:
+        if pairs is None:
+            raise ValueError("drop_near_duplicates needs pairs or clusters")
+        clusters = dedup_clusters(pairs, left_col, right_col)
+    losers = (clusters
               .filter(~F.col("is_canonical"))
               .select(F.col("doc_id")))
     return documents.join(losers, "doc_id", "left_anti")

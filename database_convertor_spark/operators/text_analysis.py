@@ -182,22 +182,31 @@ def cross_doc_span_signals(documents: DataFrame,
     pairwise near-dup family (document-level similarity): this is the
     corpus-level duplication diagnostic in between.
 
-    Shape: windows ride as 60-bit md5 hashes; the occurrence list and
-    the distinct-doc frequency table shuffle on the HASH key
-    (partial-aggregable counts, Zipf-head combines map-side), the
-    final roll-up on doc_id. A doc shorter than ``window`` tokens
+    Shape: windows ride as 60-bit md5 hashes; the distinct pass
+    shuffles on (doc_id, hash), the frequency aggregate and the
+    occurrence join on the hash alone (partial-aggregable counts,
+    Zipf-head combines map-side), the final roll-up on doc_id. The
+    exploded+hashed window frame is referenced by BOTH the frequency
+    build and the probe side — it is persisted (session-slot-bounded)
+    so the corpus-wide explode scan runs once, not twice. A doc
+    shorter than ``window`` tokens
     contributes its whole text as one window — two short identical
     docs therefore count as duplicated spans, which is the intended
     exact-dup degenerate case.
 
     Output: (doc_id, n_windows, cross_dup_frac).
     """
+    from pyspark.storagelevel import StorageLevel
+
     from ..functions.text import md5_long, shingles
+    from ..plans.persist_slots import swap_persisted
 
     w = (documents
          .select("doc_id",
                  F.explode(shingles(F.col("text"), window)).alias("_w"))
          .select("doc_id", md5_long(F.col("_w")).alias("_h")))
+    w = swap_persisted("cross_dup_spans_w",
+                       w.persist(StorageLevel.MEMORY_AND_DISK))
     docfreq = (w.distinct()
                .groupBy("_h")
                .agg(F.count(F.lit(1)).alias("_df")))

@@ -132,9 +132,7 @@ def prepare_training_corpus(documents: DataFrame, *,
         kept = curation.decontaminate(kept, benchmark)
     pairs = dedup.ngram_jaccard_pairs(kept, threshold=threshold)
     clusters = components.dedup_clusters(pairs, "doc_a", "doc_b")
-    losers = (clusters.filter(~F.col("is_canonical"))
-              .select(F.col("doc_id")))
-    curated = kept.join(losers, "doc_id", "left_anti")
+    curated = components.drop_near_duplicates(kept, clusters=clusters)
     if keep_frac is not None:
         curated = curation.select_top_quality(
             curated, quality_score(F.col("text")), keep_frac)

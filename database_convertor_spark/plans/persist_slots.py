@@ -29,11 +29,13 @@ _SLOTS: dict[tuple[int, str], DataFrame] = {}
 
 
 def _purge_all() -> None:
-    """Release every live occupant and drop the rest. Registered at
-    interpreter exit so a process that stops its session and never
-    swaps again doesn't retain dead DataFrame/session object graphs
-    for its remaining lifetime (the purge in swap_persisted only runs
-    on the NEXT swap)."""
+    """Interpreter-exit sweep: unpersist slot occupants whose session
+    is STILL LIVE (an embedding host that outlives its last Spark
+    query gets its executor cache back before teardown) and drop every
+    reference. Deliberately modest — it cannot help a process that
+    stopped its session mid-lifetime and never swaps again; those
+    entries are plain dead Python objects until the next
+    swap_persisted call purges them (or exit)."""
     with _LOCK:
         entries = list(_SLOTS.values())
         _SLOTS.clear()

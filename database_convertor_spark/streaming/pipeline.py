@@ -217,9 +217,20 @@ def run_ingest_stream(spark: SparkSession, sf_dir: str,
     # landing/corpus can live on different volumes with different
     # lifetimes, and resuming onto missing paths fails at stream start
     # instead of re-initializing.
-    resuming = (os.path.exists(os.path.join(checkpoint, "offsets"))
+    has_offsets = os.path.exists(os.path.join(checkpoint, "offsets"))
+    resuming = (has_offsets
                 and os.path.exists(landing)
                 and os.path.exists(corpus_path))
+    if has_offsets and not resuming:
+        # the checkpoint outlived the data it describes (different
+        # volume lifetimes): its offsets log references part files
+        # about to be deleted, and an uncommitted batch would replay
+        # against them at stream start. This is OUR checkpoint by
+        # contract (run_ingest_stream created it) — clear it and
+        # rebuild from scratch rather than resume into a crash.
+        import shutil
+
+        shutil.rmtree(checkpoint, ignore_errors=True)
     if not resuming:
         docs = read_table(spark, sf_dir, "documents")
         # several part-files so maxFilesPerTrigger yields real

@@ -41,6 +41,7 @@ SCALE_SENSITIVE = [
     "doc_lm_logprob",
     "corpus_temperature_sample",
     "training_shard_packing",
+    "doc_cross_dup_spans",
 ]
 
 
