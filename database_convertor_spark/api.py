@@ -324,6 +324,13 @@ class Engine:
         from .operators.curation import pack_chunks
         return pack_chunks(chunks, documents, budget, n_shards)
 
+    def write_training_shards(self, chunks_with_bins: DataFrame,
+                              path: str) -> None:
+        """Land packed chunks partitioned by (lang, shard), sorted by
+        bin within each file — the training-loader layout."""
+        from .sources.writers import write_training_shards
+        return write_training_shards(chunks_with_bins, path)
+
     def ann_topk(self, queries: DataFrame, corpus: DataFrame,
                  k: int = 5, n_clusters: int | None = None,
                  nprobe: int = 2) -> DataFrame:

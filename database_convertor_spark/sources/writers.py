@@ -153,3 +153,20 @@ def merge_upsert(spark: SparkSession, target_path: str, updates: DataFrame,
     # drop the session's cached file listing for the rewritten path
     spark.catalog.refreshByPath(target_path)
     return spark.read.parquet(target_path)
+
+
+def write_training_shards(chunks_with_bins: DataFrame, path: str) -> None:
+    """Land packed training chunks (the ``assign_chunk_bins`` output)
+    as the on-disk layout a training loader consumes: one directory
+    per (lang, shard) partition, rows inside each file sorted by
+    (bin_id, doc_id, chunk_id) so a sequential read replays bins in
+    packing order. ``partitionBy`` prunes language/shard subsets at
+    read time; ``sortWithinPartitions`` costs a per-partition sort,
+    never a global one — the same contiguity contract the packing
+    window established."""
+    (chunks_with_bins
+     .repartition("lang", "shard")
+     .sortWithinPartitions("bin_id", "doc_id", "chunk_id")
+     .write.mode("overwrite")
+     .partitionBy("lang", "shard")
+     .parquet(path))

@@ -38,3 +38,35 @@ def test_dedup_latest(spark):
         [("a", 1, 10), ("a", 2, 20), ("b", 1, 30)], ["k", "ts", "v"])
     out = {r.k: r.v for r in dedup_latest(df, ["k"], "ts").collect()}
     assert out == {"a": 20, "b": 30}
+
+
+def test_write_training_shards_layout_and_roundtrip(spark, tmp_path):
+    """Packed chunks land partitioned by (lang, shard) and round-trip
+    losslessly; each partition directory exists for each assignment."""
+    import os
+
+    from database_convertor_spark.operators.curation import (
+        assign_chunk_bins,
+        chunk_documents,
+    )
+    from database_convertor_spark.sources.readers import read_table
+    from database_convertor_spark.sources.writers import (
+        write_training_shards,
+    )
+
+    from .conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap=4)
+    assigned = assign_chunk_bins(chunks, docs, budget=64, n_shards=2)
+    out = os.path.join(tmp_path, "shards")
+    write_training_shards(assigned, out)
+
+    langs = {r.lang for r in assigned.select("lang").distinct().collect()}
+    for lang in langs:
+        assert os.path.isdir(os.path.join(out, f"lang={lang}"))
+
+    back = spark.read.parquet(out)
+    want = {tuple(sorted(r.asDict().items())) for r in assigned.collect()}
+    got = {tuple(sorted(r.asDict().items())) for r in back.collect()}
+    assert got == want
