@@ -7,8 +7,11 @@ hot path.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
 # language-ID heuristic. Deliberately small and deterministic.
@@ -204,3 +207,37 @@ def shingles(col: Column, n: int = 3) -> Column:
     return F.when(F.size(toks) < n,
                   F.array(F.array_join(toks, " "))
                   ).otherwise(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
+
+
+def nfc_normalize(col: Column) -> Column:
+    """Unicode NFC normalization (compose combining sequences:
+    'e' + U+0301 -> 'é'). Spark has no built-in normalizer, so this is
+    an Arrow-batched pandas UDF — the one legitimately-Python stage of
+    text normalization (per-codepoint tables). ASCII-only batches pass
+    through allocation-free in CPython (NFC of ASCII is identity)."""
+    @F.pandas_udf(T.StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda x: None if x is None
+                     else unicodedata.normalize("NFC", x))
+
+    return _nfc(col)
+
+
+def normalize_text_for_training(col: Column) -> Column:
+    """The standard pre-training text normalization pass: NFC compose,
+    strip C0/C1 control characters (newlines survive; tabs become
+    spaces), collapse horizontal whitespace runs, trim spaces around
+    newlines and at the ends. Everything after the NFC UDF is JVM
+    regexp_replace — order matters (NFC first, so composed characters
+    are what the regexes see)."""
+    out = nfc_normalize(col)
+    # control chars minus \n -> space (tab included: horizontal layout
+    # collapses to single spaces next)
+    out = F.regexp_replace(
+        out, "[\\x00-\\x09\\x0B-\\x1F\\x7F\\x{0080}-\\x{009F}]", " ")
+    out = F.regexp_replace(out, " {2,}", " ")
+    out = F.regexp_replace(out, " ?\\n ?", "\n")
+    # full whitespace trim at both ends (F.trim strips spaces only)
+    return F.regexp_replace(out, "^\\s+|\\s+$", "")

@@ -2468,6 +2468,54 @@ _add(
 )
 
 
+def _text_normalize_demo(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalization on driver tables: deterministic mess is injected —
+    a decomposed accent (e + U+0301), a BEL control char, a tab and a
+    double space — then normalized away. n_chars proves composition
+    actually happened (é is ONE char after NFC)."""
+    from ..functions.text import normalize_text_for_training
+
+    docs, = _t(spark, sf, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(F.lit("  cafe\u0301 \u0007menu\t"), F.col("text"),
+                 F.lit("  tail  ")).alias("text"))
+    return dirty.select(
+        "doc_id",
+        normalize_text_for_training(F.col("text")).alias("text")
+    ).withColumn("n_chars", F.length("text").cast("long"))
+
+
+_add(
+    "doc_text_normalized",
+    _text_normalize_demo,
+    """
+    WITH dirty AS (
+      SELECT doc_id,
+             '  cafe' || chr(769) || ' ' || chr(7) || 'menu' || chr(9)
+               || text || '  tail  ' AS text
+      FROM documents)
+    SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n_chars
+    FROM (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(nfc_normalize(text),
+                     '[\\x00-\\x09\\x0B-\\x1F\\x7F\\x{0080}-\\x{009F}]', ' ',
+                     'g'),
+                   ' {2,}', ' ', 'g'),
+                 ' ?\\n ?', chr(10), 'g'),
+               '^\\s+|\\s+$', '', 'g') AS text
+      FROM dirty)
+    """,
+    "C2,C3,text-analysis,pipeline",
+    "pre-training text normalization: NFC compose (Arrow pandas UDF — "
+    "the one legitimately-Python stage) + control-char strip + "
+    "whitespace collapse, all remaining stages JVM regexp_replace",
+)
+
+
 # --------------------------------------------------- driver-window rotation
 # The correctness driver samples the FIRST 50 catalog entries in
 # order. Every oracle query should earn a hard driver-green row at
@@ -2486,7 +2534,7 @@ _PULL_FORWARD = [
     # round 4: the five brand-new operators go straight into the window
     "doc_line_dedup", "doc_lm_logprob",
     "corpus_temperature_sample", "training_shard_packing",
-    "doc_cross_dup_spans",
+    "doc_cross_dup_spans", "doc_text_normalized",
 ]
 _PUSH_BACK = [
     "top_orders", "scalar_cleaning", "order_date_dimensions",
@@ -2494,7 +2542,7 @@ _PUSH_BACK = [
     "event_type_counts", "orders_union_dedup",
     "customer_order_stats", "customers_without_orders",
     "priority_order_pick", "event_props_extract",
-    "active_customer_keys",
+    "active_customer_keys", "nation_customer_rollup",
 ]
 
 _by_name = {s.name: s for s in _SPECS}

@@ -251,3 +251,29 @@ def test_gopher_signals_and_filter(spark):
     assert not out[2].passes                                # dup lines + short
     assert out[3].bullet_line_frac == 1.0
     assert out[4].ellipsis_line_frac == round(2 / 3, 4)
+
+
+def test_normalize_text_for_training_goldens(spark):
+    """Unicode NFC composition, control stripping, whitespace
+    collapse, end trim — the pre-training normalization contract."""
+    from database_convertor_spark.functions.text import (
+        normalize_text_for_training,
+    )
+    rows = [
+        ("cafe\u0301",),                     # decomposed -> composed
+        ("a\x00b\x07c",),                   # C0 controls -> spaces,
+                                              # then collapsed
+        ("a\tb  c",),                        # tab + runs -> one space
+        ("  line one  \n  line two  \n",),  # newline-adjacent trim
+        ("da\u0085sh",),                     # C1 control stripped
+        ("",),
+    ]
+    df = spark.createDataFrame(rows, ["text"])
+    got = [r.out for r in df.select(
+        normalize_text_for_training(F.col("text")).alias("out")).collect()]
+    assert got[0] == "caf\u00e9" and len(got[0]) == 4
+    assert got[1] == "a b c"
+    assert got[2] == "a b c"
+    assert got[3] == "line one\nline two"
+    assert got[4] == "da sh"
+    assert got[5] == ""
