@@ -1,8 +1,10 @@
 """Text-analysis building blocks for the training-data pipeline layer:
 tokenization, token counting, quality scoring, language-ID heuristics,
-document fingerprinting. All pure column expressions (JVM-side) so a
-100 TB corpus pass stays inside WholeStageCodegen — no Python in the
-hot path.
+document fingerprinting. Pure column expressions (JVM-side) so a
+100 TB corpus pass stays inside WholeStageCodegen — with ONE
+documented exception: ``nfc_normalize`` is an Arrow-batched pandas
+UDF (unicode composition needs per-codepoint tables Spark doesn't
+ship; everything downstream of it returns to JVM regexes).
 """
 
 from __future__ import annotations
@@ -209,20 +211,23 @@ def shingles(col: Column, n: int = 3) -> Column:
                   ).otherwise(F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " ")))
 
 
+@F.pandas_udf(T.StringType())
+def _nfc_udf(s: pd.Series) -> pd.Series:
+    import unicodedata
+
+    return s.map(lambda x: None if x is None
+                 else unicodedata.normalize("NFC", x))
+
+
 def nfc_normalize(col: Column) -> Column:
     """Unicode NFC normalization (compose combining sequences:
     'e' + U+0301 -> 'é'). Spark has no built-in normalizer, so this is
     an Arrow-batched pandas UDF — the one legitimately-Python stage of
-    text normalization (per-codepoint tables). ASCII-only batches pass
-    through allocation-free in CPython (NFC of ASCII is identity)."""
-    @F.pandas_udf(T.StringType())
-    def _nfc(s: pd.Series) -> pd.Series:
-        import unicodedata
-
-        return s.map(lambda x: None if x is None
-                     else unicodedata.normalize("NFC", x))
-
-    return _nfc(col)
+    text normalization (per-codepoint tables), defined once at module
+    scope (decorating per call would re-inspect hints and re-pickle
+    the closure for every plan built). ASCII-only batches pass through
+    allocation-free in CPython (NFC of ASCII is identity)."""
+    return _nfc_udf(col)
 
 
 def normalize_text_for_training(col: Column) -> Column:

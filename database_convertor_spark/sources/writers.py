@@ -164,9 +164,14 @@ def write_training_shards(chunks_with_bins: DataFrame, path: str) -> None:
     read time; ``sortWithinPartitions`` costs a per-partition sort,
     never a global one — the same contiguity contract the packing
     window established."""
+    # the sort MUST lead with the partitionBy columns: that satisfies
+    # the write path's required ordering, so Spark reuses THIS sort
+    # instead of inserting its own Sort(lang, shard) on top — which
+    # would both double the sort work and, once large enough to spill,
+    # merge tie runs arbitrarily and destroy the per-file bin order
     (chunks_with_bins
      .repartition("lang", "shard")
-     .sortWithinPartitions("bin_id", "doc_id", "chunk_id")
+     .sortWithinPartitions("lang", "shard", "bin_id", "doc_id", "chunk_id")
      .write.mode("overwrite")
      .partitionBy("lang", "shard")
      .parquet(path))

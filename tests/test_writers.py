@@ -70,3 +70,15 @@ def test_write_training_shards_layout_and_roundtrip(spark, tmp_path):
     want = {tuple(sorted(r.asDict().items())) for r in assigned.collect()}
     got = {tuple(sorted(r.asDict().items())) for r in back.collect()}
     assert got == want
+
+    # physical per-file order: each parquet file replays its bins in
+    # (bin_id, doc_id, chunk_id) order — the training-loader contract
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(os.path.join(out, "lang=*", "shard=*", "*.parquet")):
+        t = pq.read_table(f, columns=["bin_id", "doc_id", "chunk_id"])
+        rows = list(zip(t["bin_id"].to_pylist(), t["doc_id"].to_pylist(),
+                        t["chunk_id"].to_pylist()))
+        assert rows == sorted(rows), f
