@@ -143,3 +143,85 @@ def run_stateful_totals(spark: SparkSession, sf_dir: str,
                                        ORDER BY n_events DESC) AS rn
           FROM user_totals) WHERE rn = 1
     """)
+
+
+SESSION_OUTPUT_SCHEMA = "user_id long, n_sessions long, n_events long"
+SESSION_STATE_SCHEMA = "starts array<double>, ends array<double>, n long"
+
+
+def _make_session_updater(gap_seconds: int):
+    """Stateful sessionization as INTERVAL MERGING — the design that
+    makes it order-insensitive: each user's state is the set of
+    disjoint session intervals seen so far; a batch's events join as
+    degenerate [t, t] intervals and everything re-merges under the
+    gap rule (intervals closer than ``gap_seconds`` coalesce). Because
+    merging is associative and commutative over event sets, the final
+    intervals equal batch sessionization NO MATTER how events are
+    split across micro-batches or how batches are ordered — late and
+    out-of-order arrivals included, with no watermark needed for
+    correctness. (A production deployment still wants one for state
+    GC: intervals older than watermark - gap are closed forever and
+    can be flushed to the sink; state then scales with OPEN sessions
+    per user, not history. The batch-drain tests run NoTimeout.)
+
+    Closure factory (not a default arg): applyInPandasWithState
+    functions take exactly (key, iterator, state)."""
+
+    def update(key: tuple, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        starts, ends, n = (state.get if state.exists else ([], [], 0))
+        intervals = [[s, e] for s, e in zip(starts, ends)]
+        for pdf in pdfs:
+            # whole seconds, matching the batch twin's unix_timestamp()
+            ts = pdf["ts"].astype("int64") // 10 ** 9
+            n += len(ts)
+            intervals.extend([float(t), float(t)] for t in ts)
+        intervals.sort()
+        merged: list[list[float]] = []
+        for s, e in intervals:
+            if merged and s - merged[-1][1] <= gap_seconds:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        state.update(([s for s, _ in merged], [e for _, e in merged], n))
+        yield pd.DataFrame([{"user_id": key[0],
+                             "n_sessions": len(merged), "n_events": n}])
+
+    return update
+
+
+def run_sessionization_stream(spark: SparkSession, sf_dir: str,
+                              checkpoint: str, n_batches: int = 4,
+                              gap_seconds: int = 1800) -> DataFrame:
+    """Streaming twin of ``relational.user_sessions``: per-user session
+    intervals maintained across micro-batches. The landing stage
+    hash-repartitions events into files, so each micro-batch carries a
+    RANDOM time-slice of every user's history — deliberately
+    adversarial ordering that the interval-merge state absorbs; the
+    final counts must equal the batch operator's (tested)."""
+    from ..schemas import TESTDATA_SCHEMAS
+    from ..sources.readers import read_table
+
+    landing = checkpoint + "_landing"
+    (read_table(spark, sf_dir, "events")
+     .repartition(n_batches).write.mode("overwrite").parquet(landing))
+
+    stream = (spark.readStream.schema(TESTDATA_SCHEMAS["events"])
+              .option("maxFilesPerTrigger", 1).parquet(landing))
+    sessions = (stream.groupBy("user_id")
+                .applyInPandasWithState(
+                    _make_session_updater(gap_seconds),
+                    SESSION_OUTPUT_SCHEMA, SESSION_STATE_SCHEMA,
+                    "update", GroupStateTimeout.NoTimeout))
+    q = (sessions.writeStream.outputMode("update")
+         .format("memory").queryName("user_sessions_stream")
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.sql("""
+        SELECT user_id, n_sessions, n_events FROM (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY n_events DESC) AS rn
+          FROM user_sessions_stream) WHERE rn = 1
+    """)

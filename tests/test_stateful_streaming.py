@@ -48,3 +48,26 @@ def test_streaming_health_equals_batch(spark, tmp_path):
                   .collect())
     assert len(got) > 0
     assert got == want
+
+
+def test_sessionization_stream_equals_batch(spark, tmp_path):
+    """The interval-merge stateful operator must reproduce batch
+    sessionization exactly even though the landing stage scatters each
+    user's events RANDOMLY across micro-batches (hash repartition) —
+    the order-insensitivity claim under its most adversarial split."""
+    from database_convertor_spark.operators.relational import user_sessions
+    from database_convertor_spark.sources.readers import read_table
+    from database_convertor_spark.streaming.stateful import (
+        run_sessionization_stream,
+    )
+
+    from .conftest import SF_SMALL
+
+    got = {r.user_id: (r.n_sessions, r.n_events)
+           for r in run_sessionization_stream(
+               spark, SF_SMALL, str(tmp_path / "ckpt"),
+               n_batches=5).collect()}
+    want = {r.user_id: (r.n_sessions, r.n_events)
+            for r in user_sessions(
+                read_table(spark, SF_SMALL, "events")).collect()}
+    assert got == want
