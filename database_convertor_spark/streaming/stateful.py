@@ -1,11 +1,12 @@
-"""Custom stateful streaming operator (SURVEY T5: the reference's
+"""Custom stateful streaming operators (SURVEY T5: the reference's
 progressively-updated run counters / budget accumulation) via
-``applyInPandasWithState``: per-user running totals maintained across
-micro-batches in managed state, emitted in update mode.
+``applyInPandasWithState``: per-key state maintained across
+micro-batches, emitted in update mode.
 
-State size is bounded by the key cardinality (one small tuple per
-user); at 100 TB of events the state store scales with users, not
-events — this is the property that makes the operator viable."""
+State size is bounded by key cardinality (plus open sessions for the
+sessionization operator); at 100 TB of events the state store scales
+with users/runs, not events — the property that makes these viable.
+"""
 
 from __future__ import annotations
 
@@ -15,6 +16,57 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def _epoch_seconds(ts: pd.Series) -> pd.Series:
+    """Timestamp series -> whole epoch seconds (matching the batch
+    twins' ``unix_timestamp()``), with NaT DROPPED first: pandas 2.x
+    ``astype('int64')`` turns NaT into the int64 sentinel (-2^63),
+    which would otherwise become a phantom far-past event."""
+    return ts.dropna().astype("int64") // 10 ** 9
+
+
+def _stage_landing(spark: SparkSession, sf_dir: str, checkpoint: str,
+                   n_batches: int) -> str:
+    """Write the events table as ``n_batches`` round-robin part files
+    next to the checkpoint — maxFilesPerTrigger=1 then drains them as
+    separate micro-batches. Round-robin (not hash): every file carries
+    a random slice of EVERY key's history, the adversarial split the
+    order-insensitive operators are tested against."""
+    from ..sources.readers import read_table
+
+    landing = checkpoint + "_landing"
+    (read_table(spark, sf_dir, "events")
+     .repartition(n_batches).write.mode("overwrite").parquet(landing))
+    return landing
+
+
+def _drain_to_final(stream_keyed, updater, out_schema: str,
+                    state_schema: str, checkpoint: str, query_name: str,
+                    key_col: str, final_cols: str,
+                    order_col: str) -> DataFrame:
+    """Run a stateful update-mode query to completion (AvailableNow)
+    into a memory sink and return each key's FINAL state row. Update
+    mode emits one row per (key, batch); the final row is the one with
+    the largest ``order_col`` — monotonically increasing per batch a
+    key appears in, so the pick cannot tie."""
+    stateful = stream_keyed.applyInPandasWithState(
+        updater, out_schema, state_schema,
+        "update", GroupStateTimeout.NoTimeout)
+    q = (stateful.writeStream.outputMode("update")
+         .format("memory").queryName(query_name)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    spark = SparkSession.getActiveSession()
+    return spark.sql(f"""
+        SELECT {final_cols} FROM (
+          SELECT *, row_number() OVER (PARTITION BY {key_col}
+                                       ORDER BY {order_col} DESC) AS rn
+          FROM {query_name}) WHERE rn = 1
+    """)
+
 
 OUTPUT_SCHEMA = "user_id long, n_events long, sum_value double"
 STATE_SCHEMA = "n long, total double"
@@ -48,9 +100,9 @@ def _update_health(key: tuple, pdfs: Iterator[pd.DataFrame],
     mn, mx, n, err = (state.get if state.exists
                       else (float("inf"), float("-inf"), 0, 0))
     for pdf in pdfs:
-        # whole seconds, matching the batch twin's unix_timestamp()
-        ts = pdf["ts"].astype("int64") // 10 ** 9
-        mn, mx = min(mn, float(ts.min())), max(mx, float(ts.max()))
+        ts = _epoch_seconds(pdf["ts"])
+        if len(ts):
+            mn, mx = min(mn, float(ts.min())), max(mx, float(ts.max()))
         n += len(pdf)
         err += int((pdf["event_type"] == "error").sum())
     state.update((mn, mx, n, err))
@@ -76,39 +128,23 @@ def run_health_stream(spark: SparkSession, sf_dir: str,
     FINAL verdict (which must equal the batch operator's — tested).
     State is one 4-tuple per run: the store scales with runs, not
     events."""
-    from ..schemas import TESTDATA_SCHEMAS
-    from ..sources.readers import read_table
-
-    landing = checkpoint + "_landing"
-    (read_table(spark, sf_dir, "events")
-     .repartition(n_batches).write.mode("overwrite").parquet(landing))
-
     from pyspark.sql import functions as F
 
+    from ..schemas import TESTDATA_SCHEMAS
+
+    landing = _stage_landing(spark, sf_dir, checkpoint, n_batches)
     stream = (spark.readStream.schema(TESTDATA_SCHEMAS["events"])
               .option("maxFilesPerTrigger", 1).parquet(landing)
               .withColumn("run_id",
                           F.concat_ws(":", F.col("user_id").cast("string"),
                                       F.date_format("ts", "yyyy-MM-dd"))))
-    health = (stream.groupBy("run_id")
-              .applyInPandasWithState(
-                  _update_health, HEALTH_OUTPUT_SCHEMA, HEALTH_STATE_SCHEMA,
-                  "update", GroupStateTimeout.NoTimeout))
-    q = (health.writeStream.outputMode("update")
-         .format("memory").queryName("run_health_stream")
-         .option("checkpointLocation", checkpoint)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    # update mode emits one row per (run, batch); keep the final state
-    return spark.sql("""
-        SELECT run_id, duration_minutes, n_processed, n_errors,
-               success_rate_pct, error_rate_pct, healthy, alert_reasons
-        FROM (
-          SELECT *, row_number() OVER (PARTITION BY run_id
-                                       ORDER BY n_processed DESC) AS rn
-          FROM run_health_stream) WHERE rn = 1
-    """)
+    return _drain_to_final(
+        stream.groupBy("run_id"), _update_health,
+        HEALTH_OUTPUT_SCHEMA, HEALTH_STATE_SCHEMA,
+        checkpoint, "run_health_stream", "run_id",
+        "run_id, duration_minutes, n_processed, n_errors, "
+        "success_rate_pct, error_rate_pct, healthy, alert_reasons",
+        "n_processed")
 
 
 def run_stateful_totals(spark: SparkSession, sf_dir: str,
@@ -116,33 +152,16 @@ def run_stateful_totals(spark: SparkSession, sf_dir: str,
     """Drive the events table through the stateful operator in
     ``n_batches`` micro-batches (landing staged as n files,
     maxFilesPerTrigger=1) and return the final per-user totals."""
-    from ..sources.readers import read_table
     from ..schemas import TESTDATA_SCHEMAS
 
-    landing = checkpoint + "_landing"
-    (read_table(spark, sf_dir, "events")
-     .repartition(n_batches).write.mode("overwrite").parquet(landing))
-
+    landing = _stage_landing(spark, sf_dir, checkpoint, n_batches)
     stream = (spark.readStream.schema(TESTDATA_SCHEMAS["events"])
               .option("maxFilesPerTrigger", 1).parquet(landing))
-    totals = (stream.groupBy("user_id")
-              .applyInPandasWithState(
-                  _update_totals, OUTPUT_SCHEMA, STATE_SCHEMA,
-                  "update", GroupStateTimeout.NoTimeout))
-    q = (totals.writeStream.outputMode("update")
-         .format("memory").queryName("user_totals")
-         .option("checkpointLocation", checkpoint)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    # update mode appends one row per (user, batch); the final state is
-    # the row with the largest n_events per user
-    return spark.sql("""
-        SELECT user_id, n_events, sum_value FROM (
-          SELECT *, row_number() OVER (PARTITION BY user_id
-                                       ORDER BY n_events DESC) AS rn
-          FROM user_totals) WHERE rn = 1
-    """)
+    return _drain_to_final(
+        stream.groupBy("user_id"), _update_totals,
+        OUTPUT_SCHEMA, STATE_SCHEMA,
+        checkpoint, "user_totals", "user_id",
+        "user_id, n_events, sum_value", "n_events")
 
 
 SESSION_OUTPUT_SCHEMA = "user_id long, n_sessions long, n_events long"
@@ -164,6 +183,11 @@ def _make_session_updater(gap_seconds: int):
     can be flushed to the sink; state then scales with OPEN sessions
     per user, not history. The batch-drain tests run NoTimeout.)
 
+    Timestamp-less events are DROPPED (they have no place on a session
+    timeline; the driver schema never produces them) — a deliberate
+    divergence from the batch twin, whose null handling is a lag-
+    ordering artifact.
+
     Closure factory (not a default arg): applyInPandasWithState
     functions take exactly (key, iterator, state)."""
 
@@ -172,8 +196,7 @@ def _make_session_updater(gap_seconds: int):
         starts, ends, n = (state.get if state.exists else ([], [], 0))
         intervals = [[s, e] for s, e in zip(starts, ends)]
         for pdf in pdfs:
-            # whole seconds, matching the batch twin's unix_timestamp()
-            ts = pdf["ts"].astype("int64") // 10 ** 9
+            ts = _epoch_seconds(pdf["ts"])
             n += len(ts)
             intervals.extend([float(t), float(t)] for t in ts)
         intervals.sort()
@@ -195,33 +218,17 @@ def run_sessionization_stream(spark: SparkSession, sf_dir: str,
                               gap_seconds: int = 1800) -> DataFrame:
     """Streaming twin of ``relational.user_sessions``: per-user session
     intervals maintained across micro-batches. The landing stage
-    hash-repartitions events into files, so each micro-batch carries a
+    round-robins events into files, so each micro-batch carries a
     RANDOM time-slice of every user's history — deliberately
     adversarial ordering that the interval-merge state absorbs; the
     final counts must equal the batch operator's (tested)."""
     from ..schemas import TESTDATA_SCHEMAS
-    from ..sources.readers import read_table
 
-    landing = checkpoint + "_landing"
-    (read_table(spark, sf_dir, "events")
-     .repartition(n_batches).write.mode("overwrite").parquet(landing))
-
+    landing = _stage_landing(spark, sf_dir, checkpoint, n_batches)
     stream = (spark.readStream.schema(TESTDATA_SCHEMAS["events"])
               .option("maxFilesPerTrigger", 1).parquet(landing))
-    sessions = (stream.groupBy("user_id")
-                .applyInPandasWithState(
-                    _make_session_updater(gap_seconds),
-                    SESSION_OUTPUT_SCHEMA, SESSION_STATE_SCHEMA,
-                    "update", GroupStateTimeout.NoTimeout))
-    q = (sessions.writeStream.outputMode("update")
-         .format("memory").queryName("user_sessions_stream")
-         .option("checkpointLocation", checkpoint)
-         .trigger(availableNow=True)
-         .start())
-    q.awaitTermination()
-    return spark.sql("""
-        SELECT user_id, n_sessions, n_events FROM (
-          SELECT *, row_number() OVER (PARTITION BY user_id
-                                       ORDER BY n_events DESC) AS rn
-          FROM user_sessions_stream) WHERE rn = 1
-    """)
+    return _drain_to_final(
+        stream.groupBy("user_id"), _make_session_updater(gap_seconds),
+        SESSION_OUTPUT_SCHEMA, SESSION_STATE_SCHEMA,
+        checkpoint, "user_sessions_stream", "user_id",
+        "user_id, n_sessions, n_events", "n_events")

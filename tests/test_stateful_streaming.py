@@ -53,7 +53,7 @@ def test_streaming_health_equals_batch(spark, tmp_path):
 def test_sessionization_stream_equals_batch(spark, tmp_path):
     """The interval-merge stateful operator must reproduce batch
     sessionization exactly even though the landing stage scatters each
-    user's events RANDOMLY across micro-batches (hash repartition) —
+    user's events RANDOMLY across micro-batches (round-robin repartition) —
     the order-insensitivity claim under its most adversarial split."""
     from database_convertor_spark.operators.relational import user_sessions
     from database_convertor_spark.sources.readers import read_table
