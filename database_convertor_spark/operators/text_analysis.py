@@ -227,3 +227,85 @@ def fingerprint_docs(documents: DataFrame) -> DataFrame:
             .select("doc_id", fingerprint(F.col("text")).alias("fp"))
             .withColumn("n_same_content", F.count(F.lit(1)).over(w))
             .withColumn("is_duplicate", F.col("n_same_content") > 1))
+
+
+def top_terms_heavy_hitters(documents: DataFrame, k: int = 5,
+                            capacity: int = 2048) -> DataFrame:
+    """Per-language top-k terms WITHOUT shuffling the full vocabulary —
+    the 100 TB shape of ``top_terms_per_lang``, built on distributed
+    Misra-Gries (public streaming-algorithms result) plus an exactness
+    certificate:
+
+      pass 1 (narrow, no shuffle of raw terms): every partition keeps
+        a per-language Misra-Gries summary of ``capacity`` counters
+        (batched-decrement variant: when the table overflows 2x
+        capacity, the (capacity+1)-th largest count is subtracted from
+        all and non-positive entries dropped — each such event charges
+        >= capacity+1 total count, so any term with global frequency
+        > N_lang/(capacity+1) survives in SOME partition's summary).
+        Only the summaries (|partitions| x |langs| x capacity rows,
+        a vanishing fraction of the vocabulary) are shuffled to build
+        the global candidate set.
+      pass 2: exact counts of CANDIDATE terms only — the term explode
+        is filtered against the broadcast candidate set before any
+        aggregation, then top-k per language as usual.
+
+      certificate: the result provably equals the exact top-k iff the
+        k-th candidate count exceeds N_lang/(capacity+1) (no missed
+        term can beat it). Languages failing the certificate fall back
+        to the exact full aggregation — correctness first, the sketch
+        is a cost lever. Output matches ``top_terms_per_lang``.
+    """
+    import pandas as pd
+
+    from ..functions.text import tokens
+
+    def mg_partial(batches):
+        summaries: dict[str, dict[str, int]] = {}
+        for pdf in batches:
+            for lang, text in zip(pdf["lang"], pdf["text"]):
+                if text is None:
+                    continue
+                d = summaries.setdefault(lang, {})
+                for t in text.lower().split():
+                    d[t] = d.get(t, 0) + 1
+                if len(d) > 2 * capacity:
+                    cut = sorted(d.values(), reverse=True)[capacity]
+                    summaries[lang] = {t: c - cut for t, c in d.items()
+                                       if c > cut}
+        rows = [{"lang": lang, "term": t}
+                for lang, d in summaries.items() for t in d]
+        yield pd.DataFrame(rows, columns=["lang", "term"])
+
+    candidates = (documents.select("lang", "text")
+                  .mapInPandas(mg_partial, "lang string, term string")
+                  .distinct())
+    exploded = documents.select(
+        "lang", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    counts = (exploded.join(F.broadcast(candidates), ["lang", "term"])
+              .groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "term")
+    topk = (counts.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k))
+    # exactness certificate (one tiny eager check: k rows per lang +
+    # per-lang token totals). Certified langs keep the sketch result;
+    # the rest — including langs the sketch missed entirely — rerun
+    # exact. On Zipf-shaped text the fallback list is empty.
+    totals = (documents
+              .select("lang", F.size(tokens(F.lower(F.col("text"))))
+                      .alias("_n"))
+              .groupBy("lang").agg(F.sum("_n").alias("_N")))
+    kth = (topk.groupBy("lang").agg(F.min("n").alias("_kth"),
+                                    F.count(F.lit(1)).alias("_got")))
+    cert = {r.lang: (r._kth, r._got) for r in kth.collect()}
+    alln = {r.lang: r._N for r in totals.collect()}
+    certified = [lang for lang, (kth_n, got) in cert.items()
+                 if got >= k and kth_n > alln[lang] / (capacity + 1)]
+    uncertified = [lang for lang in alln if lang not in certified]
+    out = (topk.filter(F.col("lang").isin(certified)) if certified
+           else topk.filter(F.lit(False)))
+    if uncertified:
+        exact = top_terms_per_lang(
+            documents.filter(F.col("lang").isin(uncertified)), k)
+        out = out.unionByName(exact)
+    return out

@@ -2468,6 +2468,34 @@ _add(
 )
 
 
+_add(
+    "top_terms_two_pass",
+    lambda spark, sf: text_analysis.top_terms_heavy_hitters(
+        _t(spark, sf, "documents")[0], k=5),
+    # identical oracle to top_terms_per_lang: the two-pass operator is
+    # EXACT (certificate + fallback), only its shuffle shape differs
+    f"""
+    WITH terms AS (
+      SELECT lang, unnest({_TOKS_ALL.format(c='lower(text)')}) AS term
+      FROM documents),
+    counts AS (
+      SELECT lang, term, CAST(count(*) AS BIGINT) AS n
+      FROM terms GROUP BY lang, term),
+    ranked AS (
+      SELECT lang, term, n,
+             CAST(row_number() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, term) AS INTEGER)
+               AS rank
+      FROM counts)
+    SELECT lang, term, n, rank FROM ranked WHERE rank <= 5
+    """,
+    "A10,S7,text-analysis",
+    "per-language top-k terms via distributed Misra-Gries candidates + "
+    "exact recount + exactness certificate (no full-vocabulary "
+    "shuffle; certificate failure falls back to the exact aggregate)",
+)
+
+
 def _text_normalize_demo(spark: SparkSession, sf: str) -> DataFrame:
     """Normalization on driver tables: deterministic mess is injected —
     a decomposed accent (e + U+0301), a BEL control char, a tab and a
@@ -2535,6 +2563,7 @@ _PULL_FORWARD = [
     "doc_line_dedup", "doc_lm_logprob",
     "corpus_temperature_sample", "training_shard_packing",
     "doc_cross_dup_spans", "doc_text_normalized",
+    "top_terms_two_pass",
 ]
 _PUSH_BACK = [
     "top_orders", "scalar_cleaning", "order_date_dimensions",
@@ -2543,6 +2572,7 @@ _PUSH_BACK = [
     "customer_order_stats", "customers_without_orders",
     "priority_order_pick", "event_props_extract",
     "active_customer_keys", "nation_customer_rollup",
+    "customer_tiering",
 ]
 
 _by_name = {s.name: s for s in _SPECS}

@@ -277,3 +277,27 @@ def test_normalize_text_for_training_goldens(spark):
     assert got[3] == "line one\nline two"
     assert got[4] == "da sh"
     assert got[5] == ""
+
+
+def test_top_terms_heavy_hitters_equals_exact_both_regimes(spark):
+    """The two-pass Misra-Gries top-k must equal the exact aggregate in
+    BOTH regimes: certificate-passing (generous capacity, sketch path)
+    and certificate-failing (capacity=1 forces the exact fallback)."""
+    from database_convertor_spark.operators.text_analysis import (
+        top_terms_heavy_hitters,
+        top_terms_per_lang,
+    )
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    exact = sorted(map(tuple, top_terms_per_lang(docs, k=5).collect()))
+    sketch = sorted(map(tuple,
+                        top_terms_heavy_hitters(docs, k=5,
+                                                capacity=2048).collect()))
+    fallback = sorted(map(tuple,
+                          top_terms_heavy_hitters(docs, k=5,
+                                                  capacity=1).collect()))
+    assert sketch == exact
+    assert fallback == exact
