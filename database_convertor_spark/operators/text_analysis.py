@@ -112,6 +112,15 @@ def repetition_signals(documents: DataFrame,
     return out.select(*cols)
 
 
+def _rank_topk(counts: DataFrame, k: int) -> DataFrame:
+    """Shared top-k tail over a (lang, term, n) frame — ONE place owns
+    the ordering/tie-break rule (n desc, term asc) so the exact
+    aggregate and the sketch path cannot drift apart."""
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "term")
+    return (counts.withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k))
+
+
 def top_terms_per_lang(documents: DataFrame, k: int = 5) -> DataFrame:
     """Term-frequency top-k per language: explode tokens -> two-key
     aggregate -> top-k window over the (small) aggregated table. The
@@ -122,9 +131,7 @@ def top_terms_per_lang(documents: DataFrame, k: int = 5) -> DataFrame:
     terms = documents.select(
         "lang", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
     counts = terms.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("lang").orderBy(F.desc("n"), "term")
-    return (counts.withColumn("rank", F.row_number().over(w).cast("int"))
-            .filter(F.col("rank") <= k))
+    return _rank_topk(counts, k)
 
 
 def doc_lm_logprob(documents: DataFrame) -> DataFrame:
@@ -252,13 +259,30 @@ def top_terms_heavy_hitters(documents: DataFrame, k: int = 5,
 
       certificate: the result provably equals the exact top-k iff the
         k-th candidate count exceeds N_lang/(capacity+1) (no missed
-        term can beat it). Languages failing the certificate fall back
-        to the exact full aggregation — correctness first, the sketch
-        is a cost lever. Output matches ``top_terms_per_lang``.
+        term can beat it) — sound because pass 1 tokenizes with the
+        SAME rule as pass 2 (an explicit ASCII-\\s regex matching
+        Java's \\s; Python str.split() would also break on Unicode
+        whitespace Java does not, silently voiding the guarantee).
+        Languages failing the certificate — including any the sketch
+        missed entirely, and the NULL-lang group, which equi-joins
+        can't carry — fall back to the exact full aggregation:
+        correctness first, the sketch is a cost lever. The certificate
+        is ONE eager driver check (k rows + one total per language,
+        like select_top_quality's percentile); pass 2's candidate
+        counts are persisted so the returned plan reuses them instead
+        of re-running both passes. Output matches
+        ``top_terms_per_lang``.
     """
+    import re
+
     import pandas as pd
 
+    from pyspark.storagelevel import StorageLevel
+
     from ..functions.text import tokens
+    from ..plans.persist_slots import swap_persisted
+
+    java_ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
 
     def mg_partial(batches):
         summaries: dict[str, dict[str, int]] = {}
@@ -267,12 +291,16 @@ def top_terms_heavy_hitters(documents: DataFrame, k: int = 5,
                 if text is None:
                     continue
                 d = summaries.setdefault(lang, {})
-                for t in text.lower().split():
+                for t in java_ws.split(text.lower()):
+                    if not t:
+                        continue
                     d[t] = d.get(t, 0) + 1
-                if len(d) > 2 * capacity:
-                    cut = sorted(d.values(), reverse=True)[capacity]
-                    summaries[lang] = {t: c - cut for t, c in d.items()
-                                       if c > cut}
+                    # bound memory by capacity, not by any one
+                    # document's vocabulary: compact inside the loop
+                    if len(d) > 2 * capacity:
+                        cut = sorted(d.values(), reverse=True)[capacity]
+                        d = {t2: c - cut for t2, c in d.items() if c > cut}
+                        summaries[lang] = d
         rows = [{"lang": lang, "term": t}
                 for lang, d in summaries.items() for t in d]
         yield pd.DataFrame(rows, columns=["lang", "term"])
@@ -282,30 +310,32 @@ def top_terms_heavy_hitters(documents: DataFrame, k: int = 5,
                   .distinct())
     exploded = documents.select(
         "lang", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
-    counts = (exploded.join(F.broadcast(candidates), ["lang", "term"])
-              .groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n")))
-    w = Window.partitionBy("lang").orderBy(F.desc("n"), "term")
-    topk = (counts.withColumn("rank", F.row_number().over(w).cast("int"))
-            .filter(F.col("rank") <= k))
-    # exactness certificate (one tiny eager check: k rows per lang +
-    # per-lang token totals). Certified langs keep the sketch result;
-    # the rest — including langs the sketch missed entirely — rerun
-    # exact. On Zipf-shaped text the fallback list is empty.
-    totals = (documents
-              .select("lang", F.size(tokens(F.lower(F.col("text"))))
-                      .alias("_n"))
-              .groupBy("lang").agg(F.sum("_n").alias("_N")))
+    # no forced broadcast: the candidate set is tiny relative to the
+    # vocabulary but grows with |partitions| x capacity — let AQE pick
+    # broadcast when it fits and a shuffle hash join when it doesn't
+    counts = (exploded.join(candidates, ["lang", "term"])
+              .groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    swap_persisted("top_terms_hh_counts", counts)
+    topk = _rank_topk(counts, k)
+    totals = (token_stats_by_lang(documents)
+              .select("lang", F.col("total_tokens").alias("_N")))
     kth = (topk.groupBy("lang").agg(F.min("n").alias("_kth"),
                                     F.count(F.lit(1)).alias("_got")))
     cert = {r.lang: (r._kth, r._got) for r in kth.collect()}
     alln = {r.lang: r._N for r in totals.collect()}
     certified = [lang for lang, (kth_n, got) in cert.items()
-                 if got >= k and kth_n > alln[lang] / (capacity + 1)]
+                 if lang is not None and got >= k
+                 and kth_n > alln[lang] / (capacity + 1)]
     uncertified = [lang for lang in alln if lang not in certified]
     out = (topk.filter(F.col("lang").isin(certified)) if certified
            else topk.filter(F.lit(False)))
     if uncertified:
-        exact = top_terms_per_lang(
-            documents.filter(F.col("lang").isin(uncertified)), k)
-        out = out.unionByName(exact)
+        has_null = any(lang is None for lang in uncertified)
+        non_null = [lang for lang in uncertified if lang is not None]
+        cond = F.col("lang").isin(non_null) if non_null else F.lit(False)
+        if has_null:
+            cond = cond | F.col("lang").isNull()
+        out = out.unionByName(
+            top_terms_per_lang(documents.filter(cond), k))
     return out

@@ -2548,18 +2548,18 @@ _add(
 # The correctness driver samples the FIRST 50 catalog entries in
 # order. Every oracle query should earn a hard driver-green row at
 # least once, so each round rotates never-yet-sampled queries into the
-# window in place of multi-round-green veterans. Round 4 pulls 14
+# window in place of multi-round-green veterans. Round 4 pulls 15
 # forward: 8 that pass the identical DuckDB comparison locally
 # (tests/test_oracle_parity.py) but had never faced the driver, plus
-# the round's 6 brand-new operators (each verified against the local
-# mirror at sf0.001 AND sf0.01 before shipping); the 14 pushed back
+# the round's 7 brand-new operators (each verified against the local
+# mirror at sf0.001 AND sf0.01 before shipping); the 15 pushed back
 # are green in CORRECTNESS_r01+r02+r03.
 _PULL_FORWARD = [
     "top_terms_per_lang", "customer_running_totals", "repeat_customers",
     "salted_customer_counts", "lineitem_profile",
     "corpus_quality_selection", "corpus_curation_stats",
     "doc_repetition_signals",
-    # round 4: the six brand-new operators go straight into the window
+    # round 4: the seven brand-new operators go straight into the window
     "doc_line_dedup", "doc_lm_logprob",
     "corpus_temperature_sample", "training_shard_packing",
     "doc_cross_dup_spans", "doc_text_normalized",

@@ -301,3 +301,23 @@ def test_top_terms_heavy_hitters_equals_exact_both_regimes(spark):
                                                   capacity=1).collect()))
     assert sketch == exact
     assert fallback == exact
+
+
+def test_top_terms_heavy_hitters_null_lang_group(spark):
+    """A NULL-lang group can't ride the sketch's equi-join — it must
+    arrive via the exact fallback, matching the exact aggregate."""
+    from database_convertor_spark.operators.text_analysis import (
+        top_terms_heavy_hitters,
+        top_terms_per_lang,
+    )
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha beta", "en"),
+         (2, "gamma gamma gamma delta", None),
+         (3, "beta beta alpha", "en")],
+        "doc_id long, text string, lang string")
+    a = sorted(map(tuple, top_terms_heavy_hitters(docs, k=2).collect()),
+               key=lambda r: (r[0] or "", r[1:]))
+    b = sorted(map(tuple, top_terms_per_lang(docs, k=2).collect()),
+               key=lambda r: (r[0] or "", r[1:]))
+    assert a == b
+    assert any(r[0] is None for r in a)
