@@ -237,7 +237,9 @@ def fingerprint_docs(documents: DataFrame) -> DataFrame:
 
 
 def top_terms_heavy_hitters(documents: DataFrame, k: int = 5,
-                            capacity: int = 2048) -> DataFrame:
+                            capacity: int = 2048,
+                            max_broadcast_candidates: int = 2_000_000
+                            ) -> DataFrame:
     """Per-language top-k terms WITHOUT shuffling the full vocabulary —
     the 100 TB shape of ``top_terms_per_lang``, built on distributed
     Misra-Gries (public streaming-algorithms result) plus an exactness
@@ -254,8 +256,16 @@ def top_terms_heavy_hitters(documents: DataFrame, k: int = 5,
         a vanishing fraction of the vocabulary) are shuffled to build
         the global candidate set.
       pass 2: exact counts of CANDIDATE terms only — the term explode
-        is filtered against the broadcast candidate set before any
-        aggregation, then top-k per language as usual.
+        is filtered against the BROADCAST candidate set before any
+        aggregation (broadcast is what keeps raw tokens out of any
+        shuffle; a shuffle join here would move the whole exploded
+        token stream and cost MORE than the exact aggregate), then
+        top-k per language as usual. The candidate set grows with
+        |partitions| x capacity, so a guard counts it first: above
+        ``max_broadcast_candidates`` the sketch cannot pay for itself
+        and the operator returns the plain exact aggregate — capacity
+        and input partition sizing are the caller's levers to keep
+        the summary broadcastable at scale.
 
       certificate: the result provably equals the exact top-k iff the
         k-th candidate count exceeds N_lang/(capacity+1) (no missed
@@ -263,6 +273,11 @@ def top_terms_heavy_hitters(documents: DataFrame, k: int = 5,
         SAME rule as pass 2 (an explicit ASCII-\\s regex matching
         Java's \\s; Python str.split() would also break on Unicode
         whitespace Java does not, silently voiding the guarantee).
+        Residual caveat: Python and JVM case mapping can differ on a
+        handful of exotic codepoints (dotted/dotless I family) — for
+        guaranteed exactness on such corpora lower/normalize the text
+        upstream (``doc_text_normalized``) so both passes see
+        identical terms.
         Languages failing the certificate — including any the sketch
         missed entirely, and the NULL-lang group, which equi-joins
         can't carry — fall back to the exact full aggregation:
@@ -288,7 +303,10 @@ def top_terms_heavy_hitters(documents: DataFrame, k: int = 5,
         summaries: dict[str, dict[str, int]] = {}
         for pdf in batches:
             for lang, text in zip(pdf["lang"], pdf["text"]):
-                if text is None:
+                if text is None or lang is None:
+                    # the NULL-lang group cannot ride the equi-join
+                    # and always takes the exact fallback — summarizing
+                    # it would be pure wasted memory and shuffle rows
                     continue
                 d = summaries.setdefault(lang, {})
                 for t in java_ws.split(text.lower()):
@@ -307,13 +325,17 @@ def top_terms_heavy_hitters(documents: DataFrame, k: int = 5,
 
     candidates = (documents.select("lang", "text")
                   .mapInPandas(mg_partial, "lang string, term string")
-                  .distinct())
+                  .distinct()
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+    swap_persisted("top_terms_hh_candidates", candidates)
+    if candidates.count() > max_broadcast_candidates:
+        # the summary outgrew any sane broadcast; every join strategy
+        # from here shuffles raw tokens and loses to the exact path
+        candidates.unpersist()
+        return top_terms_per_lang(documents, k)
     exploded = documents.select(
         "lang", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
-    # no forced broadcast: the candidate set is tiny relative to the
-    # vocabulary but grows with |partitions| x capacity — let AQE pick
-    # broadcast when it fits and a shuffle hash join when it doesn't
-    counts = (exploded.join(candidates, ["lang", "term"])
+    counts = (exploded.join(F.broadcast(candidates), ["lang", "term"])
               .groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
               .persist(StorageLevel.MEMORY_AND_DISK))
     swap_persisted("top_terms_hh_counts", counts)
@@ -328,8 +350,13 @@ def top_terms_heavy_hitters(documents: DataFrame, k: int = 5,
                  if lang is not None and got >= k
                  and kth_n > alln[lang] / (capacity + 1)]
     uncertified = [lang for lang in alln if lang not in certified]
-    out = (topk.filter(F.col("lang").isin(certified)) if certified
-           else topk.filter(F.lit(False)))
+    if certified:
+        out = topk.filter(F.col("lang").isin(certified))
+    else:
+        # nothing certified: the cached candidate counts will never be
+        # read by the returned (all-fallback) plan — free them now
+        counts.unpersist()
+        out = topk.filter(F.lit(False))
     if uncertified:
         has_null = any(lang is None for lang in uncertified)
         non_null = [lang for lang in uncertified if lang is not None]

@@ -321,3 +321,21 @@ def test_top_terms_heavy_hitters_null_lang_group(spark):
                key=lambda r: (r[0] or "", r[1:]))
     assert a == b
     assert any(r[0] is None for r in a)
+
+
+def test_top_terms_heavy_hitters_broadcast_guard_regime(spark):
+    """Above the broadcast-candidate cap the sketch cannot pay for
+    itself — the operator must return the plain exact aggregate."""
+    from database_convertor_spark.operators.text_analysis import (
+        top_terms_heavy_hitters,
+        top_terms_per_lang,
+    )
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    a = sorted(map(tuple, top_terms_heavy_hitters(
+        docs, k=5, max_broadcast_candidates=1).collect()))
+    b = sorted(map(tuple, top_terms_per_lang(docs, k=5).collect()))
+    assert a == b
