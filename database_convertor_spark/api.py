@@ -318,6 +318,34 @@ class Engine:
         from .operators.text_analysis import doc_lm_logprob
         return doc_lm_logprob(documents)
 
+    def cross_dup_spans(self, documents: DataFrame,
+                        window: int = 8) -> DataFrame:
+        """Per-doc coverage by cross-document duplicated token spans."""
+        from .operators.text_analysis import cross_doc_span_signals
+        return cross_doc_span_signals(documents, window)
+
+    def normalize_text(self, documents: DataFrame) -> DataFrame:
+        """Pre-training text normalization (NFC + control strip +
+        whitespace collapse) applied to the text column."""
+        from .functions.text import normalize_text_for_training
+        from pyspark.sql import functions as F
+        return documents.withColumn(
+            "text", normalize_text_for_training(F.col("text")))
+
+    def top_terms(self, documents: DataFrame, k: int = 5,
+                  sketch: bool = False) -> DataFrame:
+        """Per-language top-k terms: exact aggregate by default;
+        ``sketch=True`` takes the two-pass Misra-Gries path (still
+        exact — certificate + fallback — without the full-vocabulary
+        shuffle)."""
+        from .operators.text_analysis import (
+            top_terms_heavy_hitters,
+            top_terms_per_lang,
+        )
+        if sketch:
+            return top_terms_heavy_hitters(documents, k)
+        return top_terms_per_lang(documents, k)
+
     def pack_chunks(self, chunks: DataFrame, documents: DataFrame,
                     budget: int = 512, n_shards: int = 4) -> DataFrame:
         """Sequence-packing bin report (per-bin chunk/token counts)."""
