@@ -103,35 +103,44 @@ def dedup_lines_keep_first(documents: DataFrame) -> DataFrame:
     occurrence with the smallest (doc_id, position) — and deletes the
     rest, so shared content survives once in the corpus).
 
-    Blank lines are never deduplicated. Documents left with only
-    blank content are dropped (empty docs leave the corpus).
+    Blank lines — whitespace-only, tabs included (the blank test is a
+    ``\\s``-class regex strip, NOT trim(), which strips only spaces) —
+    are never deduplicated. Documents left with only blank content are
+    dropped (empty docs leave the corpus).
 
     Scale shape: "first occurrence per line" is min(struct(doc_id,
     pos)) — a PARTIAL-AGGREGABLE aggregate, not a window. A line
     shared by millions of documents map-side-combines to one row per
     input partition before the shuffle, so the frequent-line skew that
     would stall a row_number window never reaches the reducer. The
-    join back is an equi-join on (line, doc_id, pos); reassembly
-    shuffles each surviving line once on doc_id.
+    dedup key rides as a 60-bit md5 of the stripped line (collision-
+    safe far past any realistic distinct-line count), so neither the
+    aggregate nor the join back carries line TEXT as a key — on a
+    long-line corpus that halves the shuffled bytes. The join back is
+    an equi-join on (hash, doc_id, pos); reassembly shuffles each
+    surviving line once on doc_id.
     """
     lines = documents.select(
         "doc_id",
         F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "line"))
-    keyed = lines.withColumn("_k", F.trim(F.col("line")))
+    stripped = F.regexp_replace(F.col("line"), r"^\s+|\s+$", "")
+    keyed = lines.withColumn("_h", md5_long(stripped)) \
+                 .withColumn("_blank", stripped == "")
     # blank lines never dedup and never need the join — routing them
     # around it also keeps every blank in the corpus out of what would
-    # be a single '' mega-partition if the join falls back to
+    # be a single blank-hash mega-partition if the join falls back to
     # sort-merge at corpus scale
-    blanks = keyed.filter(F.col("_k") == "")
-    nonblank = keyed.filter(F.col("_k") != "")
+    blanks = keyed.filter(F.col("_blank")).drop("_h", "_blank")
+    nonblank = keyed.filter(~F.col("_blank")).drop("_blank")
     firsts = (nonblank
-              .groupBy("_k")
+              .groupBy("_h")
               .agg(F.min(F.struct(F.col("doc_id"), F.col("pos")))
                    .alias("_first")))
-    kept = (nonblank.join(firsts, "_k")
+    kept = (nonblank.join(firsts, "_h")
             .filter((F.col("doc_id") == F.col("_first.doc_id"))
                     & (F.col("pos") == F.col("_first.pos")))
-            .unionByName(blanks, allowMissingColumns=True))
+            .select("doc_id", "pos", "line")
+            .unionByName(blanks))
     docs = (kept.groupBy("doc_id")
             .agg(F.array_join(
                 F.transform(
@@ -139,15 +148,16 @@ def dedup_lines_keep_first(documents: DataFrame) -> DataFrame:
                         F.struct(F.col("pos"), F.col("line")))),
                     lambda s: s.getField("line")),
                 "\n").alias("text")))
-    # whitespace-only means empty here: trim() strips only spaces, but
-    # a doc surviving on blank lines alone may hold tabs/newlines too
+    # a doc surviving on blank lines alone is whitespace-only text
+    # (tabs/newlines included) — it leaves the corpus
     return docs.filter(~F.col("text").rlike(r"^\s*$"))
 
 
 # ---------------------------------------- temperature-balanced sampling
 def temperature_sample(documents: DataFrame, alpha: float = 0.5,
                        stratum_col: str = "lang",
-                       salt: str = "temp") -> DataFrame:
+                       salt: str = "temp",
+                       null_stratum: bool = False) -> DataFrame:
     """Temperature-scaled corpus balancing (the multilingual-LM mixing
     rule, p_l ∝ n_l^alpha — XLM-R/mT5-style, public methodology):
     downsample each stratum so expected kept counts are proportional
@@ -162,25 +172,31 @@ def temperature_sample(documents: DataFrame, alpha: float = 0.5,
     tiny groupBy broadcast back). Two scans of nothing: the counts
     aggregate is partial-aggregable and its output is |strata| rows.
 
-    Rows with a NULL stratum are dropped (the rate join is inner): a
-    language-less doc has no defensible rate under p ∝ n^alpha —
-    pre-bucket unknowns into a sentinel stratum if they should ride.
+    Rows with a NULL stratum are DROPPED by default (the rate join is
+    inner): a language-less doc has no defensible rate under
+    p ∝ n^alpha. Pass ``null_stratum=True`` to instead treat NULLs as
+    one sentinel stratum of their own — they are counted, rated, and
+    sampled like any language (internal coalesce key only; the output
+    column keeps its NULLs).
     """
-    counts = documents.groupBy(stratum_col).agg(
-        F.count(F.lit(1)).alias("_n"))
+    key = F.coalesce(F.col(stratum_col).cast("string"),
+                     F.lit("\u0001<null>")) if null_stratum \
+        else F.col(stratum_col)
+    docs = documents.withColumn("_stratum", key)
+    counts = docs.groupBy("_stratum").agg(F.count(F.lit(1)).alias("_n"))
     nmin = counts.agg(F.min("_n").alias("_nmin"))
     frac = F.round(
         F.pow(F.col("_nmin").cast("double") / F.col("_n"),
               F.lit(1.0 - alpha)), 6)
     gates = (counts.crossJoin(F.broadcast(nmin))
-             .select(stratum_col,
+             .select("_stratum",
                      F.round(frac * 1_000_000, 0).cast("long")
                      .alias("_gate")))
     h = md5_long(F.concat(F.lit(salt),
                           F.col("doc_id").cast("string"))) % 1_000_000
-    return (documents.join(F.broadcast(gates), stratum_col)
+    return (docs.join(F.broadcast(gates), "_stratum")
             .filter(h < F.col("_gate"))
-            .drop("_gate"))
+            .drop("_gate", "_stratum"))
 
 
 # -------------------------------------------------- sequence packing

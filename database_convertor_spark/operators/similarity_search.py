@@ -196,8 +196,11 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, n_iter: int = 5,
     md5(id) (content-independent, engine-reproducible), ties on id;
     an emptied cluster keeps its previous centroid.
 
-    ``normalize=True`` trains on unit vectors (spherical k-means) —
-    the right codebook when the downstream search metric is cosine.
+    ``normalize=True`` trains on unit vectors AND re-normalizes the
+    centroids after every mean update (true spherical k-means) — the
+    right codebook when the downstream search metric is cosine, and
+    the discipline that keeps assignment (L2 on the sphere) and probe
+    ranking (cosine) the same ordering.
     """
     import numpy as np
     import pandas as pd
@@ -272,6 +275,15 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, n_iter: int = 5,
             newC = C.copy()  # an emptied cluster keeps its centroid
             nz = counts > 0
             newC[nz] = sums[nz] / counts[nz, None]
+            if normalize:
+                # spherical k-means re-projects centroids onto the
+                # unit sphere after EVERY mean update (faiss-style):
+                # on unit vectors L2-argmin == cosine-argmax, so the
+                # assignment metric and the cosine probe ranking in
+                # _probe_and_search agree; a raw mean centroid would
+                # be assigned by L2 but probed by cosine — an
+                # inconsistent pair that costs recall at nprobe < k
+                newC = _norm_rows(newC)
             C = newC
             inertia.append(sq_sum)
             bc.destroy()

@@ -146,18 +146,28 @@ def doc_lm_logprob(documents: DataFrame) -> DataFrame:
          partial-aggregable, so Zipf-head tokens ("the") map-side
          combine before the shuffle; the corpus total rides along as
          one broadcast row (never a driver scalar).
-      2. scoring: re-explode, equi-join tokens to the frequency
-         table (AQE handles head-token skew; at 100 TB the vocab
-         table is GBs — a shuffle hash join on the token key, the
-         same shape as any word-count), then groupBy(doc_id) mean.
+      2. scoring: equi-join tokens to the frequency table (AQE
+         handles head-token skew; at 100 TB the vocab table is GBs —
+         a shuffle hash join on the token key, the same shape as any
+         word-count), then groupBy(doc_id) mean.
+
+    The exploded token frame feeds BOTH passes, so it is persisted
+    (session-slot-bounded, same discipline as
+    ``cross_doc_span_signals``) — the corpus-wide tokenize+explode
+    scan runs once, not once per pass.
 
     Output: (doc_id, n_tokens, avg_logprob) with avg_logprob = mean
     ln P(token) rounded to 4dp; empty docs carry NULL.
     """
+    from pyspark.storagelevel import StorageLevel
+
     from ..functions.text import tokens
+    from ..plans.persist_slots import swap_persisted
 
     toks = documents.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("_tok"))
+    toks = swap_persisted("lm_logprob_toks",
+                          toks.persist(StorageLevel.MEMORY_AND_DISK))
     freq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_c"))
     total = freq.agg(F.sum("_c").cast("double").alias("_tot"))
     scored = (toks.join(freq, "_tok")

@@ -102,7 +102,10 @@ def prepare_training_corpus(documents: DataFrame, *,
          exact percentile cut on the composite quality score);
       8. temperature-scaled language rebalancing (when
          ``temperature_alpha`` is given: kept ∝ n^alpha, the
-         multilingual mixing rule, deterministic md5 gate);
+         multilingual mixing rule, deterministic md5 gate).
+         Language-less (NULL-lang) docs ride as their own sentinel
+         stratum — counted, rated, and sampled like any language —
+         rather than being silently dropped by the rate join;
       9. leakage-safe train/val split keyed per DUP CLUSTER (reusing
          stage 5's cluster map), so near-dup content never straddles
          the boundary even for docs the dedup kept;
@@ -138,7 +141,7 @@ def prepare_training_corpus(documents: DataFrame, *,
             curated, quality_score(F.col("text")), keep_frac)
     if temperature_alpha is not None:
         curated = curation.temperature_sample(
-            curated, alpha=temperature_alpha)
+            curated, alpha=temperature_alpha, null_stratum=True)
     split = curation.leakage_safe_split(curated, val_frac=val_frac,
                                         clusters=clusters)
     labeled = curated.join(split, "doc_id")

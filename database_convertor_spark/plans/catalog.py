@@ -2272,7 +2272,9 @@ _add(
                     recursive := true)
       FROM split),
     lines AS (
-      SELECT doc_id, line, pos, trim(line) AS k FROM exploded),
+      SELECT doc_id, line, pos,
+             regexp_replace(line, '^\\s+|\\s+$', '', 'g') AS k
+      FROM exploded),
     ranked AS (
       SELECT doc_id, line, pos,
              row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn

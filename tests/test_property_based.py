@@ -223,7 +223,12 @@ def test_boilerplate_identity_and_idempotence(spark, texts):
 
 _line_texts = st.lists(
     st.lists(st.sampled_from(["alpha beta", "gamma", "shared line",
-                              "delta five", "", "  "]),
+                              "delta five", "", "  ",
+                              # tab-bearing cases: a tab-only line is
+                              # BLANK (str.strip semantics, not trim's
+                              # space-only), and tab-padded content
+                              # dedups against its space-padded twin
+                              "\t", "\tshared line\t", " shared line "]),
              min_size=1, max_size=5).map(lambda ls: "\n".join(ls)),
     min_size=1, max_size=8)
 
