@@ -324,6 +324,20 @@ class Engine:
         from .operators.text_analysis import cross_doc_span_signals
         return cross_doc_span_signals(documents, window)
 
+    def dup_spans(self, documents: DataFrame,
+                  window: int = 8) -> DataFrame:
+        """Maximal cross-document duplicated token spans (keep-first),
+        ready to cut."""
+        from .operators.text_analysis import duplicated_spans
+        return duplicated_spans(documents, window)
+
+    def remove_dup_spans(self, documents: DataFrame,
+                         window: int = 8) -> DataFrame:
+        """Exact substring dedup: cut every non-first duplicated span
+        out of the corpus (Lee et al.-style span removal)."""
+        from .operators.text_analysis import remove_duplicated_spans
+        return remove_duplicated_spans(documents, window)
+
     def normalize_text(self, documents: DataFrame) -> DataFrame:
         """Pre-training text normalization (NFC + control strip +
         whitespace collapse) applied to the text column."""

@@ -235,6 +235,133 @@ def cross_doc_span_signals(documents: DataFrame,
                  .alias("cross_dup_frac")))
 
 
+def duplicated_spans(documents: DataFrame, window: int = 8) -> DataFrame:
+    """MAXIMAL cross-document duplicated token spans, ready to cut —
+    the emission half of Lee et al. 2022's exact substring dedup
+    (public methodology), upgrading ``cross_doc_span_signals`` from a
+    per-doc coverage SCORE to concrete (doc_id, start, end) spans.
+
+    A ``window``-token sliding window is *removable* when the same
+    token sequence occurs elsewhere in the corpus (distinct-doc
+    frequency >= 2) AND this occurrence is not the corpus-wide FIRST
+    (smallest (doc_id, position); the keep-first discipline
+    ``dedup_lines_keep_first`` uses — every duplicated window's
+    content survives in exactly the doc that had it first, instead of
+    vanishing from the corpus entirely). Overlapping/adjacent
+    removable windows then merge into maximal token spans per doc
+    (gaps-and-islands over window starts).
+
+    Shape: windows ride as 60-bit md5 hashes (the exploded frame is
+    persisted session-slot-bounded and read by both the
+    first-occurrence aggregate and the probe join); min(struct) /
+    count(distinct) per hash are partial-aggregable, so a million-way
+    duplicated window combines map-side. The island merge is a window
+    over each DOC's removable windows — bounded by doc length, never
+    corpus-wide. Matching ``cross_doc_span_signals``, tokens are
+    whitespace-split and case-folded for matching; a doc shorter than
+    ``window`` tokens is one whole-doc window (exact-dup degenerate
+    case), and empty docs emit nothing.
+
+    Output: (doc_id, span_id, start_tok, end_tok, n_windows,
+    n_tokens) with 1-based inclusive token positions, span_id ordered
+    by start within each doc.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.text import md5_long, shingles, token_count
+    from ..plans.persist_slots import swap_persisted
+
+    w = (documents
+         .select("doc_id", token_count(F.col("text")).alias("_n"),
+                 F.posexplode(shingles(F.col("text"), window))
+                 .alias("_p", "_w"))
+         .filter(F.col("_n") > 0)
+         .select("doc_id", "_n", (F.col("_p") + 1).alias("_ws"),
+                 md5_long(F.col("_w")).alias("_h")))
+    w = swap_persisted("dup_spans_w",
+                       w.persist(StorageLevel.MEMORY_AND_DISK))
+    occ = (w.groupBy("_h")
+           .agg(F.count_distinct(F.col("doc_id")).alias("_df"),
+                F.min(F.struct(F.col("doc_id"), F.col("_ws")))
+                .alias("_first"))
+           .filter(F.col("_df") >= 2)
+           .select("_h", "_first"))
+    removable = (w.join(occ, "_h")
+                 .filter(~((F.col("doc_id") == F.col("_first.doc_id"))
+                           & (F.col("_ws") == F.col("_first._ws"))))
+                 .select("doc_id", "_ws",
+                         F.least(F.col("_ws") + window - 1, F.col("_n"))
+                         .alias("_we")))
+    ow = Window.partitionBy("doc_id").orderBy("_ws")
+    run = Window.partitionBy("doc_id").orderBy("_ws") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_end = F.lag("_we").over(ow)
+    brk = F.when(prev_end.isNull()
+                 | (F.col("_ws") > prev_end + 1), 1).otherwise(0)
+    return (removable
+            .withColumn("span_id", F.sum(brk).over(run).cast("int"))
+            .groupBy("doc_id", "span_id")
+            .agg(F.min("_ws").cast("long").alias("start_tok"),
+                 F.max("_we").cast("long").alias("end_tok"),
+                 F.count(F.lit(1)).cast("long").alias("n_windows"))
+            .withColumn("n_tokens",
+                        (F.col("end_tok") - F.col("start_tok") + 1)
+                        .cast("long")))
+
+
+def remove_duplicated_spans(documents: DataFrame, window: int = 8,
+                            spans: DataFrame | None = None) -> DataFrame:
+    """Cut every span ``duplicated_spans`` emits out of its document —
+    the removal half of exact substring dedup (Lee et al. 2022): the
+    corpus keeps exactly one occurrence of each duplicated
+    ``window``-gram (its first), docs keep their UNIQUE content even
+    when a near-dup pass would have dropped or kept them whole.
+
+    Pass ``spans`` to reuse an already-computed span frame (the
+    pipeline does); otherwise they are computed here.
+
+    Shape: spans aggregate to one array per doc (bounded by doc
+    length) and ride a left equi-join back onto the corpus; the cut
+    itself is a pure higher-order-function projection (filter token
+    positions against the span array — no shuffle, no UDF).
+    Surviving tokens are rejoined single-spaced (token-stream
+    semantics: original whitespace inside a doc is not preserved,
+    matching the whitespace tokenization that defines the spans).
+    Docs cut to nothing are dropped (empty docs leave the corpus).
+
+    Output: the input columns with ``text`` rewritten, plus
+    ``n_tokens_removed``.
+    """
+    from ..functions.text import tokens
+
+    if spans is None:
+        spans = duplicated_spans(documents, window)
+    sp = (spans.groupBy("doc_id")
+          .agg(F.collect_list(
+              F.struct(F.col("start_tok").alias("s"),
+                       F.col("end_tok").alias("e"))).alias("_spans")))
+    empty_spans = F.expr("cast(array() as array<struct<s:bigint,e:bigint>>)")
+    tk = tokens(F.col("text"))
+    out = (documents.join(sp, "doc_id", "left")
+           .withColumn("_spans", F.coalesce(F.col("_spans"), empty_spans))
+           .withColumn("_tk", tk)
+           .withColumn("_idx", F.when(F.size("_tk") > 0,
+                                      F.sequence(F.lit(1), F.size("_tk")))
+                       .otherwise(F.expr("cast(array() as array<int>)")))
+           .withColumn("_keep", F.filter(
+               F.col("_idx"),
+               lambda i: ~F.exists(F.col("_spans"),
+                                   lambda s: (i >= s.s) & (i <= s.e)))))
+    return (out
+            .withColumn("n_tokens_removed",
+                        (F.size("_tk") - F.size("_keep")).cast("long"))
+            .withColumn("text", F.array_join(
+                F.transform(F.col("_keep"),
+                            lambda i: F.element_at(F.col("_tk"), i)), " "))
+            .filter(F.size("_keep") > 0)
+            .drop("_spans", "_tk", "_idx", "_keep"))
+
+
 def fingerprint_docs(documents: DataFrame) -> DataFrame:
     """Content fingerprint + duplicate flag (count over the fingerprint
     window; the window shuffles on the fingerprint — same key as an

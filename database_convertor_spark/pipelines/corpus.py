@@ -76,6 +76,7 @@ def prepare_training_corpus(documents: DataFrame, *,
                             benchmark: DataFrame | None = None,
                             redact: bool = True,
                             line_dedup: bool = False,
+                            cut_dup_spans: int | None = None,
                             keep_frac: float | None = None,
                             temperature_alpha: float | None = None,
                             chunk_tokens: int | None = None,
@@ -91,6 +92,10 @@ def prepare_training_corpus(documents: DataFrame, *,
       2. PII redaction (``redact=False`` to skip);
       3. cross-document keep-first line dedup (``line_dedup=True``:
          repeated content survives exactly once corpus-wide);
+      3b. exact substring dedup (when ``cut_dup_spans`` is given: cut
+         every non-first cross-document duplicated ``cut_dup_spans``-
+         token span — Lee et al.-style span REMOVAL, finer than both
+         line dedup and the doc-level near-dup drop in stage 6);
       4. benchmark decontamination (when ``benchmark`` is given:
          5-gram shingle equi-join, never doc x bench);
       5. near-dup pair generation within (lang, length-band) blocks,
@@ -131,6 +136,11 @@ def prepare_training_corpus(documents: DataFrame, *,
         # rejoin the non-text columns the line pass doesn't carry
         deduped_text = curation.dedup_lines_keep_first(kept)
         kept = (kept.drop("text").join(deduped_text, "doc_id"))
+    if cut_dup_spans is not None:
+        from ..operators.text_analysis import remove_duplicated_spans
+
+        kept = remove_duplicated_spans(
+            kept, window=cut_dup_spans).drop("n_tokens_removed")
     if benchmark is not None:
         kept = curation.decontaminate(kept, benchmark)
     pairs = dedup.ngram_jaccard_pairs(kept, threshold=threshold)

@@ -2546,6 +2546,95 @@ _add(
 )
 
 
+# ==================================== round-5 exact-substring-dedup pair
+_DUP_SPANS_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_ALL.format(c='lower(text)')} AS tk
+      FROM documents),
+    sh AS (
+      SELECT doc_id, len(tk) AS n,
+             unnest(CASE WHEN len(tk) < 8
+                         THEN [{{'ws': 1, 'w': array_to_string(tk, ' ')}}]
+                         ELSE list_transform(range(1, len(tk) - 6),
+                                i -> {{'ws': i,
+                                       'w': array_to_string(tk[i:i+7], ' ')}})
+                    END, recursive := true)
+      FROM toks WHERE len(tk) > 0),
+    h AS (SELECT doc_id, n, ws, {_MD5_60.format(x='w')} AS hh FROM sh),
+    occ AS (
+      SELECT hh, min(struct_pack(d := doc_id, p := ws)) AS f
+      FROM h GROUP BY hh HAVING count(DISTINCT doc_id) >= 2),
+    fl AS (
+      SELECT h.doc_id, h.ws, least(h.ws + 7, h.n) AS we
+      FROM h JOIN occ ON h.hh = occ.hh
+      WHERE NOT (h.doc_id = occ.f.d AND h.ws = occ.f.p)),
+    isl AS (
+      SELECT doc_id, ws, we,
+             CASE WHEN lag(we) OVER (PARTITION BY doc_id ORDER BY ws)
+                    IS NULL
+                  OR ws > lag(we) OVER (PARTITION BY doc_id
+                                        ORDER BY ws) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM fl),
+    spans AS (
+      SELECT doc_id,
+             CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY ws
+                                 ROWS UNBOUNDED PRECEDING) AS INTEGER)
+               AS span_id,
+             ws, we
+      FROM isl),
+    merged AS (
+      SELECT doc_id, span_id,
+             CAST(min(ws) AS BIGINT) AS start_tok,
+             CAST(max(we) AS BIGINT) AS end_tok,
+             CAST(count(*) AS BIGINT) AS n_windows,
+             CAST(max(we) - min(ws) + 1 AS BIGINT) AS n_tokens
+      FROM spans GROUP BY doc_id, span_id)
+"""
+
+_add(
+    "doc_dup_spans",
+    lambda spark, sf: text_analysis.duplicated_spans(
+        _t(spark, sf, "documents")[0], window=8),
+    _DUP_SPANS_SQL + "SELECT * FROM merged",
+    "dedup,text-analysis",
+    "maximal cross-document duplicated token spans (Lee et al.-style "
+    "exact substring dedup, emission half): keep-first per window "
+    "hash, gaps-and-islands merge per doc",
+)
+
+_add(
+    "doc_span_removal",
+    lambda spark, sf: text_analysis.remove_duplicated_spans(
+        _t(spark, sf, "documents")[0].select("doc_id", "text"), window=8)
+    .select("doc_id", "text", "n_tokens_removed"),
+    _DUP_SPANS_SQL + f"""
+    , spansagg AS (
+      SELECT doc_id,
+             list(struct_pack(s := start_tok, e := end_tok)) AS sps
+      FROM merged GROUP BY doc_id),
+    otoks AS (
+      SELECT doc_id, {_TOKS_ALL.format(c='text')} AS tk FROM documents),
+    rem AS (
+      SELECT o.doc_id,
+             list_transform(
+               list_filter(range(1, len(o.tk) + 1),
+                           i -> len(list_filter(coalesce(a.sps, []),
+                                    s -> i >= s.s AND i <= s.e)) = 0),
+               i -> o.tk[i]) AS kept,
+             len(o.tk) AS n
+      FROM otoks o LEFT JOIN spansagg a USING (doc_id))
+    SELECT doc_id, array_to_string(kept, ' ') AS text,
+           CAST(n - len(kept) AS BIGINT) AS n_tokens_removed
+    FROM rem WHERE len(kept) > 0
+    """,
+    "dedup,text-analysis,pipeline",
+    "exact substring dedup, removal half: cut every non-first "
+    "duplicated span; unique content survives even in docs a "
+    "doc-level dedup would drop whole",
+)
+
+
 # --------------------------------------------------- driver-window rotation
 # The correctness driver samples the FIRST 50 catalog entries in
 # order. Every oracle query should earn a hard driver-green row at

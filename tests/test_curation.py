@@ -410,3 +410,76 @@ def test_cross_doc_span_signals_golden(spark):
     assert got[2] == (2, 0.5)
     assert got[3][1] == 0.0
     assert got[4] == (1, 1.0) and got[5] == (1, 1.0)
+
+
+# ------------------------------------- exact substring dedup (spans)
+def test_duplicated_spans_golden(spark):
+    """Span emission: keep-first per window hash (the corpus-wide
+    first occurrence is never removable), overlapping windows merge
+    into one maximal span, short exact-dup docs become whole-doc
+    spans, empty docs emit nothing."""
+    from database_convertor_spark.operators.text_analysis import (
+        duplicated_spans,
+    )
+    docs = spark.createDataFrame([
+        (1, "a b c d e f g h unique one two three"),
+        (2, "x y a b c d e f g h z w q r s t"),
+        (3, "totally different text with no duplication at all here"),
+        (4, "short dup"),
+        (5, "short dup"),
+        (6, ""),
+    ], ["doc_id", "text"])
+    got = {(r.doc_id, r.span_id): (r.start_tok, r.end_tok, r.n_tokens)
+           for r in duplicated_spans(docs, window=8).collect()}
+    # doc 1 is the first occurrence -> keeps everything; doc 2's copy
+    # of the 8-gram (tokens 3-10) is one merged span; doc 5 (exact dup
+    # of doc 4, shorter than the window) is one whole-doc span
+    assert got == {(2, 1): (3, 10, 8), (5, 1): (1, 2, 2)}
+
+
+def test_remove_duplicated_spans_cuts_and_converges(spark):
+    """Removal: spans are cut token-exactly, docs cut to nothing are
+    dropped, and a second pass finds no removable spans (every
+    surviving window is now its hash's sole/first occurrence)."""
+    from database_convertor_spark.operators.text_analysis import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+    docs = spark.createDataFrame([
+        (1, "a b c d e f g h unique one two three"),
+        (2, "x y a b c d e f g h z w q r s t"),
+        (4, "short dup"),
+        (5, "short dup"),
+    ], ["doc_id", "text"])
+    out = {r.doc_id: (r.text, r.n_tokens_removed)
+           for r in remove_duplicated_spans(docs, window=8).collect()}
+    assert out == {
+        1: ("a b c d e f g h unique one two three", 0),
+        2: ("x y z w q r s t", 8),
+        4: ("short dup", 0),
+    }  # doc 5 cut to nothing and dropped
+    cleaned = spark.createDataFrame(
+        [(i, t) for i, (t, _) in sorted(out.items())], ["doc_id", "text"])
+    assert duplicated_spans(cleaned, window=8).count() == 0
+
+
+def test_prepare_training_corpus_cut_dup_spans(spark):
+    """Pipeline hook: with cut_dup_spans on, a sentence shared by two
+    quality-passing docs survives in exactly one admitted doc."""
+    from database_convertor_spark.api import Engine
+
+    filler_a = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(20))
+    filler_b = " ".join(f"delta{i} epsilon{i} zeta{i}" for i in range(20))
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    eng = Engine(spark, "/tmp/dcs-span-wh")
+    docs = spark.createDataFrame(
+        [(1, filler_a + " " + shared, "en"),
+         (2, filler_b + " " + shared, "en")],
+        ["doc_id", "text", "lang"]).withColumn(
+            "n_chars", F.length("text").cast("long"))
+    out = eng.prepare_training_corpus(docs, threshold=0.9,
+                                      cut_dup_spans=8, val_frac=0.0)
+    texts = [r.text for r in out["train"].unionByName(out["val"])
+             .select("text").collect()]
+    assert len(texts) == 2  # both docs admitted (unique content kept)
+    assert sum(shared in t for t in texts) == 1  # span survives once
