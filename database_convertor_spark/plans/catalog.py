@@ -2407,17 +2407,89 @@ def _kmeans_demo(spark: SparkSession, sf: str) -> DataFrame:
     return similarity_search.kmeans_assign(emb, cents)
 
 
+def _kmeans_cte_sql(k: int, n_iter: int, dim: int,
+                    normalize: bool) -> str:
+    """Lloyd's k-means UNROLLED as a DuckDB CTE chain — the fixed
+    iteration count and the deterministic md5 init make the
+    "iterative" operator SQL-expressible after all, so both k-means
+    queries get a hard value oracle instead of rows-only status.
+    Ends with ``cN`` (c, v): the final codebook, and ``assign``
+    (vec_id, c): the corpus assignment under it. Mirrors kmeans_fit /
+    kmeans_assign exactly: expanded-form squared L2, lowest cluster
+    index on ties, emptied clusters keep their previous centroid,
+    spherical variant re-normalizes centroids after every mean
+    update."""
+    d2 = ("list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.v)"
+          " + list_dot_product(c.v, c.v)")
+    if normalize:
+        pts = f"""
+    pts AS (
+      SELECT vec_id,
+             CASE WHEN nrm = 0 THEN dv
+                  ELSE list_transform(dv, x -> x / nrm) END AS v
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
+                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                         CAST(embedding AS DOUBLE[])))
+                     AS nrm
+            FROM embeddings))"""
+    else:
+        pts = """
+    pts AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
+    parts = [f"""WITH{pts},
+    hh AS (
+      SELECT vec_id, v,
+             {_MD5_60.format(x='CAST(vec_id AS VARCHAR)')} AS h
+      FROM pts),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER)
+               AS c, v
+      FROM hh QUALIFY row_number() OVER (ORDER BY h, vec_id) <= {k})"""]
+    for i in range(1, n_iter + 1):
+        upd = "coalesce(m.v, p.v)"
+        if normalize:
+            upd = f"""CASE WHEN sqrt(list_dot_product({upd}, {upd})) = 0
+                       THEN {upd}
+                       ELSE list_transform({upd}, x ->
+                              x / sqrt(list_dot_product({upd}, {upd})))
+                  END"""
+        parts.append(f"""
+    a{i} AS (
+      SELECT vec_id, v, c FROM (
+        SELECT p.vec_id, p.v, c.c,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {d2}, c.c) AS rn
+        FROM pts p CROSS JOIN c{i - 1} c) WHERE rn = 1),
+    m{i} AS (
+      SELECT c, j, avg(x) AS cx
+      FROM (SELECT c, unnest(v) AS x,
+                   unnest(range(1, {dim + 1})) AS j FROM a{i})
+      GROUP BY c, j),
+    mm{i} AS (SELECT c, list(cx ORDER BY j) AS v FROM m{i} GROUP BY c),
+    c{i} AS (
+      SELECT p.c, {upd} AS v
+      FROM c{i - 1} p LEFT JOIN mm{i} m ON p.c = m.c)""")
+    parts.append(f"""
+    assign AS (
+      SELECT vec_id, c FROM (
+        SELECT p.vec_id, c.c,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {d2}, c.c) AS rn
+        FROM pts p CROSS JOIN c{n_iter} c) WHERE rn = 1)""")
+    return ",".join(parts)
+
+
 _add(
     "embedding_kmeans_clusters",
     _kmeans_demo,
-    None,  # iterative (5 Lloyd rounds) — not SQL-expressible; invariants
-    # (argmin assignment, monotone inertia, centroid=mean) are
-    # pytest-checked against a numpy reference in test_similarity_search
+    _kmeans_cte_sql(k=8, n_iter=5, dim=64, normalize=False) + """
+    SELECT vec_id, CAST(c AS INTEGER) AS cluster_id FROM assign
+    """,
     "similarity-search,dedup",
     "distributed Lloyd's k-means: trains the IVF coarse quantizer "
     "(assignment is a shuffle-free argmin projection; re-centering a "
     "partial-aggregable (cluster, dim) avg; only the k x dim codebook "
-    "touches the driver)",
+    "touches the driver); oracle = the 5 Lloyd rounds unrolled in SQL",
 )
 
 
@@ -2431,11 +2503,38 @@ def _ann_ivf_kmeans_demo(spark: SparkSession, sf: str) -> DataFrame:
 _add(
     "ann_ivf_kmeans",
     _ann_ivf_kmeans_demo,
-    None,  # depends on the iterative codebook above; recall vs the
-    # brute-force oracle is pytest-asserted instead
+    _kmeans_cte_sql(k=8, n_iter=5, dim=64, normalize=True) + f""",
+    cents AS (SELECT c AS label, v AS centroid FROM c5),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+          FROM embeddings WHERE vec_id < 5),
+    labeled AS (
+      SELECT e.vec_id AS neighbor_id,
+             CAST(e.embedding AS DOUBLE[]) AS c_emb, a.c AS label
+      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id),
+    probes AS (
+      SELECT query_id, q_emb, label FROM (
+        SELECT q.query_id, q.q_emb, c.label,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round({_COS.format(a='q.q_emb',
+                                             b='c.centroid')}, 4)
+                          DESC, c.label) AS pr
+        FROM q CROSS JOIN cents c) WHERE pr <= 2),
+    pairs AS (
+      SELECT p.query_id, e.neighbor_id,
+             {_COS.format(a='p.q_emb', b='e.c_emb')} AS sim
+      FROM probes p JOIN labeled e
+        ON e.label = p.label AND e.neighbor_id <> p.query_id)
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank,
+           round(sim, 4) AS cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM pairs) WHERE rn <= 5
+    """,
     "similarity-search",
     "IVF ANN over the LEARNED k-means codebook (multi-probe): the "
-    "production path when no precomputed label exists",
+    "production path when no precomputed label exists; oracle = "
+    "unrolled spherical k-means + the multiprobe probe/search tail",
 )
 
 
