@@ -2734,35 +2734,166 @@ _add(
 )
 
 
+# =============================== round-5 one-plan training-corpus pipeline
+def _training_pipeline_demo(spark: SparkSession, sf: str) -> DataFrame:
+    """The facade chain users actually run, in ONE plan: Gopher filter
+    -> PII redact -> keep-first line dedup -> blocked near-dup pairs ->
+    connected components -> cluster dedup -> leakage-safe split (keyed
+    per dup cluster, computed once) -> 32-token chunking -> 128-token
+    sequence packing. Output: per (split, lang, shard, bin) chunk/token
+    counts — small enough to value-check, yet forcing every stage to
+    execute."""
+    docs, = _t(spark, sf, "documents")
+    out = corpus_pipeline.prepare_training_corpus(
+        docs, threshold=0.5, redact=True, line_dedup=True,
+        chunk_tokens=32, overlap=8, val_frac=0.1, pack_budget=128)
+    chunks = (out["train"].withColumn("split", F.lit("train"))
+              .unionByName(out["val"].withColumn("split", F.lit("val"))))
+    return (chunks.groupBy("split", "lang", "shard", "bin_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                 F.sum("n_tokens").cast("long").alias("bin_tokens")))
+
+
+_add(
+    "training_corpus_pipeline",
+    _training_pipeline_demo,
+    f"""
+    WITH RECURSIVE
+    {_GOPHER_CTES},
+    passing AS (SELECT doc_id FROM m WHERE {_GOPHER_PASS}),
+    red AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             regexp_replace(
+               regexp_replace(d.text, '{curation.EMAIL_RE}',
+                              '<EMAIL>', 'g'),
+               '{curation.PHONE_RE}', '<PHONE>', 'g') AS text
+      FROM documents d
+      WHERE d.doc_id IN (SELECT doc_id FROM passing)),
+    lsplit AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM red),
+    lexp AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ls) + 1),
+                                   i -> {{'pos': i, 'line': ls[i]}}),
+                    recursive := true)
+      FROM lsplit),
+    llines AS (
+      SELECT doc_id, line, pos,
+             regexp_replace(line, '^\\s+|\\s+$', '', 'g') AS k
+      FROM lexp),
+    lranked AS (
+      SELECT doc_id, line, pos,
+             row_number() OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+      FROM llines WHERE k <> ''),
+    lkept AS (
+      SELECT doc_id, pos, line FROM lranked WHERE rn = 1
+      UNION ALL
+      SELECT doc_id, pos, line FROM llines WHERE k = ''),
+    ldocs AS (
+      SELECT doc_id,
+             array_to_string(list(line ORDER BY pos), chr(10)) AS text
+      FROM lkept GROUP BY doc_id),
+    kept AS (
+      SELECT r.doc_id, r.lang, r.n_chars, l.text
+      FROM red r JOIN ldocs l ON r.doc_id = l.doc_id
+      WHERE NOT regexp_matches(l.text, '^\\s*$')),
+    d AS (
+      SELECT doc_id, lang, CAST(n_chars // 100 AS INTEGER) AS band,
+             {_TOKS.format(c='lower(text)')} AS toks
+      FROM kept),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round({_jaccard('a.toks', 'b.toks')}, 4) AS jaccard
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.5),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+    clus AS (
+      SELECT node AS doc_id, min(r) AS cluster_id FROM reach
+      GROUP BY node),
+    -- survivors are canonical (cluster_id = doc_id) or unpaired, so
+    -- the split key coalesce(cluster_id, doc_id) is always doc_id here
+    labeled AS (
+      SELECT k.doc_id, k.lang, k.text,
+             CASE WHEN ({_MD5_60.format(
+                 x="'split' || CAST(k.doc_id AS VARCHAR)")}
+                        % 1000000) < 100000
+                  THEN 'val' ELSE 'train' END AS split
+      FROM kept k LEFT JOIN clus c ON k.doc_id = c.doc_id
+      WHERE c.cluster_id IS NULL OR c.cluster_id = k.doc_id),
+    ctoks AS (
+      SELECT doc_id, lang, split, {_TOKS_ALL.format(c='text')} AS tk
+      FROM labeled),
+    cstarts AS (
+      SELECT doc_id, lang, split, tk,
+             list_filter(range(1, greatest(len(tk), 1) + 1, 24),
+                         s -> s = 1 OR s + 8 <= len(tk)) AS st
+      FROM ctoks),
+    cexp AS (
+      SELECT doc_id, lang, split, tk,
+             unnest(list_transform(range(1, len(st) + 1),
+                    i -> {{'chunk_id': i - 1, 'start': st[i]}}),
+                    recursive := true)
+      FROM cstarts),
+    cn AS (
+      SELECT doc_id, lang, split, chunk_id,
+             CAST(len(tk[start : start + 31]) AS BIGINT) AS n_tokens,
+             ({_MD5_60.format(x="'pack' || CAST(doc_id AS VARCHAR)")}
+              % 4) AS shard
+      FROM cexp),
+    p AS (
+      SELECT split, lang, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY split, lang, shard
+                                 ORDER BY doc_id, chunk_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM cn)
+    SELECT split, lang, shard,
+           CAST(floor((cum - n_tokens) / 128.0) AS BIGINT) AS bin_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+    FROM p GROUP BY split, lang, shard, bin_id
+    """,
+    "pipeline,dedup,text-analysis",
+    "the one-call training-corpus pipeline as ONE plan (filter -> "
+    "redact -> line dedup -> near-dup CC dedup -> cluster-keyed "
+    "split -> chunk -> pack), value-checked end to end",
+)
+
+
 # --------------------------------------------------- driver-window rotation
 # The correctness driver samples the FIRST 50 catalog entries in
 # order. Every oracle query should earn a hard driver-green row at
-# least once, so each round rotates never-yet-sampled queries into the
-# window in place of multi-round-green veterans. Round 4 pulls 15
-# forward: 8 that pass the identical DuckDB comparison locally
-# (tests/test_oracle_parity.py) but had never faced the driver, plus
-# the round's 7 brand-new operators (each verified against the local
-# mirror at sf0.001 AND sf0.01 before shipping); the 15 pushed back
-# are green in CORRECTNESS_r01+r02+r03.
+# least once, and — the rule round 4 taught — any query whose code
+# path CHANGED in-round gets a driver row that round. Round 5 pulls
+# 10 forward: the 3 brand-new queries (span dedup pair + the one-plan
+# pipeline composite), the 2 k-means queries that just gained hard SQL
+# oracles (and whose spherical variant changed), the IVF pair that
+# shares the r4-refactored _probe_and_search tail but had no
+# post-refactor driver row, and the 3 round-4 queries whose internals
+# changed this round (line-dedup keying, LM-scoring persist, sampling
+# stratum key). The 10 pushed back are green in CORRECTNESS_r04; the
+# definition-order window this reopens (top_orders,
+# customer_order_stats, part_search_ilike, event_type_counts,
+# orders_union_dedup, priority_order_pick) re-certifies the
+# long-ago-green veterans the round-4 verdict named.
 _PULL_FORWARD = [
-    "top_terms_per_lang", "customer_running_totals", "repeat_customers",
-    "salted_customer_counts", "lineitem_profile",
-    "corpus_quality_selection", "corpus_curation_stats",
-    "doc_repetition_signals",
-    # round 4: the seven brand-new operators go straight into the window
-    "doc_line_dedup", "doc_lm_logprob",
-    "corpus_temperature_sample", "training_shard_packing",
-    "doc_cross_dup_spans", "doc_text_normalized",
-    "top_terms_two_pass",
+    "ann_ivf_topk", "ann_ivf_multiprobe",
+    "embedding_kmeans_clusters", "ann_ivf_kmeans",
+    "doc_dup_spans", "doc_span_removal", "training_corpus_pipeline",
+    "doc_line_dedup", "doc_lm_logprob", "corpus_temperature_sample",
 ]
 _PUSH_BACK = [
-    "top_orders", "scalar_cleaning", "order_date_dimensions",
-    "part_search_ilike", "open_orders", "shipments_by_month",
-    "event_type_counts", "orders_union_dedup",
-    "customer_order_stats", "customers_without_orders",
-    "priority_order_pick", "event_props_extract",
-    "active_customer_keys", "nation_customer_rollup",
-    "customer_tiering",
+    "pricing_summary", "market_segment_revenue", "order_stats_summary",
+    "event_funnel", "top_orders_per_customer",
+    "distinct_customer_priorities", "user_sessions",
+    "automation_run_health", "hourly_event_rollup",
+    "supplier_neighborhood",
 ]
 
 _by_name = {s.name: s for s in _SPECS}
