@@ -37,7 +37,10 @@ HEADLINE = [
     "doc_chunks",
     "doc_line_dedup",
     "doc_lm_logprob",
+    "doc_dup_spans",
+    "doc_span_removal",
     "training_shard_packing",
+    "training_corpus_pipeline",
     "ann_brute_topk",
     "ann_ivf_multiprobe",
     "ann_ivf_kmeans",

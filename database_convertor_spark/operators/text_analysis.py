@@ -199,10 +199,11 @@ def cross_doc_span_signals(documents: DataFrame,
     pairwise near-dup family (document-level similarity): this is the
     corpus-level duplication diagnostic in between.
 
-    Shape: windows ride as 60-bit md5 hashes; the distinct pass
-    shuffles on (doc_id, hash), the frequency aggregate and the
-    occurrence join on the hash alone (partial-aggregable counts,
-    Zipf-head combines map-side), the final roll-up on doc_id. The
+    Shape: windows ride as 60-bit md5 hashes; the "duplicated
+    anywhere else" test is min(doc) != max(doc) per hash — one
+    partial-aggregable aggregate on the hash alone (Zipf-head windows
+    combine map-side; no distinct pass), the occurrence join is on
+    the hash, the final roll-up on doc_id. The
     exploded+hashed window frame is referenced by BOTH the frequency
     build and the probe side — it is persisted (session-slot-bounded)
     so the corpus-wide explode scan runs once, not twice. A doc
@@ -218,20 +219,24 @@ def cross_doc_span_signals(documents: DataFrame,
     from ..functions.text import md5_long, shingles
     from ..plans.persist_slots import swap_persisted
 
-    w = (documents
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    w = (documents.repartition(par)
          .select("doc_id",
                  F.explode(shingles(F.col("text"), window)).alias("_w"))
          .select("doc_id", md5_long(F.col("_w")).alias("_h")))
     w = swap_persisted("cross_dup_spans_w",
                        w.persist(StorageLevel.MEMORY_AND_DISK))
-    docfreq = (w.distinct()
-               .groupBy("_h")
-               .agg(F.count(F.lit(1)).alias("_df")))
+    # distinct-doc frequency >= 2 is min(doc) != max(doc): one
+    # partial-aggregable pass instead of distinct + count (the
+    # pre-distinct shuffle of every (doc, window) pair disappears)
+    docfreq = (w.groupBy("_h")
+               .agg(F.min("doc_id").alias("_dmin"),
+                    F.max("doc_id").alias("_dmax")))
     return (w.join(docfreq, "_h")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_windows"),
-                 F.round(F.avg(F.when(F.col("_df") >= 2, 1.0)
-                               .otherwise(0.0)), 4)
+                 F.round(F.avg(F.when(F.col("_dmin") != F.col("_dmax"),
+                                      1.0).otherwise(0.0)), 4)
                  .alias("cross_dup_frac")))
 
 
@@ -271,7 +276,11 @@ def duplicated_spans(documents: DataFrame, window: int = 8) -> DataFrame:
     from ..functions.text import md5_long, shingles, token_count
     from ..plans.persist_slots import swap_persisted
 
-    w = (documents
+    # spread the explode+hash work before it runs: a few big input
+    # splits (or one single-file partition) would otherwise hash every
+    # window on a handful of cores (same discipline as the dedup family)
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    w = (documents.repartition(par)
          .select("doc_id", token_count(F.col("text")).alias("_n"),
                  F.posexplode(shingles(F.col("text"), window))
                  .alias("_p", "_w"))
@@ -280,11 +289,16 @@ def duplicated_spans(documents: DataFrame, window: int = 8) -> DataFrame:
                  md5_long(F.col("_w")).alias("_h")))
     w = swap_persisted("dup_spans_w",
                        w.persist(StorageLevel.MEMORY_AND_DISK))
+    # "distinct docs >= 2" is min(doc) != max(doc) — three fully
+    # partial-aggregable aggregates in ONE pass, no count-distinct
+    # expand and no pre-distinct shuffle: a million-way duplicated
+    # window still combines to one row per input partition
     occ = (w.groupBy("_h")
-           .agg(F.count_distinct(F.col("doc_id")).alias("_df"),
+           .agg(F.min("doc_id").alias("_dmin"),
+                F.max("doc_id").alias("_dmax"),
                 F.min(F.struct(F.col("doc_id"), F.col("_ws")))
                 .alias("_first"))
-           .filter(F.col("_df") >= 2)
+           .filter(F.col("_dmin") != F.col("_dmax"))
            .select("_h", "_first"))
     removable = (w.join(occ, "_h")
                  .filter(~((F.col("doc_id") == F.col("_first.doc_id"))
