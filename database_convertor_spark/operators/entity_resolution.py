@@ -234,6 +234,7 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
                lev_rescue: bool = True,
                rescue_rare_grams: int = 6,
                exact_rescue_limit: int = 100_000,
+               max_rescue_pairs: int = 50_000_000,
                use_difflib: bool = False) -> DataFrame:
     """General fuzzy similarity join with blocking + ladder scoring +
     per-left-key top-k (SURVEY J5 -> W4).
@@ -246,14 +247,25 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
       ``lev_rescue`` — a rescue rung for left rows with NO
       token-sharing candidate at all. The rescue is SIZE-GATED on the
       right side's row count:
-        * right <= ``exact_rescue_limit`` (a genuine dimension): every
-          residual left is scored against the WHOLE broadcast right
-          with the full ladder — exact by construction, cost bounded
-          by |residual| x |dim| through a broadcast join whose probe
+        * right <= ``exact_rescue_limit`` (a genuine dimension) AND
+          |left| x |right| <= ``max_rescue_pairs``: every residual
+          left is scored against the WHOLE broadcast right with the
+          full ladder — exact by construction, cost bounded by
+          |residual| x |dim| through a broadcast join whose probe
           side is spread across the cluster. A ~100k-row dimension at
           18-char names is a few MB broadcast; the levenshtein per
-          pair is whole-stage-codegen JVM work.
-        * right > ``exact_rescue_limit``: residual lefts are paired
+          pair is whole-stage-codegen JVM work. The PAIR budget is the
+          second gate (added after the first >sf0.1 run measured it):
+          dimension row count alone does not bound the nested loop —
+          150k residual lefts x a 10k dim is 1.5B levenshtein pairs,
+          quadratic in the scale factor. |left| is the worst-case
+          residual count (one cheap pruned-scan count; no extra
+          execution of the blocking join), so the budget is a hard
+          ceiling on rescue compute — raise it on a big cluster, where
+          50M pairs is a blink, or when blocking is known to leave few
+          residuals.
+        * otherwise (right side too big, or the worst-case pair count
+          beyond budget): residual lefts are paired
           via a rarest-q-gram equi-join (each left meets only rights
           sharing one of its ``rescue_rare_grams`` rarest 3-grams)
           and scored by edit distance. This regime is RECALL-BOUNDED
@@ -320,6 +332,11 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
             rnorm = rnorm.persist(StorageLevel.MEMORY_AND_DISK)
             swap_persisted("fuzzy_rescue_dim", rnorm)
             n_right = rnorm.count()
+            # worst-case residual count for the pair budget: a count
+            # over the bare left (column-pruned scan — the normalize/
+            # tokenize projections are dropped by the optimizer), so
+            # the gate never executes the blocking join early
+            n_left = left.count()
         pairs = _block_on_tokens(lnorm, rnorm)
         confidence, method = _ladder_score(pairs)
         scored = pairs.select(left_key, right_key,
@@ -330,7 +347,8 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
             # rescue rung: only lefts with ZERO token candidates enter.
             blocked_lefts = pairs.select(left_key).distinct()
             residual = lnorm.join(blocked_lefts, left_key, "left_anti")
-            if exact_rescue_limit and n_right <= exact_rescue_limit:
+            if (exact_rescue_limit and n_right <= exact_rescue_limit
+                    and n_left * n_right <= max_rescue_pairs):
                 # exact regime: every residual left against the whole
                 # broadcast dimension. The probe side usually arrives
                 # as a handful of file-splits — spread it so the
@@ -598,8 +616,11 @@ def match_customers_to_suppliers(customer: DataFrame, supplier: DataFrame,
     the supplier dimension — token-blocking candidate join + the
     size-gated rescue for unblocked lefts. The supplier table is a
     dimension at every scale factor (sf1 ≈ 10k rows << the 100k gate),
-    so the rescue runs in its EXACT regime: residual x broadcast(dim)
-    with the full ladder. The fully-quadratic broadcast_right path
+    so up to the 50M pair budget (sf0.1: 15k x 1k = 15M) the rescue
+    runs in its EXACT regime: residual x broadcast(dim) with the full
+    ladder. Beyond the budget (sf1: 150k x 10k = 1.5B pairs — measured
+    quadratic, not argued) it degrades to the documented recall-bounded
+    rarest-q-gram regime. The fully-quadratic broadcast_right path
     (which would nested-loop the blocked lefts too) stays off: at 100x
     data the token block is what keeps the big side linear."""
     return fuzzy_join(customer, supplier, "c_name", "s_name",

@@ -119,7 +119,13 @@ def main() -> None:
         else:
             out = pa.concat_tables(
                 [_copy_table(name, src, i) for i in range(args.mult)])
-        pq.write_table(out, os.path.join(args.dst, f"{name}.parquet"))
+        # small row groups so Spark's maxPartitionBytes can actually
+        # split the file — a real corpus at this scale arrives as many
+        # files/row-groups; a single-group file would serialize every
+        # scan-side explode onto one core and measure the fixture, not
+        # the engine
+        pq.write_table(out, os.path.join(args.dst, f"{name}.parquet"),
+                       row_group_size=16384)
         print(f"{name}: {src.num_rows} -> {out.num_rows}", flush=True)
 
 
