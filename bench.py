@@ -37,6 +37,8 @@ HEADLINE = [
     "doc_chunks",
     "doc_line_dedup",
     "doc_lm_logprob",
+    "dedup_semantic",
+    "doc_dsir_weights",
     "doc_dup_spans",
     "doc_span_removal",
     "training_shard_packing",

@@ -313,6 +313,19 @@ class Engine:
         from .operators.curation import temperature_sample
         return temperature_sample(documents, alpha, stratum_col)
 
+    def semantic_dedup(self, embeddings: DataFrame,
+                       threshold: float = 0.95) -> DataFrame:
+        """SemDeDup: drop all-but-one of each cosine-near-duplicate
+        component within coarse embedding clusters."""
+        from .operators.dedup import semantic_dedup
+        return semantic_dedup(embeddings, threshold)
+
+    def dsir_weights(self, documents: DataFrame, target,
+                     num_buckets: int = 65536) -> DataFrame:
+        """DSIR-style importance weights of each doc vs a target slice."""
+        from .operators.text_analysis import dsir_importance_weights
+        return dsir_importance_weights(documents, target, num_buckets)
+
     def lm_logprob(self, documents: DataFrame) -> DataFrame:
         """Per-doc mean log-prob under the corpus unigram LM."""
         from .operators.text_analysis import doc_lm_logprob

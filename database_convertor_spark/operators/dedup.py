@@ -17,7 +17,7 @@ Scale design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.similarity import cosine_similarity, token_jaccard
@@ -434,3 +434,74 @@ def embedding_neardup_pairs(embeddings: DataFrame,
                          F.col("b.vec_id").alias("vec_b"),
                          F.round(sim, 4).alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+# --------------------------------------------------------- semantic dedup
+def label_centroids(embeddings: DataFrame,
+                    vec_col: str = "embedding") -> DataFrame:
+    """(label, centroid) — element-wise mean embedding per coarse
+    cluster. posexplode -> groupBy(label, pos) avg is fully
+    partial-aggregable: map-side combine collapses each task's rows to
+    labels x dim partials before the shuffle, the same k x dim
+    traffic shape as a Lloyd's iteration (similarity_search.kmeans_fit);
+    the reassembled centroid table is labels x dim — codebook-sized."""
+    return (embeddings
+            .select("label", F.posexplode(
+                F.col(vec_col).cast("array<double>")).alias("_p", "_x"))
+            .groupBy("label", "_p").agg(F.avg("_x").alias("_m"))
+            .groupBy("label")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("_p", "_m"))),
+                lambda s: s["_m"]).alias("centroid")))
+
+
+def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
+                   block_splits: int = 1) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of an embedded corpus. Within each coarse cluster
+    (the ``label`` column — precomputed or from
+    ``similarity_search.kmeans_assign``), cosine-near-duplicate pairs
+    are grouped into semantic-duplicate components and exactly ONE
+    representative per component survives: the member LEAST similar to
+    its cluster centroid (the paper's keep-low-centroid-similarity
+    rule — it retains the most "edge-of-cluster", least redundant
+    exemplar; ties break on vec_id). Docs in no component all survive.
+
+    Distributed shape, stage by stage (nothing is all-pairs):
+      1. candidate pairs ride ``embedding_neardup_pairs`` — label-
+         blocked equi-join, ``block_splits`` straggler sharding;
+      2. pair -> component via the large/small-star connected
+         components (a duplicate GROUP may chain a > c through b even
+         when cos(a, c) < threshold — the same transitive-closure
+         contract the text dedup family uses);
+      3. centroids are labels x dim partial aggregates
+         (``label_centroids``), joined back on the label key;
+      4. the per-component argmin is a window over components —
+         components are near-dup groups, orders of magnitude smaller
+         than labels, so no skewed partition.
+
+    Returns the surviving rows of ``embeddings`` (all columns).
+    Reference has no analog (beyond-reference training-data operator).
+    """
+    from . import components
+
+    pairs = embedding_neardup_pairs(embeddings, threshold=threshold,
+                                    block_splits=block_splits)
+    comp = components.dedup_clusters(pairs, "vec_a", "vec_b").select(
+        F.col("doc_id").alias("vec_id"), "cluster_id")
+    e = embeddings.select("vec_id", "label",
+                          F.col("embedding").cast("array<double>")
+                          .alias("_emb"))
+    members = (comp.join(e, "vec_id")
+               .join(label_centroids(embeddings), "label"))
+    # 6dp round before ranking: keeps the argmin stable across engines
+    # (summation order differs), and 1e-6 is far below any meaningful
+    # cosine gap between distinct vectors
+    cs = F.round(cosine_similarity(F.col("_emb"), F.col("centroid")), 6)
+    w = Window.partitionBy("cluster_id").orderBy(F.asc("_cs"),
+                                                 F.asc("vec_id"))
+    drop = (members.withColumn("_cs", cs)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") > 1)
+            .select("vec_id"))
+    return embeddings.join(drop, "vec_id", "left_anti")

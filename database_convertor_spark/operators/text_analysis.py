@@ -517,3 +517,76 @@ def top_terms_heavy_hitters(documents: DataFrame, k: int = 5,
         out = out.unionByName(
             top_terms_per_lang(documents.filter(cond), k))
     return out
+
+
+def dsir_importance_weights(documents: DataFrame,
+                            target: "F.Column",
+                            num_buckets: int = 65536,
+                            smoothing: float = 1.0) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023,
+    arXiv:2302.03169): score every document by how much more likely
+    its hashed-unigram features are under the TARGET slice of the
+    corpus than under the raw corpus — the data-selection signal that
+    upweights "looks like the target domain" documents before
+    sampling. ``target`` is a boolean column expression over
+    ``documents`` (e.g. ``F.col("lang") == "en"``) defining the slice
+    whose distribution we want more of.
+
+    weight(doc) = mean over tokens of
+        ln p_target(bucket(tok)) - ln p_raw(bucket(tok))
+    with add-``smoothing`` estimates over the ``num_buckets`` hashed
+    vocabulary (the hashing trick bounds both models to B counters no
+    matter the corpus vocabulary — DSIR's core scalability move).
+
+    Distributed shape: ONE tokenize+explode scan (persisted,
+    session-slot bounded) feeds both count passes and the scoring
+    pass; each count pass is a partial-aggregable groupBy on the
+    bucket key (<= B distinct keys, Zipf heads combine map-side); the
+    per-bucket log-ratio table is <= B rows and BROADCASTS into the
+    scoring join, so the only corpus-sized shuffle is the final
+    groupBy(doc_id). The bucket hash is md5-derived (engine-portable),
+    so the whole operator is DuckDB-oracle-checkable.
+
+    Output: (doc_id, n_tokens, dsir_logratio) — higher = more
+    target-like; empty docs carry NULL. Sampling proportional to the
+    weight is a separate gate (compose with ``temperature_sample`` /
+    ``select_top_quality``). Reference has no analog
+    (beyond-reference training-data operator).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.text import md5_long, tokens
+    from ..plans.persist_slots import swap_persisted
+
+    lam = float(smoothing)
+    b_count = F.lit(float(num_buckets))
+    toks = documents.select(
+        "doc_id", target.alias("_is_t"),
+        F.explode(tokens(F.lower(F.col("text")))).alias("_tok"))
+    toks = toks.withColumn(
+        "_b", F.pmod(md5_long(F.col("_tok")), F.lit(num_buckets)))
+    toks = swap_persisted("dsir_toks",
+                          toks.persist(StorageLevel.MEMORY_AND_DISK))
+    raw = toks.groupBy("_b").agg(F.count(F.lit(1)).alias("_cr"))
+    tgt = (toks.filter(F.col("_is_t"))
+           .groupBy("_b").agg(F.count(F.lit(1)).alias("_ct")))
+    totals = (raw.agg(F.sum("_cr").cast("double").alias("_nr"))
+              .crossJoin(tgt.agg(F.coalesce(F.sum("_ct"), F.lit(0))
+                                 .cast("double").alias("_nt"))))
+    rates = (raw.join(tgt, "_b", "left")
+             .crossJoin(F.broadcast(totals))
+             .select("_b", (
+                 F.log((F.coalesce(F.col("_ct"), F.lit(0)) + F.lit(lam))
+                       / (F.col("_nt") + F.lit(lam) * b_count))
+                 - F.log((F.col("_cr") + F.lit(lam))
+                         / (F.col("_nr") + F.lit(lam) * b_count))
+             ).alias("_lr")))
+    scored = (toks.join(F.broadcast(rates), "_b")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                   F.round(F.avg("_lr"), 4).alias("dsir_logratio")))
+    return (documents.select("doc_id")
+            .join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    "dsir_logratio"))

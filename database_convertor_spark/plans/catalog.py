@@ -2865,6 +2865,88 @@ _add(
     "split -> chunk -> pack), value-checked end to end",
 )
 
+# ======================================================== semantic dedup
+_add(
+    "dedup_semantic",
+    lambda spark, sf: dedup.semantic_dedup(
+        *_t(spark, sf, "embeddings"), threshold=0.35)
+    .select("vec_id", "label"),
+    f"""
+    WITH RECURSIVE
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round({_COS.format(a='a.embedding', b='b.embedding')}, 4)
+            >= 0.35),
+    edges AS (SELECT va AS a, vb AS b FROM pairs
+              UNION SELECT vb, va FROM pairs),
+    reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+    comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+    cent AS (
+      SELECT label, list(m ORDER BY i) AS centroid FROM (
+        SELECT label, t.i AS i, avg(embedding[t.i]) AS m
+        FROM embeddings,
+             LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) t
+        GROUP BY label, t.i)
+      GROUP BY label),
+    ranked AS (
+      SELECT c.node AS vec_id,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY round({_COS.format(a='e.embedding',
+                                           b='cent.centroid')}, 6) ASC,
+                        c.node ASC) AS rn
+      FROM comp c JOIN embeddings e ON e.vec_id = c.node
+                  JOIN cent ON cent.label = e.label)
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM ranked WHERE rn > 1)
+    """,
+    "dedup",
+    "SemDeDup: cosine near-dup components within coarse clusters, "
+    "keep the least-centroid-similar exemplar per component "
+    "(label-blocked pairs + CC + codebook-sized centroid aggregates)",
+)
+
+# ============================================== DSIR importance weights
+_add(
+    "doc_dsir_weights",
+    lambda spark, sf: text_analysis.dsir_importance_weights(
+        _t(spark, sf, "documents")[0], F.col("lang") == "en"),
+    f"""
+    WITH toks AS (
+      SELECT doc_id, is_t, ({_MD5_60.format(x='tok')}) % 65536 AS b
+      FROM (SELECT doc_id, (lang = 'en') AS is_t,
+                   unnest({_TOKS_ALL.format(c='lower(text)')}) AS tok
+            FROM documents)),
+    raw AS (SELECT b, count(*) AS cr FROM toks GROUP BY b),
+    tgt AS (SELECT b, count(*) AS ct FROM toks WHERE is_t GROUP BY b),
+    tot AS (SELECT CAST((SELECT sum(cr) FROM raw) AS DOUBLE) AS nr,
+                   CAST(coalesce((SELECT sum(ct) FROM tgt), 0)
+                        AS DOUBLE) AS nt),
+    rates AS (
+      SELECT raw.b,
+             ln((coalesce(tgt.ct, 0) + 1.0) / (tot.nt + 65536.0))
+           - ln((raw.cr + 1.0) / (tot.nr + 65536.0)) AS lr
+      FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot),
+    scored AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(r.lr), 4) AS dsir_logratio
+      FROM toks t JOIN rates r ON t.b = r.b GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+           s.dsir_logratio
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+    "text-analysis,pipeline",
+    "DSIR-style importance weights: per-doc mean log-ratio of hashed-"
+    "unigram likelihood under the target slice vs the raw corpus "
+    "(B-bounded counters, broadcast rate table, one tokenize scan)",
+)
+
 
 # --------------------------------------------------- driver-window rotation
 # The correctness driver samples the FIRST 50 catalog entries in
@@ -2887,6 +2969,10 @@ _PULL_FORWARD = [
     "embedding_kmeans_clusters", "ann_ivf_kmeans",
     "doc_dup_spans", "doc_span_removal", "training_corpus_pipeline",
     "doc_line_dedup", "doc_lm_logprob", "corpus_temperature_sample",
+    # the two operators new IN round 5 (SemDeDup + DSIR) earn their
+    # first driver row in their first round, displacing two unchanged
+    # r3-green pure-expression veterans
+    "dedup_semantic", "doc_dsir_weights",
 ]
 _PUSH_BACK = [
     "pricing_summary", "market_segment_revenue", "order_stats_summary",
@@ -2894,6 +2980,7 @@ _PUSH_BACK = [
     "distinct_customer_priorities", "user_sessions",
     "automation_run_health", "hourly_event_rollup",
     "supplier_neighborhood",
+    "scalar_cleaning", "order_date_dimensions",
 ]
 
 _by_name = {s.name: s for s in _SPECS}

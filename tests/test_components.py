@@ -174,3 +174,50 @@ def test_cross_corpus_overlap_is_strictly_between(spark):
     within |= {frozenset((r.doc_a, r.doc_b))
                for r in dedup.ngram_jaccard_pairs(b).collect()}
     assert {frozenset((r.doc_a, r.doc_b)) for r in rows} == full - within
+
+
+# ----------------------------------------------------- semantic dedup
+def test_semantic_dedup_golden(spark):
+    """SemDeDup keep rule on a handcrafted cluster: {a, b} form a
+    duplicate component (cos > 0.9), the survivor is the member LEAST
+    similar to the label-0 centroid (a, which points away from the
+    cluster mean), c and the singleton label survive untouched."""
+    from database_convertor_spark.operators import dedup
+
+    emb = spark.createDataFrame(
+        [(1, 0, [1.0, 0.0]),        # a
+         (2, 0, [0.995, 0.0999]),   # b: cos(a,b) ~ 0.995
+         (3, 0, [0.0, 1.0]),        # c: near nothing
+         (4, 1, [0.5, 0.5])],       # other label, singleton
+        ["vec_id", "label", "embedding"])
+    kept = sorted(r.vec_id for r in
+                  dedup.semantic_dedup(emb, threshold=0.9).collect())
+    # centroid_0 = mean(a,b,c) = [0.665, 0.3666]; cos(a) ~ 0.876 <
+    # cos(b) ~ 0.920 -> a survives, b is cut
+    assert kept == [1, 3, 4]
+
+
+def test_semantic_dedup_corpus_invariants(spark):
+    """On the real embeddings table: exactly one survivor per
+    duplicate component, every non-component vector survives, and the
+    output carries the input schema."""
+    from database_convertor_spark.operators import components, dedup
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    out = dedup.semantic_dedup(emb, threshold=0.3)
+    assert out.columns == emb.columns
+    kept = {r.vec_id for r in out.select("vec_id").collect()}
+    pairs = dedup.embedding_neardup_pairs(emb, threshold=0.3)
+    comp = components.dedup_clusters(pairs, "vec_a", "vec_b")
+    by_cluster = {}
+    for r in comp.collect():
+        by_cluster.setdefault(r.cluster_id, set()).add(r.doc_id)
+    assert by_cluster, "fixture must produce at least one component"
+    for members in by_cluster.values():
+        assert len(members & kept) == 1
+    in_comp = set().union(*by_cluster.values())
+    all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert (all_ids - in_comp) <= kept

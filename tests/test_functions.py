@@ -339,3 +339,51 @@ def test_top_terms_heavy_hitters_broadcast_guard_regime(spark):
         docs, k=5, max_broadcast_candidates=1).collect()))
     b = sorted(map(tuple, top_terms_per_lang(docs, k=5).collect()))
     assert a == b
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """Exact twin check: the hashed-unigram log-ratio formula computed
+    in pure Python (hashlib md5 bucket twin, add-1 smoothing) must
+    reproduce dsir_logprob to the rounded 4dp, and empty docs carry
+    n_tokens=0 with a NULL weight."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from database_convertor_spark.functions.text import _hash_const
+    from database_convertor_spark.operators.text_analysis import (
+        dsir_importance_weights,
+    )
+
+    corpus = {1: ("en", "Alpha alpha beta"),
+              2: ("fr", "gamma gamma gamma"),
+              3: ("en", "beta gamma"),
+              4: ("en", "")}
+    docs = spark.createDataFrame(
+        [(i, lang, text) for i, (lang, text) in corpus.items()],
+        ["doc_id", "lang", "text"])
+    B = 65536
+    raw, tgt = {}, {}
+    for _i, (lang, text) in corpus.items():
+        for tok in text.lower().split():
+            b = _hash_const(tok) % B
+            raw[b] = raw.get(b, 0) + 1
+            if lang == "en":
+                tgt[b] = tgt.get(b, 0) + 1
+    nr, nt = sum(raw.values()), sum(tgt.values())
+    lr = {b: math.log((tgt.get(b, 0) + 1.0) / (nt + B))
+          - math.log((c + 1.0) / (nr + B)) for b, c in raw.items()}
+    expect = {}
+    for i, (lang, text) in corpus.items():
+        toks = text.lower().split()
+        if not toks:
+            expect[i] = (0, None)
+        else:
+            m = sum(lr[_hash_const(t) % B] for t in toks) / len(toks)
+            expect[i] = (len(toks), round(m, 4))
+    got = {r.doc_id: (r.n_tokens, r.dsir_logratio)
+           for r in dsir_importance_weights(
+               docs, F.col("lang") == "en", num_buckets=B).collect()}
+    assert got == expect
+    # direction: the all-target-token doc outranks the all-French doc
+    assert got[1][1] > got[2][1]
