@@ -66,13 +66,58 @@ def is_likely_individual(name: Column) -> Column:
     return title_prefix | (~has_suffix & n_words.between(2, 3))
 
 
-def _block_on_tokens(left: DataFrame, right: DataFrame) -> DataFrame:
-    """Token-blocking candidate join: pair rows sharing any non-stopword
-    name token (expects precomputed _ltoks/_rtoks arrays). Returns the
-    deduped (left x right) candidate pairs."""
+def _block_on_tokens(left: DataFrame, right: DataFrame,
+                     n_right: int | None = None,
+                     df_frac: float = 0.05,
+                     df_floor: int = 100) -> DataFrame:
+    """Token-blocking candidate join: pair rows sharing any non-stopword,
+    non-MEGA name token (expects precomputed _ltoks/_rtoks arrays).
+    Returns the deduped (left x right) candidate pairs.
+
+    Mega-token cap (the sf1 probe finding): a token carried by more
+    than ``max(n_right * df_frac, df_floor)`` dimension rows is a
+    de-facto stopword — "inc", "trading", a synthetic batch suffix —
+    and every left holding it would pair with that whole slice of the
+    dimension: DF_left(t) x DF_right(t) candidate pairs, the quadratic
+    blow-up through the back door (measured: one 10%-DF token at sf1
+    produced 135M of 135M candidates and a >3-minute ladder pass; the
+    static stopword list cannot know corpus-specific megas). Such
+    tokens are excluded from BLOCKING ONLY — scoring still sees the
+    full arrays — and a left whose every token is capped simply has
+    zero candidates here, so it falls through to the caller's rescue
+    rung, which is EXACT under the pair budget (strictly better than
+    ranking only its mega-token pairs) and rarest-gram-blocked above
+    it. ``df_floor`` keeps small dimensions entirely uncapped.
+
+    Plan shape (also learned at the sf1 probe): Catalyst pushes the
+    caller's ladder filter below the dedup into the join condition.
+    That is the shape we WANT — the ladder evaluates per shared-token
+    occurrence (post-cap fan-out is small), survivors are pruned
+    before the dedup aggregate buffers them, and the dedup stays a
+    HashAggregate. (The tempting alternative — group on scalar keys
+    and carry the arrays via first() — blocks the pushdown AND falls
+    back to a SortAggregate over every candidate pair; measured
+    strictly worse.) The conditional repartition spreads the exploded
+    probe side only when the source arrives with fewer partitions
+    than the cluster has cores — a many-split 100-TB scan keeps its
+    natural partitioning and pays no extra shuffle."""
     sw = F.array(*[F.lit(w) for w in BLOCKING_STOPWORDS])
     lt = left.withColumn("_tok", F.explode(F.array_except(F.col("_ltoks"), sw)))
     rt = right.withColumn("_tok", F.explode(F.array_except(F.col("_rtoks"), sw)))
+    if n_right is None:
+        n_right = right.count()
+    cap = max(int(n_right * df_frac), df_floor)
+    # dimension-side token DF table: <= |right| x avg_tokens rows,
+    # broadcast-joined as a semi-filter on BOTH exploded sides (a
+    # capped token can be dropped from the left too — it can never
+    # produce a candidate)
+    tok_ok = (rt.groupBy("_tok").agg(F.count(F.lit(1)).alias("_tdf"))
+              .filter(F.col("_tdf") <= cap).select("_tok"))
+    lt = lt.join(F.broadcast(tok_ok), "_tok")
+    rt = rt.join(F.broadcast(tok_ok), "_tok")
+    par = left.sparkSession.sparkContext.defaultParallelism
+    if lt.rdd.getNumPartitions() < par:
+        lt = lt.repartition(par)
     return lt.join(rt, "_tok").drop("_tok").dropDuplicates()
 
 
@@ -337,7 +382,8 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
             # tokenize projections are dropped by the optimizer), so
             # the gate never executes the blocking join early
             n_left = left.count()
-        pairs = _block_on_tokens(lnorm, rnorm)
+        pairs = _block_on_tokens(
+            lnorm, rnorm, n_right=n_right if lev_rescue else None)
         confidence, method = _ladder_score(pairs)
         scored = pairs.select(left_key, right_key,
                               confidence.alias("confidence"),
