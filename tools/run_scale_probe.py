@@ -1,0 +1,46 @@
+#!/usr/bin/env python
+"""Time the bench headline set against a synthesized scale corpus
+(see tools/make_scale_corpus.py): one sf0.01 warm pass (JIT/codegen,
+different data), then ONE timed pass per query. 2MB maxPartitionBytes
+makes the few-file scratch corpus emulate many-input-splits
+parallelism. Results: one JSON line in tools/scale_report.py's shape.
+
+Usage: python tools/run_scale_probe.py [SF_DIR] [OUT_JSON]
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_MAX_PARTITION_BYTES", "2097152")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+from database_convertor_spark.plans.catalog import CATALOG  # noqa: E402
+from database_convertor_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scratch/sf1"
+    out = sys.argv[2] if len(sys.argv) > 2 else ".scratch/bench_sf1.json"
+    spark = get_spark("scale_probe")
+    for name in HEADLINE:
+        CATALOG[name].builder(spark, "/root/testdata/sf0.01") \
+            .write.format("noop").mode("overwrite").save()
+    print("warmed", flush=True)
+    timings = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        CATALOG[name].builder(spark, sf_dir) \
+            .write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"{name}: {timings[name]}s", flush=True)
+    payload = {"queries": timings, "sf": sf_dir,
+               "total": round(sum(timings.values()), 2)}
+    with open(out, "w") as f:
+        json.dump(payload, f)
+    print(json.dumps(payload), flush=True)
+
+
+if __name__ == "__main__":
+    main()
