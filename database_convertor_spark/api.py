@@ -314,11 +314,15 @@ class Engine:
         return temperature_sample(documents, alpha, stratum_col)
 
     def semantic_dedup(self, embeddings: DataFrame,
-                       threshold: float = 0.95) -> DataFrame:
+                       threshold: float = 0.95,
+                       relabel_clusters: int | None = None) -> DataFrame:
         """SemDeDup: drop all-but-one of each cosine-near-duplicate
-        component within coarse embedding clusters."""
+        component within coarse embedding clusters. Pass
+        ``relabel_clusters`` (k ∝ corpus size) to re-block on a learned
+        k-means codebook — the scale path."""
         from .operators.dedup import semantic_dedup
-        return semantic_dedup(embeddings, threshold)
+        return semantic_dedup(embeddings, threshold,
+                              relabel_clusters=relabel_clusters)
 
     def dsir_weights(self, documents: DataFrame, target,
                      num_buckets: int = 65536) -> DataFrame:

@@ -456,7 +456,8 @@ def label_centroids(embeddings: DataFrame,
 
 
 def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
-                   block_splits: int = 1) -> DataFrame:
+                   block_splits: int = 1,
+                   relabel_clusters: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication of an embedded corpus. Within each coarse cluster
     (the ``label`` column — precomputed or from
@@ -480,11 +481,32 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
          components are near-dup groups, orders of magnitude smaller
          than labels, so no skewed partition.
 
+    ``relabel_clusters``: the SCALE knob (measured at the sf1 probe —
+    13.2× on 10× data with the fixture's FIXED 10 labels, because
+    within-label candidate pairs grow quadratically in label
+    population). Abbas et al.'s own prescription is k ∝ corpus size;
+    passing ``relabel_clusters=k`` ignores the incoming ``label``
+    column and re-blocks on a spherical k-means codebook learned from
+    the corpus itself (``kmeans_fit`` + ``kmeans_assign`` — Arrow-GEMM
+    Lloyd's, k×dim shuffle per iteration), holding per-label pair mass
+    constant as the corpus grows. The centroid used for the keep rule
+    is then the LEARNED centroid's cluster mean, consistent with the
+    blocking.
+
     Returns the surviving rows of ``embeddings`` (all columns).
     Reference has no analog (beyond-reference training-data operator).
     """
     from . import components
 
+    if relabel_clusters is not None:
+        from .similarity_search import kmeans_assign, kmeans_fit
+        cents, _ = kmeans_fit(embeddings, k=relabel_clusters,
+                              normalize=True)
+        assigned = kmeans_assign(embeddings, cents, normalize=True)
+        embeddings = (embeddings.drop("label")
+                      .join(assigned.select(
+                          "vec_id",
+                          F.col("cluster_id").alias("label")), "vec_id"))
     pairs = embedding_neardup_pairs(embeddings, threshold=threshold,
                                     block_splits=block_splits)
     comp = components.dedup_clusters(pairs, "vec_a", "vec_b").select(

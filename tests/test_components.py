@@ -221,3 +221,39 @@ def test_semantic_dedup_corpus_invariants(spark):
     in_comp = set().union(*by_cluster.values())
     all_ids = {r.vec_id for r in emb.select("vec_id").collect()}
     assert (all_ids - in_comp) <= kept
+
+
+def test_semantic_dedup_relabel_path(spark):
+    """relabel_clusters=k re-blocks on a learned spherical k-means
+    codebook: output schema/subset invariants hold, every duplicate
+    component (under the learned labels) keeps exactly one member, and
+    the keep rule uses the learned-cluster centroid."""
+    from database_convertor_spark.operators import components, dedup
+    from database_convertor_spark.operators.similarity_search import (
+        kmeans_assign, kmeans_fit,
+    )
+    from database_convertor_spark.sources.readers import read_table
+    from pyspark.sql import functions as F
+
+    from .conftest import SF_SMALL
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    out = dedup.semantic_dedup(emb, threshold=0.3, relabel_clusters=4)
+    assert out.columns == emb.columns
+    kept = {r.vec_id for r in out.select("vec_id").collect()}
+    assert kept <= {r.vec_id for r in emb.select("vec_id").collect()}
+    # recompute the learned labels exactly (deterministic fit) and
+    # check the one-survivor-per-component contract under THEM
+    cents, _ = kmeans_fit(emb, k=4, normalize=True)
+    relab = (emb.drop("label")
+             .join(kmeans_assign(emb, cents, normalize=True)
+                   .select("vec_id", F.col("cluster_id").alias("label")),
+                   "vec_id"))
+    pairs = dedup.embedding_neardup_pairs(relab, threshold=0.3)
+    comp = components.dedup_clusters(pairs, "vec_a", "vec_b")
+    by_cluster = {}
+    for r in comp.collect():
+        by_cluster.setdefault(r.cluster_id, set()).add(r.doc_id)
+    assert by_cluster, "fixture must produce at least one component"
+    for members in by_cluster.values():
+        assert len(members & kept) == 1
