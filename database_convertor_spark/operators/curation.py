@@ -113,12 +113,16 @@ def dedup_lines_keep_first(documents: DataFrame) -> DataFrame:
     shared by millions of documents map-side-combines to one row per
     input partition before the shuffle, so the frequent-line skew that
     would stall a row_number window never reaches the reducer. The
-    dedup key rides as a 60-bit md5 of the stripped line (collision-
-    safe far past any realistic distinct-line count), so neither the
-    aggregate nor the join back carries line TEXT as a key — on a
-    long-line corpus that halves the shuffled bytes. The join back is
-    an equi-join on (hash, doc_id, pos); reassembly shuffles each
-    surviving line once on doc_id.
+    dedup key rides as a 60-bit md5 of the stripped line, so neither
+    the aggregate nor the join back carries line TEXT as a KEY — on a
+    long-line corpus that halves the shuffled bytes. The winner's
+    stripped text does ride the min-struct VALUE (once per distinct
+    line after map-side combine), because the join-back confirms text
+    equality: at 100-TB distinct-line counts (2^30+) a 60-bit birthday
+    collision is likely, and without the confirmation it would delete
+    every occurrence of the losing line; with it, a collision merely
+    leaves that line un-deduplicated. The join back is an equi-join on
+    the hash; reassembly shuffles each surviving line once on doc_id.
     """
     lines = documents.select(
         "doc_id",
@@ -132,13 +136,22 @@ def dedup_lines_keep_first(documents: DataFrame) -> DataFrame:
     # sort-merge at corpus scale
     blanks = keyed.filter(F.col("_blank")).drop("_h", "_blank")
     nonblank = keyed.filter(~F.col("_blank")).drop("_blank")
+    # the winner's STRIPPED TEXT rides in the min-struct (last field —
+    # (doc_id, pos) ordering unchanged): the join-back confirms text
+    # equality, so a 60-bit hash collision degrades to a MISSED dedup
+    # of the colliding line, never a silent corpus-wide deletion. The
+    # text rides the aggregate once per (partition x distinct line)
+    # after map-side combine — not per occurrence — and the join keys
+    # stay hash-only.
     firsts = (nonblank
               .groupBy("_h")
-              .agg(F.min(F.struct(F.col("doc_id"), F.col("pos")))
+              .agg(F.min(F.struct(F.col("doc_id"), F.col("pos"),
+                                  stripped.alias("sline")))
                    .alias("_first")))
     kept = (nonblank.join(firsts, "_h")
-            .filter((F.col("doc_id") == F.col("_first.doc_id"))
-                    & (F.col("pos") == F.col("_first.pos")))
+            .filter(((F.col("doc_id") == F.col("_first.doc_id"))
+                     & (F.col("pos") == F.col("_first.pos")))
+                    | (stripped != F.col("_first.sline")))
             .select("doc_id", "pos", "line")
             .unionByName(blanks))
     docs = (kept.groupBy("doc_id")

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.similarity import cosine_similarity, token_jaccard
+from ..session import spread
 from ..plans.persist_slots import swap_persisted
 from ..functions.text import (
     HASH_PRIME,
@@ -120,7 +121,7 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
     docs = _ngram_docs(documents, band_chars)
     # single-file inputs arrive as one partition; the (broadcast) self-
     # join would then run on one core — spread the probe side first
-    par = documents.sparkSession.sparkContext.defaultParallelism
+    # (conditional: a many-split scan keeps its natural partitioning)
     if block_splits > 1:
         if adjacent_bands:
             raise ValueError(
@@ -128,8 +129,8 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
         s = block_splits
         bucket = F.pmod(F.xxhash64("doc_id"), F.lit(s))
         j_copies = F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
-        a = (docs.withColumn("i", bucket).withColumn("j", j_copies)
-             .repartition(par).alias("a"))
+        a = spread(docs.withColumn("i", bucket)
+                   .withColumn("j", j_copies)).alias("a")
         b = (docs.withColumn("j", bucket).withColumn("i", j_copies)
              .alias("b"))
         pairs = a.join(b, (F.col("a.lang") == F.col("b.lang"))
@@ -141,7 +142,7 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
     if adjacent_bands:
         blocked = docs.withColumn(
             "block", F.explode(F.array(F.col("band"), F.col("band") + 1)))
-        a = blocked.repartition(par).alias("a")
+        a = spread(blocked).alias("a")
         b = blocked.alias("b")
         # same-band pairs meet on BOTH emitted keys; keeping only the
         # row matched on the lower one makes every pair appear exactly
@@ -153,7 +154,7 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
                        & (F.col("a.doc_id") < F.col("b.doc_id"))
                        & once)
     else:
-        a, b = docs.repartition(par).alias("a"), docs.alias("b")
+        a, b = spread(docs).alias("a"), docs.alias("b")
         pairs = a.join(b, (F.col("a.lang") == F.col("b.lang"))
                        & (F.col("a.band") == F.col("b.band"))
                        & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -169,8 +170,7 @@ def cross_corpus_overlap(corpus_a: DataFrame, corpus_b: DataFrame,
     mixing two sources into one training corpus. Same (lang, band)
     equi-join blocking; output (doc_a, doc_b, jaccard) with doc_a from
     A and doc_b from B."""
-    par = corpus_a.sparkSession.sparkContext.defaultParallelism
-    a = _ngram_docs(corpus_a, band_chars).repartition(par).alias("a")
+    a = spread(_ngram_docs(corpus_a, band_chars)).alias("a")
     b = _ngram_docs(corpus_b, band_chars).alias("b")
     pairs = a.join(b, (F.col("a.lang") == F.col("b.lang"))
                    & (F.col("a.band") == F.col("b.band")))
@@ -209,8 +209,7 @@ def ngram_jaccard_pairs_incremental(new_docs: DataFrame,
     """
     nd = _ngram_docs(new_docs, band_chars)
     cd = _ngram_docs(corpus_docs, band_chars)
-    par = new_docs.sparkSession.sparkContext.defaultParallelism
-    a = nd.repartition(par).alias("a")
+    a = spread(nd).alias("a")
     b = (nd.withColumn("_new", F.lit(True))
          .unionByName(cd.withColumn("_new", F.lit(False)))
          .alias("b"))
@@ -299,8 +298,7 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5,
     # back with two joins against the persisted signatures is cheaper
     banded = sigs.select(
         "doc_id", F.posexplode(band_keys).alias("band_id", "band_hash"))
-    par = documents.sparkSession.sparkContext.defaultParallelism
-    a, b = banded.repartition(par).alias("a"), banded.alias("b")
+    a, b = spread(banded).alias("a"), banded.alias("b")
     cands = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                     & (F.col("a.band_hash") == F.col("b.band_hash"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -373,8 +371,7 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
     into 4x15-bit chunks; any pair within Hamming distance <= 3 must
     agree on at least one chunk (pigeonhole), so candidates come from
     an equi-join on (chunk_id, chunk_value)."""
-    par = documents.sparkSession.sparkContext.defaultParallelism
-    sh = (documents.repartition(par)
+    sh = (spread(documents)
           .select("doc_id", simhash_votes(F.col("text")).alias("_v"))
           .select("doc_id", votes_to_simhash(F.col("_v")).alias("sh")))
     chunked = sh.select(
@@ -382,8 +379,7 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
         F.posexplode(F.array(*[
             F.shiftright(F.col("sh"), c * 15).bitwiseAND(F.lit(0x7FFF))
             for c in range(4)])).alias("chunk_id", "chunk_val"))
-    par = documents.sparkSession.sparkContext.defaultParallelism
-    a, b = chunked.repartition(par).alias("a"), chunked.alias("b")
+    a, b = spread(chunked).alias("a"), chunked.alias("b")
     cands = (a.join(b, (F.col("a.chunk_id") == F.col("b.chunk_id"))
                     & (F.col("a.chunk_val") == F.col("b.chunk_val"))
                     & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -412,20 +408,19 @@ def embedding_neardup_pairs(embeddings: DataFrame,
     scale; S > 1 shards each cell into S^2 sub-joins with every pair
     met exactly once (identical results, tested)."""
     e = embeddings.select("vec_id", "label", "embedding")
-    par = embeddings.sparkSession.sparkContext.defaultParallelism
     if block_splits > 1:
         s = block_splits
         bucket = F.pmod(F.xxhash64("vec_id"), F.lit(s))
         copies = F.explode(F.sequence(F.lit(0), F.lit(s - 1)))
-        a = (e.withColumn("i", bucket).withColumn("j", copies)
-             .repartition(par).alias("a"))
+        a = spread(e.withColumn("i", bucket)
+                   .withColumn("j", copies)).alias("a")
         b = (e.withColumn("j", bucket).withColumn("i", copies).alias("b"))
         pairs = a.join(b, (F.col("a.label") == F.col("b.label"))
                        & (F.col("a.i") == F.col("b.i"))
                        & (F.col("a.j") == F.col("b.j"))
                        & (F.col("a.vec_id") < F.col("b.vec_id")))
     else:
-        a, b = e.repartition(par).alias("a"), e.alias("b")
+        a, b = spread(e).alias("a"), e.alias("b")
         pairs = a.join(b, (F.col("a.label") == F.col("b.label"))
                        & (F.col("a.vec_id") < F.col("b.vec_id")))
     sim = cosine_similarity(F.col("a.embedding").cast("array<double>"),
@@ -437,24 +432,6 @@ def embedding_neardup_pairs(embeddings: DataFrame,
 
 
 # --------------------------------------------------------- semantic dedup
-def label_centroids(embeddings: DataFrame,
-                    vec_col: str = "embedding") -> DataFrame:
-    """(label, centroid) — element-wise mean embedding per coarse
-    cluster. posexplode -> groupBy(label, pos) avg is fully
-    partial-aggregable: map-side combine collapses each task's rows to
-    labels x dim partials before the shuffle, the same k x dim
-    traffic shape as a Lloyd's iteration (similarity_search.kmeans_fit);
-    the reassembled centroid table is labels x dim — codebook-sized."""
-    return (embeddings
-            .select("label", F.posexplode(
-                F.col(vec_col).cast("array<double>")).alias("_p", "_x"))
-            .groupBy("label", "_p").agg(F.avg("_x").alias("_m"))
-            .groupBy("label")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("_p", "_m"))),
-                lambda s: s["_m"]).alias("centroid")))
-
-
 def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
                    block_splits: int = 1,
                    relabel_clusters: int | None = None) -> DataFrame:
@@ -476,7 +453,8 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
          when cos(a, c) < threshold — the same transitive-closure
          contract the text dedup family uses);
       3. centroids are labels x dim partial aggregates
-         (``label_centroids``), joined back on the label key;
+         (``similarity_search.label_centroids`` — the IVF codebook
+         helper, reused), joined back on the label key;
       4. the per-component argmin is a window over components —
          components are near-dup groups, orders of magnitude smaller
          than labels, so no skewed partition.
@@ -497,6 +475,8 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
     Reference has no analog (beyond-reference training-data operator).
     """
     from . import components
+
+    from .similarity_search import label_centroids
 
     if relabel_clusters is not None:
         from .similarity_search import kmeans_assign, kmeans_fit

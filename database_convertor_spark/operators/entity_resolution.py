@@ -69,7 +69,8 @@ def is_likely_individual(name: Column) -> Column:
 def _block_on_tokens(left: DataFrame, right: DataFrame,
                      n_right: int | None = None,
                      df_frac: float = 0.05,
-                     df_floor: int = 100) -> DataFrame:
+                     df_floor: int = 100,
+                     cap_mega_tokens: bool = True) -> DataFrame:
     """Token-blocking candidate join: pair rows sharing any non-stopword,
     non-MEGA name token (expects precomputed _ltoks/_rtoks arrays).
     Returns the deduped (left x right) candidate pairs.
@@ -87,7 +88,11 @@ def _block_on_tokens(left: DataFrame, right: DataFrame,
     zero candidates here, so it falls through to the caller's rescue
     rung, which is EXACT under the pair budget (strictly better than
     ranking only its mega-token pairs) and rarest-gram-blocked above
-    it. ``df_floor`` keeps small dimensions entirely uncapped.
+    it. ``df_floor`` keeps small dimensions entirely uncapped, and
+    ``cap_mega_tokens=False`` disables the cap entirely — callers with
+    NO rescue rung downstream (fuzzy_join with lev_rescue=False) must
+    pass False, otherwise a left whose every token is capped would
+    silently lose all candidates instead of falling through.
 
     Plan shape (also learned at the sf1 probe): Catalyst pushes the
     caller's ladder filter below the dedup into the join condition.
@@ -101,22 +106,28 @@ def _block_on_tokens(left: DataFrame, right: DataFrame,
     probe side only when the source arrives with fewer partitions
     than the cluster has cores — a many-split 100-TB scan keeps its
     natural partitioning and pays no extra shuffle."""
+    # probe the SOURCE's partition count before any join is attached:
+    # .rdd on a frame containing a broadcast join would eagerly
+    # materialize the broadcast build (running the DF aggregate once
+    # for the probe and again for the real execution)
+    par = left.sparkSession.sparkContext.defaultParallelism
+    few_splits = left.rdd.getNumPartitions() < par
     sw = F.array(*[F.lit(w) for w in BLOCKING_STOPWORDS])
     lt = left.withColumn("_tok", F.explode(F.array_except(F.col("_ltoks"), sw)))
     rt = right.withColumn("_tok", F.explode(F.array_except(F.col("_rtoks"), sw)))
-    if n_right is None:
-        n_right = right.count()
-    cap = max(int(n_right * df_frac), df_floor)
-    # dimension-side token DF table: <= |right| x avg_tokens rows,
-    # broadcast-joined as a semi-filter on BOTH exploded sides (a
-    # capped token can be dropped from the left too — it can never
-    # produce a candidate)
-    tok_ok = (rt.groupBy("_tok").agg(F.count(F.lit(1)).alias("_tdf"))
-              .filter(F.col("_tdf") <= cap).select("_tok"))
-    lt = lt.join(F.broadcast(tok_ok), "_tok")
-    rt = rt.join(F.broadcast(tok_ok), "_tok")
-    par = left.sparkSession.sparkContext.defaultParallelism
-    if lt.rdd.getNumPartitions() < par:
+    if cap_mega_tokens:
+        if n_right is None:
+            n_right = right.count()
+        cap = max(int(n_right * df_frac), df_floor)
+        # dimension-side token DF table: <= |right| x avg_tokens rows,
+        # broadcast-joined as a semi-filter on BOTH exploded sides (a
+        # capped token can be dropped from the left too — it can never
+        # produce a candidate)
+        tok_ok = (rt.groupBy("_tok").agg(F.count(F.lit(1)).alias("_tdf"))
+                  .filter(F.col("_tdf") <= cap).select("_tok"))
+        lt = lt.join(F.broadcast(tok_ok), "_tok")
+        rt = rt.join(F.broadcast(tok_ok), "_tok")
+    if few_splits:
         lt = lt.repartition(par)
     return lt.join(rt, "_tok").drop("_tok").dropDuplicates()
 
@@ -382,8 +393,12 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
             # tokenize projections are dropped by the optimizer), so
             # the gate never executes the blocking join early
             n_left = left.count()
+        # the mega-token cap is only safe when a rescue rung exists to
+        # catch capped-out lefts; without lev_rescue the token join is
+        # the ONLY candidate source, so it must stay uncapped
         pairs = _block_on_tokens(
-            lnorm, rnorm, n_right=n_right if lev_rescue else None)
+            lnorm, rnorm, n_right=n_right if lev_rescue else None,
+            cap_mega_tokens=lev_rescue)
         confidence, method = _ladder_score(pairs)
         scored = pairs.select(left_key, right_key,
                               confidence.alias("confidence"),

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import spread
 from ..functions.text import (
     detect_language,
     fingerprint,
@@ -219,8 +220,7 @@ def cross_doc_span_signals(documents: DataFrame,
     from ..functions.text import md5_long, shingles
     from ..plans.persist_slots import swap_persisted
 
-    par = documents.sparkSession.sparkContext.defaultParallelism
-    w = (documents.repartition(par)
+    w = (spread(documents)
          .select("doc_id",
                  F.explode(shingles(F.col("text"), window)).alias("_w"))
          .select("doc_id", md5_long(F.col("_w")).alias("_h")))
@@ -278,9 +278,9 @@ def duplicated_spans(documents: DataFrame, window: int = 8) -> DataFrame:
 
     # spread the explode+hash work before it runs: a few big input
     # splits (or one single-file partition) would otherwise hash every
-    # window on a handful of cores (same discipline as the dedup family)
-    par = documents.sparkSession.sparkContext.defaultParallelism
-    w = (documents.repartition(par)
+    # window on a handful of cores (same discipline as the dedup family;
+    # conditional — a many-split scan keeps its natural partitioning)
+    w = (spread(documents)
          .select("doc_id", token_count(F.col("text")).alias("_n"),
                  F.posexplode(shingles(F.col("text"), window))
                  .alias("_p", "_w"))

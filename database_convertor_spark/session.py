@@ -57,3 +57,22 @@ def get_spark(app_name: str = "database_convertor_spark",
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def spread(df):
+    """Repartition ``df`` to the cluster's default parallelism ONLY
+    when its source arrives with fewer partitions than that — the
+    local/small-deployment fix for heavy per-row work (similarity
+    ladders, shingle explodes, self-join probes) inheriting a
+    single-file scan's 1-2 splits. A many-split 100-TB scan keeps its
+    natural partitioning and pays no extra shuffle.
+
+    Call this on SCAN-side frames only (projections/filters/explodes
+    of a source): probing ``.rdd`` on a frame that already contains a
+    broadcast join eagerly materializes the broadcast build, running
+    its sub-plan twice (measured at the sf1 probe).
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df

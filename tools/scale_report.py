@@ -38,8 +38,9 @@ def main() -> None:
             verdict = "sub-linear"
         print(f"| {name} | {t_small:.2f} | {t_big:.2f} | "
               f"{ratio:.1f}x | {verdict} |")
-    tot_s = sum(small[k] for k in big if k in small)
-    tot_b = sum(big.values())
+    common = [k for k in big if k in small]
+    tot_s = sum(small[k] for k in common)
+    tot_b = sum(big[k] for k in common)
     print(f"\ntotals: sf0.1 {tot_s:.1f}s -> sf1 {tot_b:.1f}s "
           f"({tot_b / tot_s:.1f}x on {args.mult:.0f}x data)")
     if flagged:
