@@ -306,6 +306,13 @@ class Engine:
         from .operators.curation import dedup_lines_keep_first
         return dedup_lines_keep_first(documents)
 
+    def unimax_sample(self, documents: DataFrame,
+                      budget_frac: float = 0.3) -> DataFrame:
+        """UniMax water-fill language sampling: every language keeps
+        min(n_l, theta) tokens of a total token budget."""
+        from .operators.curation import unimax_sample
+        return unimax_sample(documents, budget_frac)
+
     def temperature_sample(self, documents: DataFrame,
                            alpha: float = 0.5,
                            stratum_col: str = "lang") -> DataFrame:

@@ -212,6 +212,72 @@ def temperature_sample(documents: DataFrame, alpha: float = 0.5,
             .drop("_gate", "_stratum"))
 
 
+def unimax_sample(documents: DataFrame,
+                  budget_frac: float = 0.3,
+                  stratum_col: str = "lang",
+                  salt: str = "unimax") -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023, arXiv:2304.09151),
+    downsampling water-fill variant: allocate a total TOKEN budget
+    (``budget_frac`` x corpus tokens) across languages as uniformly as
+    possible — each language keeps min(n_l, theta) tokens, with the
+    water level theta chosen so the kept totals sum to the budget.
+    Small languages keep 100%; large ones are capped at the SAME
+    absolute token count, the fairness property temperature scaling
+    (kept ∝ n^alpha) lacks. The paper's epoch cap (> 1 epoch
+    upsampling) is out of scope for a filter-only operator; this is
+    the cap = 1 epoch allocation.
+
+    Water level, computed relationally (no driver loop): languages
+    sorted by token count ascending; at position i the fair share of
+    the remaining budget is (B - csum_{i-1}) / (L - i + 1); every
+    language whose n_l is at or below its share keeps everything, and
+    theta is the share at the FIRST position that exceeds it — one
+    window pass over an L-row frame, broadcast back as per-language
+    keep fractions. The doc-level gate is the deterministic md5 of
+    (salt, doc_id) — kept TOKENS hit the budget in expectation at doc
+    granularity, the same contract as ``temperature_sample``.
+
+    NULL-``stratum_col`` docs ride as a sentinel stratum (counted,
+    rated, sampled; output column keeps its NULLs). Reference has no
+    analog (beyond-reference training-data operator).
+    """
+    from ..functions.text import token_count
+
+    key = F.coalesce(F.col(stratum_col).cast("string"),
+                     F.lit("<null>"))
+    docs = documents.withColumn("_stratum", key)
+    counts = (docs.groupBy("_stratum")
+              .agg(F.sum(token_count(F.col("text"))).alias("_n")))
+    wl = Window.orderBy(F.asc("_n"), F.asc("_stratum"))
+    ranked = (counts
+              .withColumn("_i", F.row_number().over(wl))
+              .withColumn("_csum", F.sum("_n").over(wl))
+              .crossJoin(F.broadcast(
+                  counts.agg(F.sum("_n").alias("_tot"),
+                             F.count(F.lit(1)).alias("_L")))))
+    budget = F.col("_tot").cast("double") * F.lit(float(budget_frac))
+    share = ((budget - (F.col("_csum") - F.col("_n")).cast("double"))
+             / (F.col("_L") - F.col("_i") + 1).cast("double"))
+    # theta = the share at the first position whose n exceeds it; if no
+    # position overflows (budget >= corpus) every language keeps 100%
+    overflow = ranked.filter(F.col("_n").cast("double") > share)
+    theta = (overflow
+             .agg(F.min_by(share, F.col("_i")).alias("_theta"))
+             .select(F.coalesce(F.col("_theta"),
+                                F.lit(float("inf"))).alias("_theta")))
+    frac = F.round(F.least(
+        F.lit(1.0), F.col("_theta") / F.col("_n").cast("double")), 6)
+    gates = (counts.crossJoin(F.broadcast(theta))
+             .select("_stratum",
+                     F.round(frac * 1_000_000, 0).cast("long")
+                     .alias("_gate")))
+    h = md5_long(F.concat(F.lit(salt),
+                          F.col("doc_id").cast("string"))) % 1_000_000
+    return (docs.join(F.broadcast(gates), "_stratum")
+            .filter(h < F.col("_gate"))
+            .drop("_gate", "_stratum"))
+
+
 # -------------------------------------------------- sequence packing
 def assign_chunk_bins(chunks: DataFrame, documents: DataFrame,
                       budget: int = 512, n_shards: int = 4,

@@ -2948,6 +2948,53 @@ _add(
 )
 
 
+# ========================================================= UniMax sampling
+_add(
+    "corpus_unimax_sample",
+    lambda spark, sf: curation.unimax_sample(
+        _t(spark, sf, "documents")[0], budget_frac=0.3)
+    .select("doc_id", "lang"),
+    f"""
+    WITH counts AS (
+      SELECT coalesce(CAST(lang AS VARCHAR), '<null>') AS s,
+             CAST(sum(len({_TOKS_ALL.format(c='text')})) AS BIGINT) AS n
+      FROM documents GROUP BY 1),
+    ranked AS (
+      SELECT s, n,
+             row_number() OVER (ORDER BY n ASC, s ASC) AS i,
+             sum(n) OVER (ORDER BY n ASC, s ASC) AS csum,
+             (SELECT CAST(sum(n) AS DOUBLE) FROM counts) AS tot,
+             (SELECT count(*) FROM counts) AS L
+      FROM counts),
+    shares AS (
+      SELECT s, n,
+             (tot * 0.3 - CAST(csum - n AS DOUBLE))
+               / CAST(L - i + 1 AS DOUBLE) AS share, i
+      FROM ranked),
+    theta AS (
+      SELECT coalesce(
+               (SELECT arg_min(share, i) FROM shares
+                WHERE CAST(n AS DOUBLE) > share),
+               CAST('infinity' AS DOUBLE)) AS th),
+    gates AS (
+      SELECT s, CAST(round(round(
+               least(1.0, th / CAST(n AS DOUBLE)), 6) * 1000000)
+             AS BIGINT) AS gate
+      FROM counts CROSS JOIN theta)
+    SELECT d.doc_id, d.lang
+    FROM documents d
+    JOIN gates g ON coalesce(CAST(d.lang AS VARCHAR), '<null>') = g.s
+    WHERE ({_MD5_60.format(x="'unimax' || CAST(d.doc_id AS VARCHAR)")}
+           % 1000000) < g.gate
+    """,
+    "pipeline,text-analysis",
+    "UniMax language sampling (water-fill token budget, epoch cap 1): "
+    "each language keeps min(n_l, theta) tokens with theta from one "
+    "window pass over the L-row count frame; md5-gated at doc "
+    "granularity",
+)
+
+
 # --------------------------------------------------- driver-window rotation
 # The correctness driver samples the FIRST 50 catalog entries in
 # order. Every oracle query should earn a hard driver-green row at
@@ -2969,10 +3016,10 @@ _PULL_FORWARD = [
     "embedding_kmeans_clusters", "ann_ivf_kmeans",
     "doc_dup_spans", "doc_span_removal", "training_corpus_pipeline",
     "doc_line_dedup", "doc_lm_logprob", "corpus_temperature_sample",
-    # the two operators new IN round 5 (SemDeDup + DSIR) earn their
-    # first driver row in their first round, displacing two unchanged
-    # r3-green pure-expression veterans
-    "dedup_semantic", "doc_dsir_weights",
+    # the operators new IN round 5 (SemDeDup + DSIR + UniMax) earn
+    # their first driver row in their first round, displacing unchanged
+    # r1-r3-green pure-expression veterans
+    "dedup_semantic", "doc_dsir_weights", "corpus_unimax_sample",
 ]
 _PUSH_BACK = [
     "pricing_summary", "market_segment_revenue", "order_stats_summary",
@@ -2980,7 +3027,7 @@ _PUSH_BACK = [
     "distinct_customer_priorities", "user_sessions",
     "automation_run_health", "hourly_event_rollup",
     "supplier_neighborhood",
-    "scalar_cleaning", "order_date_dimensions",
+    "scalar_cleaning", "order_date_dimensions", "event_props_extract",
 ]
 
 _by_name = {s.name: s for s in _SPECS}

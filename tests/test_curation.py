@@ -483,3 +483,46 @@ def test_prepare_training_corpus_cut_dup_spans(spark):
              .select("text").collect()]
     assert len(texts) == 2  # both docs admitted (unique content kept)
     assert sum(shared in t for t in texts) == 1  # span survives once
+
+
+def test_unimax_sample_matches_python_water_fill(spark):
+    """Exact twin: the water-fill threshold and md5 gates replicated in
+    pure Python must select the same documents; the hand-checkable
+    allocation (budget 50% of 100 tokens -> theta = 20: A keeps all
+    10, B and C are capped at the same 20 tokens) drives the fractions."""
+    import hashlib
+    import math
+
+    from database_convertor_spark.operators.curation import unimax_sample
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rows = []
+    for i in range(5):       # lang a: 5 docs x 2 tokens = 10
+        rows.append((100 + i, "a", "t1 t2"))
+    for i in range(10):      # lang b: 10 docs x 3 tokens = 30
+        rows.append((200 + i, "b", "t1 t2 t3"))
+    for i in range(12):      # lang c: 12 docs x 5 tokens = 60
+        rows.append((300 + i, "c", "t1 t2 t3 t4 t5"))
+    docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = sorted(r.doc_id for r in
+                 unimax_sample(docs, budget_frac=0.5).collect())
+    # python water-fill twin
+    n = {"a": 10, "b": 30, "c": 60}
+    budget = 100 * 0.5
+    theta = math.inf
+    csum = 0
+    langs = sorted(n, key=lambda k: (n[k], k))
+    for i, k in enumerate(langs):
+        share = (budget - csum) / (len(langs) - i)
+        if n[k] > share:
+            theta = share
+            break
+        csum += n[k]
+    assert round(theta, 6) == 20.0
+    gates = {k: round(round(min(1.0, theta / n[k]), 6) * 1e6)
+             for k in n}
+    expect = sorted(d for d, lang, _ in rows
+                    if h60("unimax" + str(d)) % 1_000_000 < gates[lang])
+    assert got == expect and 0 < len(expect) < len(rows)
