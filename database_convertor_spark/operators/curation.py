@@ -167,6 +167,22 @@ def dedup_lines_keep_first(documents: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------- temperature-balanced sampling
+def _hash_gated_sample(docs: DataFrame, gates: DataFrame,
+                       salt: str) -> DataFrame:
+    """Shared deterministic-gate tail for the sampling family: keep a
+    doc when md5_long(salt || doc_id) % 1e6 falls under its stratum's
+    integer gate (expected keep rate = gate / 1e6). The 6-dp frac
+    rounding that produces ``_gate`` upstream and the 1e6 modulus here
+    are ENGINE-PORTABILITY-CRITICAL — every DuckDB oracle twin
+    replicates them digit for digit; keep both copies of the
+    arithmetic in this one place."""
+    h = md5_long(F.concat(F.lit(salt),
+                          F.col("doc_id").cast("string"))) % 1_000_000
+    return (docs.join(F.broadcast(gates), "_stratum")
+            .filter(h < F.col("_gate"))
+            .drop("_gate", "_stratum"))
+
+
 def temperature_sample(documents: DataFrame, alpha: float = 0.5,
                        stratum_col: str = "lang",
                        salt: str = "temp",
@@ -205,11 +221,7 @@ def temperature_sample(documents: DataFrame, alpha: float = 0.5,
              .select("_stratum",
                      F.round(frac * 1_000_000, 0).cast("long")
                      .alias("_gate")))
-    h = md5_long(F.concat(F.lit(salt),
-                          F.col("doc_id").cast("string"))) % 1_000_000
-    return (docs.join(F.broadcast(gates), "_stratum")
-            .filter(h < F.col("_gate"))
-            .drop("_gate", "_stratum"))
+    return _hash_gated_sample(docs, gates, salt)
 
 
 def unimax_sample(documents: DataFrame,
@@ -243,39 +255,44 @@ def unimax_sample(documents: DataFrame,
     """
     from ..functions.text import token_count
 
+    # \x01-prefixed sentinel, matching temperature_sample: a corpus
+    # whose real stratum VALUE is the string "<null>" must not merge
+    # with NULL-stratum docs (the oracle twin uses chr(1) the same way)
     key = F.coalesce(F.col(stratum_col).cast("string"),
-                     F.lit("<null>"))
+                     F.lit("\u0001<null>"))
     docs = documents.withColumn("_stratum", key)
     counts = (docs.groupBy("_stratum")
               .agg(F.sum(token_count(F.col("text"))).alias("_n")))
+    # everything below counts is window algebra over the L-row frame —
+    # corpus totals, cumulative sums, and the first-overflow water
+    # level all ride TWO unpartitioned window specs, so the corpus is
+    # scanned once for counts and once for the gated main pass (the
+    # same two-scan budget as temperature_sample), never re-aggregated
     wl = Window.orderBy(F.asc("_n"), F.asc("_stratum"))
-    ranked = (counts
-              .withColumn("_i", F.row_number().over(wl))
-              .withColumn("_csum", F.sum("_n").over(wl))
-              .crossJoin(F.broadcast(
-                  counts.agg(F.sum("_n").alias("_tot"),
-                             F.count(F.lit(1)).alias("_L")))))
-    budget = F.col("_tot").cast("double") * F.lit(float(budget_frac))
+    wall = Window.partitionBy(F.lit(1))
+    ranked = counts.select(
+        "_stratum", "_n",
+        F.row_number().over(wl).alias("_i"),
+        F.sum("_n").over(wl).alias("_csum"),
+        F.sum("_n").over(wall).cast("double").alias("_tot"),
+        F.count(F.lit(1)).over(wall).alias("_L"))
+    budget = F.col("_tot") * F.lit(float(budget_frac))
     share = ((budget - (F.col("_csum") - F.col("_n")).cast("double"))
              / (F.col("_L") - F.col("_i") + 1).cast("double"))
-    # theta = the share at the first position whose n exceeds it; if no
-    # position overflows (budget >= corpus) every language keeps 100%
-    overflow = ranked.filter(F.col("_n").cast("double") > share)
-    theta = (overflow
-             .agg(F.min_by(share, F.col("_i")).alias("_theta"))
-             .select(F.coalesce(F.col("_theta"),
-                                F.lit(float("inf"))).alias("_theta")))
+    # theta = the share at the first position whose n exceeds it (also
+    # a window min over the same frame — no separate aggregate job);
+    # if no position overflows (budget >= corpus) every language
+    # keeps 100%
+    overflow = F.when(F.col("_n").cast("double") > share,
+                      F.struct(F.col("_i"), share.alias("_s")))
+    theta = F.coalesce(F.min(overflow).over(wall).getField("_s"),
+                       F.lit(float("inf")))
     frac = F.round(F.least(
-        F.lit(1.0), F.col("_theta") / F.col("_n").cast("double")), 6)
-    gates = (counts.crossJoin(F.broadcast(theta))
-             .select("_stratum",
-                     F.round(frac * 1_000_000, 0).cast("long")
-                     .alias("_gate")))
-    h = md5_long(F.concat(F.lit(salt),
-                          F.col("doc_id").cast("string"))) % 1_000_000
-    return (docs.join(F.broadcast(gates), "_stratum")
-            .filter(h < F.col("_gate"))
-            .drop("_gate", "_stratum"))
+        F.lit(1.0), theta / F.col("_n").cast("double")), 6)
+    gates = ranked.select(
+        "_stratum",
+        F.round(frac * 1_000_000, 0).cast("long").alias("_gate"))
+    return _hash_gated_sample(docs, gates, salt)
 
 
 # -------------------------------------------------- sequence packing

@@ -2956,7 +2956,7 @@ _add(
     .select("doc_id", "lang"),
     f"""
     WITH counts AS (
-      SELECT coalesce(CAST(lang AS VARCHAR), '<null>') AS s,
+      SELECT coalesce(CAST(lang AS VARCHAR), chr(1) || '<null>') AS s,
              CAST(sum(len({_TOKS_ALL.format(c='text')})) AS BIGINT) AS n
       FROM documents GROUP BY 1),
     ranked AS (
@@ -2983,7 +2983,7 @@ _add(
       FROM counts CROSS JOIN theta)
     SELECT d.doc_id, d.lang
     FROM documents d
-    JOIN gates g ON coalesce(CAST(d.lang AS VARCHAR), '<null>') = g.s
+    JOIN gates g ON coalesce(CAST(d.lang AS VARCHAR), chr(1) || '<null>') = g.s
     WHERE ({_MD5_60.format(x="'unimax' || CAST(d.doc_id AS VARCHAR)")}
            % 1000000) < g.gate
     """,
@@ -3006,7 +3006,11 @@ _add(
 # shares the r4-refactored _probe_and_search tail but had no
 # post-refactor driver row, and the 3 round-4 queries whose internals
 # changed this round (line-dedup keying, LM-scoring persist, sampling
-# stratum key). The 10 pushed back are green in CORRECTNESS_r04; the
+# stratum key) — plus, appended below, the 3 operators brand-new in
+# round 5 (SemDeDup, DSIR, UniMax): 13 forward in all. The 13 pushed
+# back are all green in CORRECTNESS_r04 or earlier (scalar_cleaning,
+# order_date_dimensions, event_props_extract joined the list when the
+# new trio displaced them); the
 # definition-order window this reopens (top_orders,
 # customer_order_stats, part_search_ilike, event_type_counts,
 # orders_union_dedup, priority_order_pick) re-certifies the

@@ -526,3 +526,25 @@ def test_unimax_sample_matches_python_water_fill(spark):
     expect = sorted(d for d, lang, _ in rows
                     if h60("unimax" + str(d)) % 1_000_000 < gates[lang])
     assert got == expect and 0 < len(expect) < len(rows)
+
+
+def test_line_dedup_hash_collision_never_deletes(spark, monkeypatch):
+    """Force EVERY non-blank line onto one hash bucket (constant-hash
+    monkeypatch = the worst possible 60-bit collision): the text-
+    equality confirmation must keep every distinct line intact — only
+    true duplicates of the single global winner may be removed."""
+    from pyspark.sql import functions as F
+
+    from database_convertor_spark.operators import curation
+
+    monkeypatch.setattr(curation, "md5_long", lambda c: F.lit(0))
+    docs = spark.createDataFrame(
+        [(1, "alpha\nbeta"),
+         (2, "alpha\ngamma"),       # 'alpha' dups doc 1's winner line
+         (3, "delta\nepsilon")],    # all-distinct lines, same bucket
+        ["doc_id", "text"])
+    got = {r.doc_id: r.text
+           for r in curation.dedup_lines_keep_first(docs).collect()}
+    # winner = global (doc 1, pos 0) 'alpha'; doc 2 loses its copy;
+    # every OTHER distinct line survives despite sharing the bucket
+    assert got == {1: "alpha\nbeta", 2: "gamma", 3: "delta\nepsilon"}
