@@ -37,6 +37,7 @@ HEADLINE = [
     "doc_chunks",
     "doc_line_dedup",
     "doc_lm_logprob",
+    "doc_perplexity_buckets",
     "corpus_unimax_sample",
     "dedup_semantic",
     "doc_dsir_weights",

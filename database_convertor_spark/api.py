@@ -337,6 +337,12 @@ class Engine:
         from .operators.text_analysis import dsir_importance_weights
         return dsir_importance_weights(documents, target, num_buckets)
 
+    def perplexity_buckets(self, documents: DataFrame) -> DataFrame:
+        """CCNet-style head/middle/tail terciles of the unigram-LM
+        score per language (threshold-based, no per-language sort)."""
+        from .operators.text_analysis import perplexity_buckets
+        return perplexity_buckets(documents)
+
     def lm_logprob(self, documents: DataFrame) -> DataFrame:
         """Per-doc mean log-prob under the corpus unigram LM."""
         from .operators.text_analysis import doc_lm_logprob

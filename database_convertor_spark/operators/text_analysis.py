@@ -590,3 +590,52 @@ def dsir_importance_weights(documents: DataFrame,
             .select("doc_id",
                     F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
                     "dsir_logratio"))
+
+
+def perplexity_buckets(documents: DataFrame,
+                       stratum_col: str = "lang") -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): rank every document by its language-model score
+    WITHIN its language and label the head / middle / tail terciles —
+    the partition CCNet uses to keep the well-written head, sample the
+    middle, and drop the tail. The LM here is the corpus's own unigram
+    model (``doc_lm_logprob``); higher mean log-prob = lower
+    perplexity = "head".
+
+    Scale shape — thresholds, not sorts: a literal per-language
+    ranking would globally sort each language's rows (the biggest
+    language = one giant sort at 100 TB). Instead the two tercile
+    cut-points per language come from an exact interpolated
+    ``percentile`` aggregate (partial-aggregable, L x 2 output rows)
+    and broadcast back — each doc then buckets with two comparisons,
+    no sort anywhere. The thresholds are rounded to the scores' own
+    4-dp precision: engines compute linear interpolation with
+    differently-ordered float expressions, and an unrounded threshold
+    lying one ulp off a data value flips every boundary doc (measured
+    at sf0.1). NULL-language docs form their own sentinel
+    stratum; empty docs (no tokens) carry a NULL bucket.
+
+    Output: (doc_id, <stratum_col>, n_tokens, avg_logprob,
+    ppl_bucket in {'head','middle','tail', NULL}).
+    Reference has no analog (beyond-reference training-data operator).
+    """
+    scored = doc_lm_logprob(documents)
+    key = F.coalesce(F.col(stratum_col).cast("string"),
+                     F.lit("\u0001<null>"))
+    d = (documents.select("doc_id", stratum_col)
+         .withColumn("_stratum", key)
+         .join(scored, "doc_id"))
+    th = (d.filter(F.col("avg_logprob").isNotNull())
+          .groupBy("_stratum")
+          .agg(F.round(F.expr("percentile(avg_logprob, 1.0D/3)"), 4)
+               .alias("_t1"),
+               F.round(F.expr("percentile(avg_logprob, 2.0D/3)"), 4)
+               .alias("_t2")))
+    lp = F.col("avg_logprob")
+    bucket = (F.when(lp.isNull(), F.lit(None).cast("string"))
+              .when(lp >= F.col("_t2"), F.lit("head"))
+              .when(lp >= F.col("_t1"), F.lit("middle"))
+              .otherwise(F.lit("tail")))
+    return (d.join(F.broadcast(th), "_stratum", "left")
+            .select("doc_id", stratum_col, "n_tokens", "avg_logprob",
+                    bucket.alias("ppl_bucket")))

@@ -2995,6 +2995,48 @@ _add(
 )
 
 
+# ==================================================== perplexity buckets
+_add(
+    "doc_perplexity_buckets",
+    lambda spark, sf: text_analysis.perplexity_buckets(
+        _t(spark, sf, "documents")[0]),
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest({_TOKS_ALL.format(c='lower(text)')}) AS tok
+      FROM documents),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tot FROM freq),
+    scored AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(avg(ln(f.c / tot.tot)), 4) AS avg_logprob
+      FROM toks t JOIN freq f ON t.tok = f.tok CROSS JOIN tot
+      GROUP BY t.doc_id),
+    d AS (
+      SELECT doc.doc_id, doc.lang,
+             coalesce(CAST(doc.lang AS VARCHAR), chr(1) || '<null>') AS s,
+             CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+             sc.avg_logprob
+      FROM documents doc LEFT JOIN scored sc ON doc.doc_id = sc.doc_id),
+    th AS (
+      SELECT s, round(quantile_cont(avg_logprob, 1.0/3), 4) AS t1,
+                round(quantile_cont(avg_logprob, 2.0/3), 4) AS t2
+      FROM d WHERE avg_logprob IS NOT NULL GROUP BY s)
+    SELECT d.doc_id, d.lang, d.n_tokens, d.avg_logprob,
+           CASE WHEN d.avg_logprob IS NULL THEN NULL
+                WHEN d.avg_logprob >= th.t2 THEN 'head'
+                WHEN d.avg_logprob >= th.t1 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM d LEFT JOIN th ON d.s = th.s
+    """,
+    "text-analysis,pipeline",
+    "CCNet-style perplexity bucketing: head/middle/tail terciles of "
+    "the unigram-LM score per language via exact interpolated "
+    "percentile thresholds (codebook-sized, broadcast) — no per-"
+    "language sort",
+)
+
+
 # --------------------------------------------------- driver-window rotation
 # The correctness driver samples the FIRST 50 catalog entries in
 # order. Every oracle query should earn a hard driver-green row at
@@ -3024,6 +3066,7 @@ _PULL_FORWARD = [
     # their first driver row in their first round, displacing unchanged
     # r1-r3-green pure-expression veterans
     "dedup_semantic", "doc_dsir_weights", "corpus_unimax_sample",
+    "doc_perplexity_buckets",
 ]
 _PUSH_BACK = [
     "pricing_summary", "market_segment_revenue", "order_stats_summary",
@@ -3032,6 +3075,7 @@ _PUSH_BACK = [
     "automation_run_health", "hourly_event_rollup",
     "supplier_neighborhood",
     "scalar_cleaning", "order_date_dimensions", "event_props_extract",
+    "customer_tiering",
 ]
 
 _by_name = {s.name: s for s in _SPECS}

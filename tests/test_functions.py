@@ -387,3 +387,32 @@ def test_dsir_weights_match_python_reference(spark):
     assert got == expect
     # direction: the all-target-token doc outranks the all-French doc
     assert got[1][1] > got[2][1]
+
+
+def test_perplexity_buckets_golden(spark):
+    """Tercile labels on a hand-built corpus: within each language the
+    higher-logprob (more typical) docs land in 'head'; empty docs get
+    a NULL bucket; a NULL-lang doc forms its own stratum (trivially
+    'head' as its only member)."""
+    from pyspark.sql import functions as F
+
+    from database_convertor_spark.operators.text_analysis import (
+        perplexity_buckets,
+    )
+
+    # lang en: doc 1 uses only the most frequent token -> highest
+    # logprob; doc 3 uses a hapax -> lowest; doc 2 in between
+    docs = spark.createDataFrame(
+        [(1, "en", "common common common"),
+         (2, "en", "common middling"),
+         (3, "en", "rareword"),
+         (4, None, "solo text here"),
+         (5, "en", "")],
+        ["doc_id", "lang", "text"])
+    got = {r.doc_id: r.ppl_bucket
+           for r in perplexity_buckets(docs).collect()}
+    assert got[1] == "head" and got[2] == "middle" and got[3] == "tail"
+    assert got[4] == "head"          # singleton stratum: t1 = t2 = own lp
+    assert got[5] is None            # empty doc -> NULL bucket
+    # row count preserved
+    assert perplexity_buckets(docs).count() == 5
