@@ -287,8 +287,12 @@ def unimax_sample(documents: DataFrame,
                       F.struct(F.col("_i"), share.alias("_s")))
     theta = F.coalesce(F.min(overflow).over(wall).getField("_s"),
                        F.lit(float("inf")))
-    frac = F.round(F.least(
-        F.lit(1.0), theta / F.col("_n").cast("double")), 6)
+    # a zero-token stratum keeps everything: there is nothing for the
+    # budget to allocate, and ANSI mode would throw on theta / 0
+    frac = F.round(
+        F.when(F.col("_n") > 0,
+               F.least(F.lit(1.0), theta / F.col("_n").cast("double")))
+        .otherwise(F.lit(1.0)), 6)
     gates = ranked.select(
         "_stratum",
         F.round(frac * 1_000_000, 0).cast("long").alias("_gate"))

@@ -2978,7 +2978,9 @@ _add(
                CAST('infinity' AS DOUBLE)) AS th),
     gates AS (
       SELECT s, CAST(round(round(
-               least(1.0, th / CAST(n AS DOUBLE)), 6) * 1000000)
+               CASE WHEN n > 0
+                    THEN least(1.0, th / CAST(n AS DOUBLE))
+                    ELSE 1.0 END, 6) * 1000000)
              AS BIGINT) AS gate
       FROM counts CROSS JOIN theta)
     SELECT d.doc_id, d.lang

@@ -308,3 +308,58 @@ def test_pack_chunks_model(spark, rows, budget):
         start = streams.get(key, 0)
         assert got[i] == (lang, shard_of[i], start // budget), (i, rows)
         streams[key] = start + n
+
+
+_unimax_corpora = st.lists(
+    st.tuples(st.sampled_from(["en", "fr", "de", None]),
+              st.integers(0, 6)),      # (lang, token count per doc)
+    min_size=1, max_size=30)
+
+
+@given(rows=_unimax_corpora,
+       frac=st.sampled_from([0.2, 0.5, 0.9]))
+@_slow
+def test_unimax_sample_matches_water_fill_model(spark, rows, frac):
+    """unimax_sample vs the pure-Python water-fill + md5-gate model on
+    random corpora: the kept doc SET matches exactly -- random language
+    mixes, NULL langs, empty docs, and the no-overflow (budget >=
+    corpus) regime all covered. (Tie order between equal-count strata
+    differs from Spark's sentinel ordering, but water-fill shares are
+    invariant to the order of equal counts.)"""
+    import hashlib
+    import math
+
+    from database_convertor_spark.operators.curation import unimax_sample
+
+    docs = spark.createDataFrame(
+        [(i, lang, " ".join(f"t{j}" for j in range(n)))
+         for i, (lang, n) in enumerate(rows)],
+        ["doc_id", "lang", "text"])
+    got = sorted(r.doc_id for r in
+                 unimax_sample(docs, budget_frac=frac).collect())
+
+    n_by = {}
+    for lang, n in rows:
+        k = lang if lang is not None else "<null>"
+        n_by[k] = n_by.get(k, 0) + n
+    budget = sum(n_by.values()) * frac
+    theta, csum = math.inf, 0
+    langs = sorted(n_by, key=lambda k: (n_by[k], k))
+    for i, k in enumerate(langs):
+        share = (budget - csum) / (len(langs) - i)
+        if n_by[k] > share:
+            theta = share
+            break
+        csum += n_by[k]
+    gates = {k: round(round(min(1.0, theta / n), 6) * 1e6) if n > 0
+             else 1_000_000
+             for k, n in n_by.items()}
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    expect = sorted(
+        i for i, (lang, _n) in enumerate(rows)
+        if h60("unimax" + str(i)) % 1_000_000
+        < gates[lang if lang is not None else "<null>"])
+    assert got == expect
