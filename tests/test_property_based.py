@@ -334,7 +334,7 @@ def test_unimax_sample_matches_water_fill_model(spark, rows, frac):
     docs = spark.createDataFrame(
         [(i, lang, " ".join(f"t{j}" for j in range(n)))
          for i, (lang, n) in enumerate(rows)],
-        ["doc_id", "lang", "text"])
+        "doc_id long, lang string, text string")
     got = sorted(r.doc_id for r in
                  unimax_sample(docs, budget_frac=frac).collect())
 
