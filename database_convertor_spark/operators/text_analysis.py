@@ -674,11 +674,17 @@ def naive_bayes_quality(documents: DataFrame,
     session-slot bounded) feeds the count pass and the scoring pass;
     the count pass is a word-count-shaped partial-aggregable groupBy
     on the token key; the vocabulary cap is a TakeOrderedAndProject
-    (top-k per partition, never a full vocabulary sort); the model is
-    <= ``vocab_cap`` rows and BROADCASTS into the scoring join, so the
-    only corpus-sized shuffle is the final groupBy(doc_id). Scalars
-    (N_pos, N_neg, |V|, prior) ride as one-row broadcast frames, never
-    driver values.
+    (top-k per partition, never a full vocabulary sort), persisted so
+    the stats aggregate and the model projection read it once; the
+    model is <= ``vocab_cap`` rows and BROADCASTS into the scoring
+    join, so the only corpus-sized shuffle is the final
+    groupBy(doc_id). The seed labels live in a persisted NARROW frame
+    (doc_id, seed_hq) that both the prior aggregate and the output
+    join read — the composite quality_score expression is evaluated
+    on exactly two scans (seed + token explode; joining the seed into
+    the corpus-sized token stream instead would trade a cheap
+    expression for a shuffle). Scalars (N_pos, N_neg, |V|, prior)
+    ride as one-row broadcast frames, never driver values.
 
     Output: (doc_id, seed_hq, n_vocab_tokens, nb_score rounded 4dp,
     predicted_hq = rounded score > 0). Empty docs score the prior
@@ -693,6 +699,10 @@ def naive_bayes_quality(documents: DataFrame,
     from ..plans.persist_slots import swap_persisted
 
     hq = (quality_score(F.col("text")) >= seed_threshold)
+    seed = swap_persisted(
+        "nb_quality_seed",
+        documents.select("doc_id", hq.alias("seed_hq"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     toks = documents.select(
         "doc_id", hq.alias("_hq"),
         F.explode(tokens(F.lower(F.col("text")))).alias("_tok"))
@@ -704,6 +714,11 @@ def naive_bayes_quality(documents: DataFrame,
                    .alias("_np")))
     vocab = (counts.filter(F.col("_n") >= min_count)
              .orderBy(F.col("_n").desc(), "_tok").limit(vocab_cap))
+    # <= vocab_cap rows, read twice (stats aggregate + model
+    # projection): persisting makes the token groupBy + top-k run once
+    vocab = swap_persisted(
+        "nb_quality_vocab",
+        vocab.persist(StorageLevel.MEMORY_AND_DISK))
     stats = vocab.agg(F.sum("_np").cast("double").alias("_tp"),
                       F.sum(F.col("_n") - F.col("_np")).cast("double")
                       .alias("_tn"),
@@ -713,19 +728,21 @@ def naive_bayes_quality(documents: DataFrame,
                  F.log(F.col("_np") + 1) - F.log(F.col("_tp") + F.col("_v"))
                  - F.log(F.col("_n") - F.col("_np") + 1)
                  + F.log(F.col("_tn") + F.col("_v"))).alias("_w")))
-    prior = documents.agg((
-        F.log(F.sum(F.when(hq, 1).otherwise(0)) + 1)
-        - F.log(F.sum(F.when(hq, 0).otherwise(1)) + 1)).alias("_b"))
+    prior = seed.agg((
+        F.log(F.sum(F.when(F.col("seed_hq"), 1).otherwise(0)) + 1)
+        - F.log(F.sum(F.when(F.col("seed_hq"), 0).otherwise(1)) + 1))
+        .alias("_b"))
     scored = (toks.join(F.broadcast(model), "_tok")
               .groupBy("doc_id")
               .agg(F.count(F.lit(1)).cast("long").alias("n_vocab_tokens"),
                    F.sum("_w").alias("_sw")))
-    out = (documents.select("doc_id", hq.alias("seed_hq"))
+    out = (seed
            .crossJoin(F.broadcast(prior))
            .join(scored, "doc_id", "left")
            .withColumn("nb_score", F.round(
                F.col("_b") + F.coalesce(F.col("_sw"), F.lit(0.0)), 4)))
     return out.select(
         "doc_id", "seed_hq",
-        F.coalesce("n_vocab_tokens", F.lit(0)).alias("n_vocab_tokens"),
+        F.coalesce("n_vocab_tokens", F.lit(0).cast("long"))
+        .alias("n_vocab_tokens"),
         "nb_score", (F.col("nb_score") > 0).alias("predicted_hq"))

@@ -3039,6 +3039,71 @@ _add(
 )
 
 
+# ==================================================== Naive-Bayes quality
+_add(
+    "doc_nb_quality",
+    lambda spark, sf: text_analysis.naive_bayes_quality(
+        _t(spark, sf, "documents")[0]),
+    f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             {_TOKS_ALL.format(c='text')} AS toks,
+             {_TOKS_ALL.format(c='lower(text)')} AS ltoks
+      FROM documents),
+    seed AS (
+      SELECT doc_id, ltoks,
+             ((CASE WHEN len(toks) >= 20 THEN 25 ELSE 0 END)
+            + (CASE WHEN (CASE WHEN len(toks) = 0 THEN 0.0
+                          ELSE CAST(list_sum(list_transform(toks,
+                                    x -> length(x))) AS DOUBLE)
+                               / len(toks) END)
+                    BETWEEN 3.0 AND 12.0 THEN 25 ELSE 0 END)
+            + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE CAST(len(regexp_extract_all(text,
+                                    '[^\\w\\s]')) AS DOUBLE)
+                               / length(text) END) < 0.2
+                    THEN 25 ELSE 0 END)
+            + (CASE WHEN (CASE WHEN len(ltoks) = 0 THEN 0.0
+                          ELSE CAST(len(list_filter(ltoks,
+                                    x -> list_contains({_STOPWORDS_SQL}, x)))
+                               AS DOUBLE) / len(ltoks) END) > 0.01
+                    THEN 25 ELSE 0 END)) >= 100 AS seed_hq
+      FROM base),
+    toks AS (SELECT doc_id, seed_hq AS hq, unnest(ltoks) AS tok FROM seed),
+    counts AS (SELECT tok, count(*) AS n,
+                      sum(CASE WHEN hq THEN 1 ELSE 0 END) AS np
+               FROM toks GROUP BY tok),
+    vocab AS (SELECT tok, n, np FROM counts WHERE n >= 2
+              ORDER BY n DESC, tok LIMIT 50000),
+    stats AS (SELECT CAST(sum(np) AS DOUBLE) AS tp,
+                     CAST(sum(n - np) AS DOUBLE) AS tn,
+                     CAST(count(*) AS DOUBLE) AS v
+              FROM vocab),
+    model AS (SELECT tok, ln(np + 1) - ln(tp + v)
+                        - ln(n - np + 1) + ln(tn + v) AS w
+              FROM vocab CROSS JOIN stats),
+    prior AS (SELECT ln(sum(CASE WHEN seed_hq THEN 1 ELSE 0 END) + 1)
+                   - ln(sum(CASE WHEN seed_hq THEN 0 ELSE 1 END) + 1) AS b
+              FROM seed),
+    scored AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS nvt,
+                      sum(m.w) AS sw
+               FROM toks t JOIN model m ON t.tok = m.tok
+               GROUP BY t.doc_id)
+    SELECT s.doc_id, s.seed_hq,
+           CAST(coalesce(sc.nvt, 0) AS BIGINT) AS n_vocab_tokens,
+           round(p.b + coalesce(sc.sw, 0.0), 4) AS nb_score,
+           (round(p.b + coalesce(sc.sw, 0.0), 4) > 0) AS predicted_hq
+    FROM seed s CROSS JOIN prior p
+    LEFT JOIN scored sc ON s.doc_id = sc.doc_id
+    """,
+    "text-analysis,pipeline,C24",
+    "trained Naive-Bayes quality classifier (CCNet/GPT-3 style): "
+    "Laplace log-odds over the capped vocabulary, distant-supervision "
+    "seed from the heuristic quality score, broadcast model, one "
+    "corpus-sized shuffle",
+)
+
+
 # --------------------------------------------------- driver-window rotation
 # The correctness driver samples the FIRST 50 catalog entries in
 # order. Every oracle query should earn a hard driver-green row at

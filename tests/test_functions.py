@@ -416,3 +416,117 @@ def test_perplexity_buckets_golden(spark):
     assert got[5] is None            # empty doc -> NULL bucket
     # row count preserved
     assert perplexity_buckets(docs).count() == 5
+
+
+def _py_quality_score(text: str | None) -> int:
+    """Pure-Python twin of functions.text.quality_score (the NB seed)."""
+    import re
+
+    if text is None:
+        return 0
+    toks = [t for t in re.split(r"\s+", text) if t]
+    ltoks = [t for t in re.split(r"\s+", text.lower()) if t]
+    n = len(toks)
+    mtl = (sum(len(t) for t in toks) / n) if n else 0.0
+    pr = (len(re.findall(r"[^\w\s]", text)) / len(text)) if text else 0.0
+    from database_convertor_spark.functions.text import EN_STOPWORDS
+    sw = set(EN_STOPWORDS)
+    sr = (sum(1 for t in ltoks if t in sw) / len(ltoks)) if ltoks else 0.0
+    return ((25 if n >= 20 else 0)
+            + (25 if 3.0 <= mtl <= 12.0 else 0)
+            + (25 if pr < 0.2 else 0)
+            + (25 if sr > 0.01 else 0))
+
+
+def _py_naive_bayes(corpus: dict[int, str | None], seed_threshold=100,
+                    vocab_cap=50_000, min_count=2):
+    """Pure-Python replica of operators.text_analysis.naive_bayes_quality."""
+    import math
+
+    seed = {i: _py_quality_score(t) >= seed_threshold
+            for i, t in corpus.items()}
+    doc_toks = {i: (t or "").lower().split() for i, t in corpus.items()}
+    n_cnt: dict[str, int] = {}
+    p_cnt: dict[str, int] = {}
+    for i, toks in doc_toks.items():
+        for t in toks:
+            n_cnt[t] = n_cnt.get(t, 0) + 1
+            if seed[i]:
+                p_cnt[t] = p_cnt.get(t, 0) + 1
+    vocab = sorted((t for t, c in n_cnt.items() if c >= min_count),
+                   key=lambda t: (-n_cnt[t], t))[:vocab_cap]
+    tp = float(sum(p_cnt.get(t, 0) for t in vocab))
+    tn = float(sum(n_cnt[t] - p_cnt.get(t, 0) for t in vocab))
+    v = float(len(vocab))
+    w = {t: (math.log(p_cnt.get(t, 0) + 1) - math.log(tp + v)
+             - math.log(n_cnt[t] - p_cnt.get(t, 0) + 1) + math.log(tn + v))
+         for t in vocab}
+    b = (math.log(sum(seed.values()) + 1)
+         - math.log(sum(1 for s in seed.values() if not s) + 1))
+    out = {}
+    for i, toks in doc_toks.items():
+        invocab = [t for t in toks if t in w]
+        score = round(b + sum(w[t] for t in invocab), 4)
+        out[i] = (seed[i], len(invocab), score, score > 0)
+    return out
+
+
+def test_naive_bayes_quality_match_python_reference(spark):
+    """Golden twin: tiny corpus incl. empty, NULL-text, and OOV-only
+    docs; the Spark operator must reproduce the pure-Python replica's
+    seed_hq / n_vocab_tokens / nb_score / predicted_hq exactly."""
+    from pyspark.sql import types as T
+
+    from database_convertor_spark.operators.text_analysis import (
+        naive_bayes_quality,
+    )
+
+    hq_text = ("the quick brown fox jumps over the lazy dog and then "
+               "runs far away into the deep green forest tonight again")
+    corpus: dict[int, str | None] = {
+        1: hq_text,
+        2: hq_text + " with some extra words appended for variety here",
+        3: "zz!!! xx@@ yy##",                     # junk, seed-negative
+        4: "",                                    # empty: prior-only row
+        5: None,                                  # NULL text: prior-only
+        6: "hapaxone hapaxtwo hapaxthree",        # OOV-only (min_count=2)
+        7: "quick brown fox runs into the forest",  # short, HQ vocab
+    }
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    docs = spark.createDataFrame(list(corpus.items()), schema)
+    expect = _py_naive_bayes(corpus)
+    got = {r.doc_id: (r.seed_hq, r.n_vocab_tokens, r.nb_score,
+                      r.predicted_hq)
+           for r in naive_bayes_quality(docs).collect()}
+    assert got == expect
+    # structural guarantees the docstring claims
+    assert got[4][1] == 0 and got[5][1] == 0 and got[6][1] == 0
+    assert got[4][2] == got[5][2] == got[6][2]    # all score the prior
+
+
+def test_naive_bayes_generalizes_past_seed(spark):
+    """The docstring's claim, tested: a doc too short to pass the
+    4-ratio heuristic (seed_hq=False) but written in the positive
+    class's vocabulary is predicted high-quality — the learned model
+    scores tokens, not the heuristic's ratios."""
+    from database_convertor_spark.operators.text_analysis import (
+        naive_bayes_quality,
+    )
+
+    hq = ("the quick brown fox jumps over the lazy dog and then runs "
+          "far away into the deep green forest tonight again my friend")
+    junk = "zzz@@@ qqq### www$$$ zzz@@@ qqq### www$$$"
+    rows = ([(i, hq) for i in range(1, 6)]
+            + [(i, junk) for i in range(6, 11)]
+            + [(11, "quick brown fox runs into the deep forest")])
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in naive_bayes_quality(docs).collect()}
+    assert got[1].seed_hq and got[1].predicted_hq
+    assert not got[6].seed_hq and not got[6].predicted_hq
+    # the divergence row: heuristic says no (7 tokens < 20), model says yes
+    assert not got[11].seed_hq
+    assert got[11].predicted_hq
+    assert got[11].n_vocab_tokens > 0
