@@ -257,3 +257,137 @@ def test_semantic_dedup_relabel_path(spark):
     assert by_cluster, "fixture must produce at least one component"
     for members in by_cluster.values():
         assert len(members & kept) == 1
+
+
+def test_semantic_dedup_auto_relabel_gate(spark):
+    """The scale-safe regime is the DEFAULT: when average label
+    population exceeds auto_relabel_label_size the operator re-blocks
+    on a learned codebook (kmeans_fit engages, with k = ceil(n /
+    target), plus a visible warning); a properly-sized codebook is
+    used as-is (no fit)."""
+    import warnings
+
+    from database_convertor_spark.operators import dedup, similarity_search
+
+    calls: list[int] = []
+    real_fit = similarity_search.kmeans_fit
+
+    def spy_fit(emb, k, **kw):
+        calls.append(k)
+        return real_fit(emb, k, **kw)
+
+    similarity_search.kmeans_fit = spy_fit
+    try:
+        # 40 vectors all under ONE label, target 10 -> engages with k=4
+        import math
+        rows = [(i, 0, [math.cos(i * 0.17), math.sin(i * 0.17)])
+                for i in range(40)]
+        emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = dedup.semantic_dedup(emb, threshold=0.99,
+                                       auto_relabel_label_size=10)
+            n_kept = out.count()
+        assert calls == [4]
+        assert any("re-blocking" in str(x.message) for x in w)
+        assert 0 < n_kept <= 40
+        assert out.columns == emb.columns
+
+        # proper codebook: 40 vectors over 8 labels (avg 5 <= 10) -> no fit
+        calls.clear()
+        rows = [(i, i % 8, [math.cos(i * 0.17), math.sin(i * 0.17)])
+                for i in range(40)]
+        emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+        dedup.semantic_dedup(emb, threshold=0.99,
+                             auto_relabel_label_size=10).count()
+        assert calls == []
+
+        # explicit opt-out trusts any incoming label column
+        rows = [(i, 0, [math.cos(i * 0.17), math.sin(i * 0.17)])
+                for i in range(40)]
+        emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+        dedup.semantic_dedup(emb, threshold=0.99,
+                             auto_relabel_label_size=None).count()
+        assert calls == []
+    finally:
+        similarity_search.kmeans_fit = real_fit
+
+
+def test_ngram_pair_budget_gate(spark):
+    """fuzzy_join-style regime discipline for the exact within-block
+    path: past the estimated pair-mass budget the operator raises
+    (naming minhash_lsh_pairs), or — opt-in — routes to the LSH path
+    with identical output to calling it directly; below the budget the
+    gated plan equals the ungated one."""
+    import warnings
+
+    import pytest
+
+    from database_convertor_spark.operators import dedup
+
+    text = "the quick brown fox jumps over the lazy dog number"
+    docs = spark.createDataFrame(
+        [(i, "en", len(text) + 2, f"{text} {i % 3}") for i in range(12)],
+        ["doc_id", "lang", "n_chars", "text"])
+
+    # 12 docs in one block -> mass 66 > 40: the default regime refuses
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        dedup.ngram_jaccard_pairs(docs, max_block_pairs=40).collect()
+
+    # route mode: warns, and the result IS the LSH operator's result
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        routed = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+            docs, max_block_pairs=40,
+            on_budget_exceeded="route").collect()))
+    assert any("routing to" in str(x.message) for x in w)
+    direct = sorted(map(tuple,
+                        dedup.minhash_lsh_pairs(docs,
+                                                threshold=0.5).collect()))
+    assert routed == direct and routed, "routed output must be LSH's"
+
+    # below budget (and with the gate off) the exact plan is unchanged
+    gated = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        docs, max_block_pairs=1_000).collect()))
+    ungated = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        docs, max_block_pairs=None).collect()))
+    assert gated == ungated and gated
+
+
+def test_ngram_budget_trips_at_sf1_shape(spark):
+    """The DEFAULT budget must trip at the sf1 probe's histogram shape
+    (50k docs over ~5 langs x ~20 length bands -> ~12.5M within-block
+    pairs, the regime SCALE.md measured at 45.5x on 10x data) — and
+    must NOT trip at the driver scales (sf0.1 measured ~459k)."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from database_convertor_spark.operators import dedup
+
+    sf1_shape = (spark.range(50_000)
+                 .select(F.col("id").alias("doc_id"),
+                         (F.col("id") % 5).cast("string").alias("lang"),
+                         ((F.floor(F.col("id") / 5) % 20) * 100 + 50)
+                         .cast("int").alias("n_chars"),
+                         F.lit("x").alias("text")))
+    with pytest.raises(ValueError, match="max_block_pairs"):
+        dedup.ngram_jaccard_pairs(sf1_shape)
+
+    # the adjacent-band estimate counts the cross-band terms too
+    mass_same = dedup._block_pair_mass(
+        dedup._ngram_docs(sf1_shape, 100), adjacent_bands=False)
+    mass_adj = dedup._block_pair_mass(
+        dedup._ngram_docs(sf1_shape, 100), adjacent_bands=True)
+    n = 50_000 / (5 * 20)
+    assert mass_same == 5 * 20 * (n * (n - 1) / 2)
+    assert mass_adj == mass_same + 5 * 19 * n * n
+
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    mass = dedup._block_pair_mass(dedup._ngram_docs(docs, 100),
+                                  adjacent_bands=False)
+    assert mass < 5_000_000, "driver-scale corpora must stay ungated"

@@ -31,12 +31,22 @@ def main() -> None:
     timings = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        CATALOG[name].builder(spark, sf_dir) \
-            .write.format("noop").mode("overwrite").save()
+        try:
+            CATALOG[name].builder(spark, sf_dir) \
+                .write.format("noop").mode("overwrite").save()
+        except ValueError as exc:
+            # the ngram pair-mass budget gate refusing the quadratic
+            # plan at this scale IS the designed behavior — record it
+            if "max_block_pairs" not in str(exc):
+                raise
+            timings[name] = "gated(raise)"
+            print(f"{name}: gated — {exc}", flush=True)
+            continue
         timings[name] = round(time.perf_counter() - t0, 2)
         print(f"{name}: {timings[name]}s", flush=True)
     payload = {"queries": timings, "sf": sf_dir,
-               "total": round(sum(timings.values()), 2)}
+               "total": round(sum(v for v in timings.values()
+                                  if isinstance(v, float)), 2)}
     with open(out, "w") as f:
         json.dump(payload, f)
     print(json.dumps(payload), flush=True)
