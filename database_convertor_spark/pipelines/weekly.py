@@ -100,17 +100,49 @@ def run_weekly_pipeline(discovered: DataFrame, existing_applications: DataFrame,
         threshold=threshold, top_k=top_k,
         broadcast_right=broadcast_companies)
 
-    # Stage 9: metrics from one aggregate per DataFrame (A12); the
-    # reference mutates a counter dict per row — here counts are facts
-    # about the data, computed by the engine.
+    # Stage 9: metrics in ONE multi-aggregate job (A12); the reference
+    # mutates a counter dict per row — here counts are facts about the
+    # data, computed by the engine. Eight separate .count() actions
+    # were eight jobs, each re-reading its lineage (at 100 TB: eight
+    # extra scans); tagging each stage's rows into one union and
+    # grouping by the tag is a single action, with the stage branches
+    # evaluated concurrently inside it. The matches branch carries its
+    # applicant_key so one (count, count_distinct) pair serves both
+    # match metrics.
+    from functools import reduce
+
+    def _tag(df: DataFrame, stage: str, key: str | None = None):
+        k = (F.col(key).cast("string") if key
+             else F.lit(None).cast("string"))
+        return df.select(F.lit(stage).alias("_stage"), k.alias("_k"))
+
+    tagged = reduce(DataFrame.unionByName, [
+        _tag(discovered, "applications_discovered"),
+        _tag(new_apps, "applications_new"),
+        _tag(valid, "applicants_valid"),
+        _tag(invalid, "applicants_invalid"),
+        _tag(deduped, "applicants_deduped"),
+        _tag(skipped, "individuals_skipped"),
+        _tag(matches, "matches", "applicant_key"),
+    ])
+    rows = {r["_stage"]: r for r in
+            (tagged.groupBy("_stage")
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.countDistinct("_k").alias("_nd"))
+             .collect())}
+
+    def _n(stage: str, distinct: bool = False) -> int:
+        r = rows.get(stage)
+        return 0 if r is None else int(r["_nd"] if distinct else r["_n"])
+
     stats = {
-        "applications_discovered": discovered.count(),
-        "applications_new": new_apps.count(),
-        "applicants_valid": valid.count(),
-        "applicants_invalid": invalid.count(),
-        "applicants_deduped": deduped.count(),
-        "individuals_skipped": skipped.count(),
-        "applicants_matched": matches.select("applicant_key").distinct().count(),
-        "matches_recorded": matches.count(),
+        "applications_discovered": _n("applications_discovered"),
+        "applications_new": _n("applications_new"),
+        "applicants_valid": _n("applicants_valid"),
+        "applicants_invalid": _n("applicants_invalid"),
+        "applicants_deduped": _n("applicants_deduped"),
+        "individuals_skipped": _n("individuals_skipped"),
+        "applicants_matched": _n("matches", distinct=True),
+        "matches_recorded": _n("matches"),
     }
     return WeeklyPipelineResult(new_apps, valid, invalid, skipped, matches, stats)

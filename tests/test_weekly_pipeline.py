@@ -69,3 +69,36 @@ def test_pipeline_idempotent_on_replay(spark):
                                  _companies(spark))
     assert replay.stats["applications_new"] == 0
     assert replay.stats["matches_recorded"] == 0
+
+
+def test_weekly_stats_single_action(spark, monkeypatch):
+    """The A12 stats contract in ONE job (round-5 verdict item 7): the
+    eight metrics come from a single tagged-union multi-aggregate
+    action — exactly one collect(), zero count() actions — and the
+    numbers are unchanged."""
+    try:  # Spark 4: the concrete class (pyspark.sql.DataFrame is abstract)
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:
+        from pyspark.sql import DataFrame
+
+    actions: list[str] = []
+    orig_collect, orig_count = DataFrame.collect, DataFrame.count
+    monkeypatch.setattr(
+        DataFrame, "collect",
+        lambda self: (actions.append("collect"), orig_collect(self))[1])
+    monkeypatch.setattr(
+        DataFrame, "count",
+        lambda self: (actions.append("count"), orig_count(self))[1])
+    res = run_weekly_pipeline(_discovered(spark), _existing(spark),
+                              _companies(spark))
+    assert actions == ["collect"], f"stats must be one action, got {actions}"
+    assert res.stats == {
+        "applications_discovered": 7,
+        "applications_new": 6,
+        "applicants_valid": 5,
+        "applicants_invalid": 1,
+        "applicants_deduped": 5,
+        "individuals_skipped": 1,
+        "applicants_matched": 4,
+        "matches_recorded": 4,
+    }
