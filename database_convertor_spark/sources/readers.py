@@ -83,15 +83,20 @@ def read_excel(spark: SparkSession, path: str, sheet_name: str | int = 0) -> Dat
 
     Spark has no built-in Excel source; route through pandas on the
     driver (Excel files are small, driver-side by nature) and hand the
-    result to the Arrow createDataFrame path. Gated on openpyxl being
-    importable."""
+    result to the Arrow createDataFrame path. Prefers pd.read_excel
+    (openpyxl engine — full format support); when openpyxl is absent
+    (this image) falls back to the stdlib SpreadsheetML codec
+    (sources/xlsx.py: zipfile + xml.etree — flat sheets, shared/inline
+    strings, numbers, booleans)."""
+    import pandas as pd
+
     try:
-        import pandas as pd  # noqa: F401
         pdf = pd.read_excel(path, sheet_name=sheet_name)
-    except ImportError as exc:  # openpyxl not in the image
-        raise NotImplementedError(
-            "Excel ingestion needs openpyxl/xlrd; land the sheet as CSV "
-            "instead and use read_csv") from exc
+    except ImportError:  # openpyxl not in the image: stdlib fallback
+        from .xlsx import read_xlsx
+
+        header, rows = read_xlsx(path, sheet_name)
+        pdf = pd.DataFrame(rows, columns=header)
     return spark.createDataFrame(pdf)
 
 

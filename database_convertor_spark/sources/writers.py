@@ -55,16 +55,45 @@ def write_excel(df: DataFrame, path: str, sheet_name: str = "Export",
                 max_rows: int = 1_000_000) -> None:
     """Excel export sink (reference S17: openpyxl styled workbook,
     utils.py:60-163). Excel is a driver-side, small-output format by
-    nature: hard-capped, collected via Arrow, written with pandas.
-    Gated on openpyxl being importable."""
+    nature: hard-capped, collected via Arrow, written with pandas when
+    openpyxl exists; when it is absent (this image) the stdlib
+    SpreadsheetML codec writes the flat unstyled sheet (the styled
+    header/column-width treatment of utils.py:60-163 needs openpyxl).
+    Complex columns are JSON-serialized, as in write_csv (C26)."""
+    from pyspark.sql import types as T
+
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+            cols.append(F.to_json(F.col(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    pdf = df.select(*cols).limit(max_rows).toPandas()
     try:
         import openpyxl  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "Excel export needs openpyxl; write CSV instead "
-            "(write_csv) for this environment") from exc
-    pdf = df.limit(max_rows).toPandas()
-    pdf.to_excel(path, sheet_name=sheet_name, index=False)
+
+        pdf.to_excel(path, sheet_name=sheet_name, index=False)
+    except ImportError:
+        import pandas as pd
+
+        from .xlsx import write_xlsx
+
+        def _cell(v):
+            try:
+                if v is None or pd.isna(v):
+                    return None
+            except (TypeError, ValueError):
+                pass
+            if isinstance(v, pd.Timestamp):
+                return v.isoformat()
+            if hasattr(v, "item") and not isinstance(v, (str, bytes)):
+                v = v.item()          # numpy scalar -> Python scalar
+            return v
+
+        rows = [[_cell(v) for v in row]
+                for row in pdf.itertuples(index=False, name=None)]
+        write_xlsx(path, [str(c) for c in pdf.columns], rows,
+                   sheet_name=sheet_name)
 
 
 def scd2_upsert(spark: SparkSession, target_path: str, updates: DataFrame,

@@ -82,3 +82,55 @@ def test_write_training_shards_layout_and_roundtrip(spark, tmp_path):
         rows = list(zip(t["bin_id"].to_pylist(), t["doc_id"].to_pylist(),
                         t["chunk_id"].to_pylist()))
         assert rows == sorted(rows), f
+
+
+# ----------------------------------------------------- stdlib xlsx codec
+def test_xlsx_codec_roundtrip(tmp_path):
+    """Pure-codec round-trip (no Spark): strings incl. XML-escapable
+    chars and preserved whitespace, numbers, booleans, None holes,
+    ragged rows."""
+    from database_convertor_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    path = str(tmp_path / "t.xlsx")
+    header = ["name", "n", "ok", "note"]
+    rows = [
+        ["a & b <c>", 1.5, True, " leading space"],
+        ["plain", -2.0, False, None],
+        [None, 0.0, None, 'quotes "here"'],
+    ]
+    write_xlsx(path, header, rows, sheet_name="My Sheet")
+    h, got = read_xlsx(path, "My Sheet")
+    assert h == header
+    assert got == rows
+    # index addressing resolves the same sheet
+    assert read_xlsx(path, 0) == (h, got)
+    import pytest
+
+    with pytest.raises(ValueError, match="no sheet named"):
+        read_xlsx(path, "Nope")
+
+
+def test_excel_spark_roundtrip(spark, tmp_path):
+    """S12/S17 un-gated in THIS image (no openpyxl): write_excel ->
+    read_excel round-trips a Spark frame, complex columns riding as
+    JSON like the CSV sink (C26)."""
+    from pyspark.sql import functions as F
+
+    from database_convertor_spark.sources.readers import read_excel
+    from database_convertor_spark.sources.writers import write_excel
+
+    df = spark.createDataFrame(
+        [(1, "alice & co", 9.75, True, ["x", "y"]),
+         (2, "bob <ltd>", -1.25, False, []),
+         (3, None, 0.5, True, ["z"])],
+        ["id", "name", "score", "flag", "tags"])
+    path = str(tmp_path / "export.xlsx")
+    write_excel(df, path, sheet_name="Export")
+    back = read_excel(spark, path, "Export")
+    got = sorted(map(tuple, back.collect()))
+    assert got == [
+        (1.0, "alice & co", 9.75, True, '["x","y"]'),
+        (2.0, "bob <ltd>", -1.25, False, "[]"),
+        (3.0, None, 0.5, True, '["z"]'),
+    ]
+    assert back.columns == df.columns
