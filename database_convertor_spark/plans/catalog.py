@@ -2234,6 +2234,38 @@ _add(
     "binary-column decode/feature-extract via mapInPandas (fake backend)",
 )
 
+
+def _multimodal_features_real(spark, sf):
+    """Genuinely decoded bytes end-to-end: synthesize real WAV/PPM/PNG
+    payloads executor-side from the documents ids (deterministic), then
+    decode with the stdlib backend — no fake anywhere in the path. The
+    array feature column is projected to scalars for the driver's
+    canonicalizer."""
+    from ..operators.multimodal import (
+        StdlibDecodeBackend,
+        extract_features,
+        synthesize_real_media,
+    )
+
+    docs, = _t(spark, sf, "documents")
+    media = synthesize_real_media(
+        docs.select(F.col("doc_id").alias("media_id")))
+    feats = extract_features(media, backend=StdlibDecodeBackend())
+    return feats.select(
+        "media_id", "kind", "n_bytes", "checksum",
+        F.round(F.col("feature").getItem(0), 4).alias("f0"),
+        F.round(F.col("feature").getItem(5), 4).alias("f5"))
+
+
+_add(
+    "multimodal_features_real",
+    _multimodal_features_real,
+    None,  # real binary decode stage -> rows-only
+    "multimodal",
+    "REAL decode end-to-end: executor-synthesized WAV/PPM/PNG bytes "
+    "decoded by the stdlib backend (wave/zlib/numpy) via mapInPandas",
+)
+
 # ===================================== round-4 corpus-hygiene additions
 def _line_dedup_demo(spark: SparkSession, sf: str) -> DataFrame:
     """Keep-first line dedup on driver tables: shared lines are

@@ -132,4 +132,64 @@ def test_stdlib_backend_rejects_unknown_codecs(spark):
     )
 
     with _pytest.raises(NotImplementedError, match="Pillow/av"):
+        StdlibDecodeBackend().features(b"\xff\xd8\xff\xe0jpeg...", "image")
+    # PNG is now genuinely decoded; a headerless one fails honestly
+    with _pytest.raises(NotImplementedError, match="IHDR"):
         StdlibDecodeBackend().features(b"\x89PNG\r\n\x1a\n....", "image")
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png applies the real per-filter math; the stdlib decoder
+    must reconstruct the exact pixels for every PNG filter type 0-4."""
+    import numpy as np
+
+    from database_convertor_spark.operators.multimodal import (
+        StdlibDecodeBackend,
+        encode_png,
+    )
+
+    grad = ((np.arange(7)[:, None] * 31 + np.arange(9) * 17) % 256)
+    px = np.stack([grad, grad[::-1], (grad * 3 + 7) % 256],
+                  axis=2).astype(np.uint8)
+    b = StdlibDecodeBackend()
+    for ft in range(5):
+        payload = encode_png(px, filter_type=ft)
+        assert (b._png_pixels(payload) == px).all(), f"filter {ft}"
+    f = b.features(encode_png(px), "image")
+    assert f[0] == 9.0 and f[1] == 7.0 and f[7] == 1.0
+    # golden means against plain numpy
+    rgb = px.astype(np.float64) / 255.0
+    assert abs(f[2] - rgb[..., 0].mean()) < 1e-12
+    assert abs(f[4] - rgb[..., 2].mean()) < 1e-12
+
+
+def test_synthesize_real_media_end_to_end(spark):
+    """The rows-only driver row's contract: executor-synthesized
+    WAV/PPM/PNG bytes genuinely decode through the stdlib backend —
+    every row yields an 8-dim feature, audio rows carry the WAV
+    sample rate, image rows carry real dimensions."""
+    from database_convertor_spark.operators.multimodal import (
+        StdlibDecodeBackend,
+        extract_features,
+        synthesize_real_media,
+    )
+
+    ids = spark.range(30).selectExpr("id AS media_id")
+    media = synthesize_real_media(ids)
+    rows = extract_features(media, backend=StdlibDecodeBackend()).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r.n_bytes > 0 and len(r.feature) == 8
+        if r.kind == "audio":
+            assert r.feature[2] == 8000.0          # sample rate decoded
+            assert 0.0 < r.feature[3] < 1.0        # sine RMS
+        else:
+            assert r.feature[0] >= 8 and r.feature[1] >= 6
+    kinds = {r.kind for r in rows}
+    assert kinds == {"audio", "image"}
+    # metadata-only aggregates never scan the payload (pruning contract)
+    from database_convertor_spark.operators.multimodal import (
+        media_metadata_stats,
+    )
+    stats = {r.kind: r.n for r in media_metadata_stats(media).collect()}
+    assert stats == {"audio": 10, "image": 20}
