@@ -37,6 +37,7 @@ HEADLINE = [
     "doc_chunks",
     "doc_line_dedup",
     "doc_lm_logprob",
+    "doc_nb_quality",
     "doc_perplexity_buckets",
     "corpus_unimax_sample",
     "dedup_semantic",
@@ -154,6 +155,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # the round-5 verdict's protocol ask, recorded with the data:
+        # per-query MIN of two timed passes (shared-host steal bursts
+        # were measured inflating single passes 3-4x), after a warm-up
+        # pass at sf0.01 (JIT/whole-stage-codegen is a per-executor
+        # one-time cost); noop sink, nothing collected to the driver
+        "methodology": "min-of-2 passes, sf0.01 warm-up, noop sink",
     }
     print(json.dumps(result))
     spark.stop()

@@ -3138,57 +3138,70 @@ _add(
 
 # --------------------------------------------------- driver-window rotation
 # The correctness driver samples the FIRST 50 catalog entries in
-# order. Every oracle query should earn a hard driver-green row at
-# least once, and — the rule round 4 taught — any query whose code
-# path CHANGED in-round gets a driver row that round. Round 5 pulls
-# 10 forward: the 3 brand-new queries (span dedup pair + the one-plan
-# pipeline composite), the 2 k-means queries that just gained hard SQL
-# oracles (and whose spherical variant changed), the IVF pair that
-# shares the r4-refactored _probe_and_search tail but had no
-# post-refactor driver row, and the 3 round-4 queries whose internals
-# changed this round (line-dedup keying, LM-scoring persist, sampling
-# stratum key) — plus, appended below, the 3 operators brand-new in
-# round 5 (SemDeDup, DSIR, UniMax): 13 forward in all. The 13 pushed
-# back are all green in CORRECTNESS_r04 or earlier (scalar_cleaning,
-# order_date_dimensions, event_props_extract joined the list when the
-# new trio displaced them); the
-# definition-order window this reopens (top_orders,
+# order. Two standing rules (established rounds 4-5): every oracle
+# query earns a hard driver-green row at least once, and any query
+# whose code path CHANGED in-round gets a driver row that round.
+#
+# Round 6 window, explicitly listed (clearer to audit than the old
+# pull-forward/push-back rewrite of definition order):
+#   - NEW this round: doc_nb_quality (the formerly-dead NB classifier,
+#     verdict item 1) and multimodal_features_real (real-decode
+#     rows-only row, verdict item 8 — the first rows-only entry ever
+#     windowed, deliberately);
+#   - r5-touched but un-rowed (verdict item 5): doc_cross_dup_spans +
+#     top_terms_two_pass (share the swap_persisted/_rank_topk code
+#     touched in r5);
+#   - CHANGED this round: dedup_semantic (auto-relabel default),
+#     dedup_ngram_jaccard/_adjacent (pair-mass budget gate), every
+#     corpus-pipeline carrier (route-mode call sites):
+#     training_corpus_pipeline, corpus_deduped, corpus_curation_stats,
+#     dedup_clusters_ngram, corpus_train_val_split,
+#     dedup_incremental_pairs;
+#   - normal-cadence re-certification: the 14 veterans pushed back in
+#     r5 (pricing_summary ... customer_tiering) return;
+#   - the rest of the r5 window holds its slot (ANN/k-means family,
+#     span dedup pair, LM/DSIR/UniMax/perplexity, LSH/SimHash/cosine).
+# Pushed out to make room: 19 r5-green pure-relational/cleaning
+# veterans with no code change this round (top_orders,
 # customer_order_stats, part_search_ilike, event_type_counts,
-# orders_union_dedup, priority_order_pick) re-certifies the
-# long-ago-green veterans the round-4 verdict named.
-_PULL_FORWARD = [
-    "ann_ivf_topk", "ann_ivf_multiprobe",
-    "embedding_kmeans_clusters", "ann_ivf_kmeans",
-    "doc_dup_spans", "doc_span_removal", "training_corpus_pipeline",
-    "doc_line_dedup", "doc_lm_logprob", "corpus_temperature_sample",
-    # the operators new IN round 5 (SemDeDup + DSIR + UniMax) earn
-    # their first driver row in their first round, displacing unchanged
-    # r1-r3-green pure-expression veterans
-    "dedup_semantic", "doc_dsir_weights", "corpus_unimax_sample",
-    "doc_perplexity_buckets",
-]
-_PUSH_BACK = [
+# orders_union_dedup, priority_order_pick, open_orders,
+# shipments_by_month, customers_without_orders, active_customer_keys,
+# nation_customer_rollup, shared_supplier_pairs, url_keyval_cleaning,
+# linkedin_profile_pick, officer_email_matches,
+# provider_enrichment_merge, doc_boilerplate_removed, doc_pii_redacted,
+# doc_chunks) — all hard-green in CORRECTNESS_r05.
+_WINDOW_R6 = [
+    # new + touched-first
+    "doc_nb_quality", "multimodal_features_real",
+    "doc_cross_dup_spans", "top_terms_two_pass", "corpus_curation_stats",
+    # returning veterans (normal cadence)
     "pricing_summary", "market_segment_revenue", "order_stats_summary",
     "event_funnel", "top_orders_per_customer",
     "distinct_customer_priorities", "user_sessions",
     "automation_run_health", "hourly_event_rollup",
-    "supplier_neighborhood",
-    "scalar_cleaning", "order_date_dimensions", "event_props_extract",
-    "customer_tiering",
+    "supplier_neighborhood", "scalar_cleaning", "order_date_dimensions",
+    "event_props_extract", "customer_tiering",
+    # held from the r5 window (changed-this-round members included)
+    "ann_ivf_topk", "ann_ivf_multiprobe", "embedding_kmeans_clusters",
+    "ann_ivf_kmeans", "doc_dup_spans", "doc_span_removal",
+    "training_corpus_pipeline", "doc_line_dedup", "doc_lm_logprob",
+    "corpus_temperature_sample", "dedup_semantic", "doc_dsir_weights",
+    "corpus_unimax_sample", "doc_perplexity_buckets",
+    "refresh_edges_incremental", "fuzzy_match_customers", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_ngram_adjacent",
+    "dedup_incremental_pairs", "cross_corpus_overlap",
+    "benchmark_contamination_hits", "corpus_train_val_split",
+    "corpus_stratified_sample", "dedup_clusters_ngram", "corpus_deduped",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
+    "ann_brute_topk", "ann_brute_topk_numpy",
 ]
 
 _by_name = {s.name: s for s in _SPECS}
 assert len(_by_name) == len(_SPECS), "duplicate catalog names"
-_incoming = iter(_PULL_FORWARD)
-_rotated: list[QuerySpec] = []
-for _s in _SPECS:
-    if _s.name in _PULL_FORWARD:
-        continue  # re-slotted into a vacated window position above
-    if _s.name in _PUSH_BACK:
-        _rotated.append(_by_name[next(_incoming)])
-        continue  # veteran re-appended after the loop
-    _rotated.append(_s)
-_rotated.extend(_by_name[n] for n in _PUSH_BACK)
-assert len(_rotated) == len(_SPECS)
+assert len(_WINDOW_R6) == 50 == len(set(_WINDOW_R6)), len(_WINDOW_R6)
+assert set(_WINDOW_R6) <= set(_by_name), set(_WINDOW_R6) - set(_by_name)
+_window = set(_WINDOW_R6)
+_rest = [s.name for s in _SPECS if s.name not in _window]
 
-CATALOG: dict[str, QuerySpec] = {s.name: s for s in _rotated}
+CATALOG: dict[str, QuerySpec] = {
+    n: _by_name[n] for n in [*_WINDOW_R6, *_rest]}
