@@ -381,12 +381,19 @@ def chunk_documents(documents: DataFrame, chunk_tokens: int = 128,
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
     toks = tokens(F.col("text"))
-    n = F.size(toks)
+    # tokenize ONCE per doc in a projection below the explode: written
+    # in the same select as the generator, the token array would be
+    # hoisted above Generate and re-split per CHUNK ROW (the round-6
+    # Generate-parent plan audit's finding — same bug class as the
+    # doc_nb_quality scan fix)
+    base = documents.select("doc_id", toks.alias("_tk"),
+                            F.size(toks).alias("_n"))
+    n = F.col("_n")
     starts = F.filter(
         F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)),
         lambda s: (s == 1) | (s + overlap <= n))
-    return (documents
-            .select("doc_id", toks.alias("_tk"), n.alias("_n"),
+    return (base
+            .select("doc_id", "_tk",
                     F.posexplode(starts).alias("chunk_id", "start"))
             .select("doc_id", "chunk_id",
                     F.size(F.slice(F.col("_tk"), F.col("start"),

@@ -113,8 +113,18 @@ def _block_on_tokens(left: DataFrame, right: DataFrame,
     par = left.sparkSession.sparkContext.defaultParallelism
     few_splits = left.rdd.getNumPartitions() < par
     sw = F.array(*[F.lit(w) for w in BLOCKING_STOPWORDS])
-    lt = left.withColumn("_tok", F.explode(F.array_except(F.col("_ltoks"), sw)))
-    rt = right.withColumn("_tok", F.explode(F.array_except(F.col("_rtoks"), sw)))
+    # explode_OUTER: a non-outer Generate lets the optimizer infer
+    # `size(array_except(_ltoks, sw)) > 0` and substitute the whole
+    # normalize+tokenize expression into a Filter at the SCAN — one
+    # full extra pass per side, on the pre-spread (often single-task)
+    # stage. Outer emits a NULL _tok for empty/all-stopword names
+    # instead, and every downstream join is an inner equi-join on
+    # _tok, which drops NULL keys — candidate set identical, and the
+    # no-token lefts still fall through to the rescue rung
+    lt = left.withColumn(
+        "_tok", F.explode_outer(F.array_except(F.col("_ltoks"), sw)))
+    rt = right.withColumn(
+        "_tok", F.explode_outer(F.array_except(F.col("_rtoks"), sw)))
     if cap_mega_tokens:
         if n_right is None:
             n_right = right.count()
@@ -188,9 +198,13 @@ def _block_on_qgrams(left: DataFrame, right: DataFrame,
     if n_right is None:
         n_right = right.count()
     maybe_broadcast = F.broadcast if n_right <= broadcast_limit else (lambda d: d)
-    rg = right.withColumn("_g", F.explode(_qgrams("_rnorm", q)))
-    gdf = rg.groupBy("_g").agg(F.count(F.lit(1)).alias("_gdf"))
-    lg = left.withColumn("_g", F.explode(_qgrams("_lnorm", q)))
+    # explode_OUTER for the same reason as _block_on_tokens: the
+    # inferred size()>0 constraint would re-run the q-gram transform
+    # in a scan-side Filter; NULL _g rows die at the inner joins
+    rg = right.withColumn("_g", F.explode_outer(_qgrams("_rnorm", q)))
+    gdf = (rg.filter(F.col("_g").isNotNull())
+           .groupBy("_g").agg(F.count(F.lit(1)).alias("_gdf")))
+    lg = left.withColumn("_g", F.explode_outer(_qgrams("_lnorm", q)))
     # grams absent from the right side can never produce a candidate --
     # the inner join drops them before the rarity ranking
     lg = lg.join(maybe_broadcast(gdf), "_g")
@@ -451,12 +465,15 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
                         left_key, right_key, r_conf.alias("confidence"),
                         r_method.alias("match_method"),
                         "_lnorm", "_rnorm")
+                    # outer explodes: the inferred size(_ltoks) > 0
+                    # constraint would re-tokenize at the scan; NULL
+                    # _tok rows die at the inner equi-join
                     ltok = residual.select(
                         left_key, "_lnorm", "_ltoks",
-                        F.explode("_ltoks").alias("_tok"))
+                        F.explode_outer("_ltoks").alias("_tok"))
                     rtok = rnorm.select(
                         right_key, "_rnorm", "_rtoks",
-                        F.explode("_rtoks").alias("_tok"))
+                        F.explode_outer("_rtoks").alias("_tok"))
                     corr = ltok.join(F.broadcast(rtok), "_tok").drop("_tok")
                     c_conf, c_method = _ladder_score(corr)
                     corr_rung = corr.select(

@@ -220,9 +220,17 @@ def cross_doc_span_signals(documents: DataFrame,
     from ..functions.text import md5_long, shingles
     from ..plans.persist_slots import swap_persisted
 
+    # explode_OUTER + isNotNull guard: a non-outer Generate infers
+    # `size(shingles(text)) > 0` and pushes it below the spread
+    # exchange, re-running the whole shingle pass single-task at the
+    # scan (the round-6 inferred-filter audit); outer has no such
+    # constraint, and the isNotNull filter drops exactly the NULL rows
+    # outer adds for NULL-text docs — same row set as the inner explode
     w = (spread(documents)
          .select("doc_id",
-                 F.explode(shingles(F.col("text"), window)).alias("_w"))
+                 F.explode_outer(shingles(F.col("text"), window))
+                 .alias("_w"))
+         .filter(F.col("_w").isNotNull())
          .select("doc_id", md5_long(F.col("_w")).alias("_h")))
     w = swap_persisted("cross_dup_spans_w",
                        w.persist(StorageLevel.MEMORY_AND_DISK))
@@ -280,11 +288,30 @@ def duplicated_spans(documents: DataFrame, window: int = 8) -> DataFrame:
     # splits (or one single-file partition) would otherwise hash every
     # window on a handful of cores (same discipline as the dedup family;
     # conditional — a many-split scan keeps its natural partitioning)
-    w = (spread(documents)
-         .select("doc_id", token_count(F.col("text")).alias("_n"),
-                 F.posexplode(shingles(F.col("text"), window))
-                 .alias("_p", "_w"))
-         .filter(F.col("_n") > 0)
+    # token_count and the shingle array bind in a projection BELOW the
+    # posexplode: co-projected with the generator they would be
+    # hoisted above Generate and re-evaluated per WINDOW ROW —
+    # token_count (a split) times n windows is O(n_tokens^2) work per
+    # doc (the hoist found by the round-6 Generate-parent plan audit;
+    # same bug class as doc_nb_quality's 25.8 s -> 1.7 s scan fix).
+    # The empty-doc guard is `_w != ""` on the GENERATED column — a
+    # window is the empty string iff the doc has zero tokens (shingles
+    # of a sub-window doc is the whole joined text) — because a
+    # `_n > 0` predicate would be substituted and pushed below the
+    # spread exchange, re-running the tokenize single-task on a
+    # single-file scan. posexplode_OUTER for the same reason: a
+    # non-outer Generate lets the optimizer infer `size(_sh) > 0` and
+    # push THAT below the exchange (one full single-task shingle pass,
+    # measured 3.5 s -> 0.5 s here); outer carries no such constraint,
+    # and `_w != ""` already drops the NULL rows outer adds for
+    # NULL-text docs — emitted row set identical (tested)
+    base = (spread(documents)
+            .select("doc_id", token_count(F.col("text")).alias("_n"),
+                    shingles(F.col("text"), window).alias("_sh")))
+    w = (base
+         .select("doc_id", "_n",
+                 F.posexplode_outer("_sh").alias("_p", "_w"))
+         .filter(F.col("_w") != "")
          .select("doc_id", "_n", (F.col("_p") + 1).alias("_ws"),
                  md5_long(F.col("_w")).alias("_h")))
     w = swap_persisted("dup_spans_w",
@@ -698,14 +725,35 @@ def naive_bayes_quality(documents: DataFrame,
     from ..functions.text import quality_score, tokens
     from ..plans.persist_slots import swap_persisted
 
+    from ..session import spread
+
+    # the per-doc quality_score is the heavy projection — spread a
+    # single-file scan across the cluster before evaluating it (a
+    # many-split scan keeps its natural partitioning)
+    documents = spread(documents)
     hq = (quality_score(F.col("text")) >= seed_threshold)
     seed = swap_persisted(
         "nb_quality_seed",
         documents.select("doc_id", hq.alias("seed_hq"))
         .persist(StorageLevel.MEMORY_AND_DISK))
-    toks = documents.select(
+    # the label and the token ARRAY are bound in a projection BELOW the
+    # explode, then the bound array column explodes in a second select.
+    # Writing `hq` in the same select as the explode plans as
+    # Project[hq] ABOVE Generate (ExtractGenerator hoists co-projected
+    # expressions), i.e. the 8-split quality_score would re-evaluate
+    # once per TOKEN ROW — measured 25.8 s vs 1.7 s for this scan at
+    # sf0.1, and fatal at corpus scale
+    # explode_OUTER + isNotNull: a non-outer Generate would let the
+    # optimizer infer `size(_ta) > 0` and push a full extra tokenize
+    # below the spread exchange (single-task on a single-file scan);
+    # outer adds one NULL row per empty doc, dropped by the filter —
+    # identical token stream
+    base = documents.select(
         "doc_id", hq.alias("_hq"),
-        F.explode(tokens(F.lower(F.col("text")))).alias("_tok"))
+        tokens(F.lower(F.col("text"))).alias("_ta"))
+    toks = (base.select("doc_id", "_hq",
+                        F.explode_outer("_ta").alias("_tok"))
+            .filter(F.col("_tok").isNotNull()))
     toks = swap_persisted("nb_quality_toks",
                           toks.persist(StorageLevel.MEMORY_AND_DISK))
     counts = (toks.groupBy("_tok")
