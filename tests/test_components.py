@@ -278,7 +278,8 @@ def test_semantic_dedup_auto_relabel_gate(spark):
 
     similarity_search.kmeans_fit = spy_fit
     try:
-        # 40 vectors all under ONE label, target 10 -> engages with k=4
+        # 40 vectors all under ONE label, target 8 -> the 4x trip
+        # threshold (32) is exceeded, k sizes at ceil(40/8) = 5
         import math
         rows = [(i, 0, [math.cos(i * 0.17), math.sin(i * 0.17)])
                 for i in range(40)]
@@ -286,20 +287,20 @@ def test_semantic_dedup_auto_relabel_gate(spark):
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
             out = dedup.semantic_dedup(emb, threshold=0.99,
-                                       auto_relabel_label_size=10)
+                                       auto_relabel_label_size=8)
             n_kept = out.count()
-        assert calls == [4]
+        assert calls == [5]
         assert any("re-blocking" in str(x.message) for x in w)
         assert 0 < n_kept <= 40
         assert out.columns == emb.columns
 
-        # proper codebook: 40 vectors over 8 labels (avg 5 <= 10) -> no fit
+        # proper codebook: 40 vectors over 8 labels (avg 5 <= 4x8) -> no fit
         calls.clear()
         rows = [(i, i % 8, [math.cos(i * 0.17), math.sin(i * 0.17)])
                 for i in range(40)]
         emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
         dedup.semantic_dedup(emb, threshold=0.99,
-                             auto_relabel_label_size=10).count()
+                             auto_relabel_label_size=8).count()
         assert calls == []
 
         # explicit opt-out trusts any incoming label column
