@@ -230,6 +230,14 @@ class Engine:
     def export_excel(self, df: DataFrame, path: str) -> None:
         write_excel(df, path)
 
+    def import_excel(self, path: str,
+                     sheet_name: str | int = 0) -> DataFrame:
+        """Excel upload ingestion (reference S12, app.py:2064-2120):
+        pandas/openpyxl when available, stdlib SpreadsheetML codec
+        otherwise — un-gated in every environment."""
+        from .sources.readers import read_excel
+        return read_excel(self.spark, path, sheet_name)
+
     # ------------------------------------------------------ corpus curation
     def curate_corpus(self, documents: DataFrame,
                       threshold: float = 0.5) -> DataFrame:
@@ -347,6 +355,16 @@ class Engine:
         """Per-doc mean log-prob under the corpus unigram LM."""
         from .operators.text_analysis import doc_lm_logprob
         return doc_lm_logprob(documents)
+
+    def nb_quality(self, documents: DataFrame,
+                   seed_threshold: int = 100) -> DataFrame:
+        """Trained Naive-Bayes quality classifier (CCNet/GPT-3 style):
+        Laplace log-odds over the capped vocabulary, seeded by the
+        heuristic quality score; broadcast model, one corpus
+        shuffle."""
+        from .operators.text_analysis import naive_bayes_quality
+        return naive_bayes_quality(documents,
+                                   seed_threshold=seed_threshold)
 
     def cross_dup_spans(self, documents: DataFrame,
                         window: int = 8) -> DataFrame:

@@ -172,3 +172,27 @@ def test_pick_linkedin_profiles_facade(engine, spark):
     got = {r.officer_id: r.linkedin_url
            for r in engine.pick_linkedin_profiles(profiles).collect()}
     assert got == {10: "https://uk.linkedin.com/in/a"}
+
+
+def test_engine_excel_roundtrip_and_nb_quality(engine, spark, tmp_path):
+    """The facade's S12/S17 pair round-trips in THIS image (stdlib
+    codec path), and nb_quality surfaces the trained classifier."""
+    df = spark.createDataFrame(
+        [(1, "alpha", 2.5), (2, "beta & gamma", -1.0)],
+        ["id", "name", "score"])
+    path = str(tmp_path / "facade.xlsx")
+    engine.export_excel(df, path)
+    back = engine.import_excel(path)
+    assert sorted(map(tuple, back.collect())) == [
+        (1.0, "alpha", 2.5), (2.0, "beta & gamma", -1.0)]
+
+    # repeated tokens on both sides so the min_count=2 vocabulary
+    # carries signed weights (a single shared token degenerates to 0)
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and then "
+             "runs far away into the deep green forest tonight again"),
+         (2, "zz!!! xx@@ zz!!! xx@@")],
+        ["doc_id", "text"])
+    out = {r.doc_id: r for r in engine.nb_quality(docs).collect()}
+    assert out[1].seed_hq and not out[2].seed_hq
+    assert out[1].nb_score > 0 > out[2].nb_score
