@@ -134,3 +134,47 @@ def test_excel_spark_roundtrip(spark, tmp_path):
         (3.0, None, 0.5, True, '["z"]'),
     ]
     assert back.columns == df.columns
+
+
+def test_xlsx_codec_property_roundtrip(tmp_path):
+    """Hypothesis: any flat table of strings/floats/bools/None
+    round-trips through the stdlib codec byte-for-value (NaN lands as
+    an empty cell -> None, matching Excel semantics)."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from database_convertor_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    # excel strips control chars; generate printable text (the writer
+    # documents the strip — exercised separately in the golden test)
+    cell = st.one_of(
+        st.none(),
+        st.text(alphabet=st.characters(min_codepoint=32,
+                                       max_codepoint=0x2FF),
+                max_size=20),
+        st.floats(allow_nan=True, allow_infinity=False, width=32),
+        st.booleans(),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.lists(cell, min_size=3, max_size=3),
+                    min_size=1, max_size=6))
+    def check(rows):
+        path = str(tmp_path / "prop.xlsx")
+        write_xlsx(path, ["a", "b", "c"], rows)
+        _, got = read_xlsx(path)
+
+        def norm(v):
+            if isinstance(v, float) and math.isnan(v):
+                return None
+            if isinstance(v, bool) or v is None:
+                return v
+            if isinstance(v, float):
+                return float(v)
+            return str(v)
+
+        assert got == [[norm(v) for v in row] for row in rows]
+
+    check()
