@@ -3160,7 +3160,13 @@ _add(
 #   - normal-cadence re-certification: the 14 veterans pushed back in
 #     r5 (pricing_summary ... customer_tiering) return;
 #   - the rest of the r5 window holds its slot (ANN/k-means family,
-#     span dedup pair, LM/DSIR/UniMax/perplexity, LSH/SimHash/cosine).
+#     span dedup pair, LM/DSIR/UniMax/perplexity, LSH/SimHash/cosine);
+#   - LATE ROTATION (post-Generate-audit, 41c3797): doc_chunks and
+#     training_shard_packing consume the rewritten chunk_documents
+#     (tokenize bound below the posexplode), so the changed-in-round
+#     rule pulls them back in; refresh_edges_incremental (graph.py)
+#     and ann_brute_topk_numpy (similarity_search.py) rotate out —
+#     both r5-green with their operator files untouched this round.
 # Pushed out to make room: 19 r5-green pure-relational/cleaning
 # veterans with no code change this round (top_orders,
 # customer_order_stats, part_search_ilike, event_type_counts,
@@ -3169,7 +3175,7 @@ _add(
 # nation_customer_rollup, shared_supplier_pairs, url_keyval_cleaning,
 # linkedin_profile_pick, officer_email_matches,
 # provider_enrichment_merge, doc_boilerplate_removed, doc_pii_redacted,
-# doc_chunks) — all hard-green in CORRECTNESS_r05.
+# refresh_edges_incremental) — all hard-green in CORRECTNESS_r05.
 _WINDOW_R6 = [
     # new + touched-first
     "doc_nb_quality", "multimodal_features_real",
@@ -3187,13 +3193,13 @@ _WINDOW_R6 = [
     "training_corpus_pipeline", "doc_line_dedup", "doc_lm_logprob",
     "corpus_temperature_sample", "dedup_semantic", "doc_dsir_weights",
     "corpus_unimax_sample", "doc_perplexity_buckets",
-    "refresh_edges_incremental", "fuzzy_match_customers", "dedup_exact",
+    "doc_chunks", "fuzzy_match_customers", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_ngram_adjacent",
     "dedup_incremental_pairs", "cross_corpus_overlap",
     "benchmark_contamination_hits", "corpus_train_val_split",
     "corpus_stratified_sample", "dedup_clusters_ngram", "corpus_deduped",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
-    "ann_brute_topk", "ann_brute_topk_numpy",
+    "ann_brute_topk", "training_shard_packing",
 ]
 
 _by_name = {s.name: s for s in _SPECS}
