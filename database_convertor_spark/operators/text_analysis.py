@@ -43,6 +43,34 @@ def lang_detect(documents: DataFrame) -> DataFrame:
     )
 
 
+def doc_token_counts(documents: DataFrame) -> DataFrame:
+    """Per-document token counts under two tokenizers: plain
+    whitespace runs, and the BPE-ish regex proxy (letter pieces of
+    <= 4 chars + single digits + single non-alphanumeric chars —
+    a deterministic stand-in for a real BPE vocabulary, which is not
+    shipped in this image). ``bpe_fertility`` (BPE-ish tokens per
+    whitespace word, NULL for empty docs) is the budget planner's
+    number: corpus token budgets are set in TOKENIZER tokens, and
+    whitespace counts under-estimate them by exactly this factor.
+
+    Pure per-row regexp_count expressions — stays inside
+    WholeStageCodegen, no shuffle, nothing but the scan.
+    Reference has no analog (beyond-reference training-data operator).
+    """
+    from ..functions.text import bpe_ish_token_count
+
+    t = F.col("text")
+    ws = token_count(t).cast("long")
+    bpe = bpe_ish_token_count(t)
+    return documents.select(
+        "doc_id", "lang",
+        ws.alias("n_ws_tokens"),
+        bpe.alias("n_bpe_ish_tokens"),
+        F.when(ws > 0, F.round(bpe.cast("double") / ws, 4))
+        .alias("bpe_fertility"),
+    )
+
+
 def token_stats_by_lang(documents: DataFrame) -> DataFrame:
     """Corpus token statistics per language bucket."""
     t = F.col("text")

@@ -3136,6 +3136,101 @@ _add(
 )
 
 
+# ============================================== token counting (two tokenizers)
+_add(
+    "doc_token_counts",
+    lambda spark, sf: text_analysis.doc_token_counts(
+        *_t(spark, sf, "documents")),
+    r"""
+    SELECT doc_id, lang,
+           CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT)
+               AS n_ws_tokens,
+           CAST(length(regexp_extract_all(
+               text, '[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]')) AS BIGINT)
+               AS n_bpe_ish_tokens,
+           CASE WHEN length(regexp_extract_all(text, '\S+')) > 0
+                THEN round(CAST(length(regexp_extract_all(
+                         text, '[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]')) AS DOUBLE)
+                     / length(regexp_extract_all(text, '\S+')), 4)
+           END AS bpe_fertility
+    FROM documents
+    """,
+    "text-analysis,C24",
+    "per-doc token counts under whitespace AND BPE-ish regex "
+    "tokenizers + fertility ratio (token-budget planning signal; "
+    "leftmost-first alternation semantics shared by Java regex and "
+    "RE2, verified cell-for-cell)",
+)
+
+
+# =============================================== winnowing fingerprints (MOSS)
+# DuckDB twin of dedup.winnow_fingerprints at k=10, w=8 (shared CTE
+# text for the fingerprint and pair queries)
+_WINNOW_FPS_CTE = f"""
+    nb AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+             AS norm
+      FROM documents),
+    hs AS (
+      SELECT doc_id,
+             list_transform(
+                 range(1, greatest(length(norm) - 9, 0) + 1),
+                 i -> {_MD5_60.format(x='substr(norm, CAST(i AS INTEGER), 10)')}
+             ) AS h
+      FROM nb),
+    fps AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(h) >= 8 THEN
+                      list_distinct(list_transform(
+                          range(1, len(h) - 7 + 1),
+                          j -> list_aggregate(
+                              h[CAST(j AS INTEGER):CAST(j + 7 AS INTEGER)],
+                              'min')))
+                    WHEN len(h) >= 1 THEN [list_aggregate(h, 'min')]
+                    ELSE [] END) AS fp
+      FROM hs)
+"""
+_add(
+    "doc_winnow_fingerprints",
+    lambda spark, sf: dedup.winnow_fingerprints(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH {_WINNOW_FPS_CTE}
+    SELECT doc_id, fp FROM fps
+    """,
+    "dedup,text-analysis",
+    "winnowing local fingerprints (Schleimer et al. 2003 / MOSS): "
+    "min md5-60 k-gram hash per w-window, distinct per doc — any "
+    "shared substring >= w+k-1 chars yields a shared fingerprint",
+)
+_add(
+    "dedup_winnowing",
+    lambda spark, sf: dedup.winnow_pairs(*_t(spark, sf, "documents")),
+    f"""
+    WITH {_WINNOW_FPS_CTE},
+    rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+    pruned AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_shared,
+           round(CAST(n_shared AS DOUBLE) / least(sa.sz, sb.sz), 4)
+               AS overlap
+    FROM shared JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(CAST(n_shared AS DOUBLE) / least(sa.sz, sb.sz), 4) >= 0.5
+    """,
+    "dedup,similarity-search",
+    "near-dup pairs by winnowed-fingerprint overlap coefficient "
+    "(MOSS similarity): df-capped stop-fingerprint pruning before "
+    "the self-join bounds pair mass; containment-flavored, so "
+    "partial copy-paste overlap scores high",
+)
+
+
 # --------------------------------------------------- driver-window rotation
 # The correctness driver samples the FIRST 50 catalog entries in
 # order. Two standing rules (established rounds 4-5): every oracle
@@ -3166,7 +3261,14 @@ _add(
 #     (tokenize bound below the posexplode), so the changed-in-round
 #     rule pulls them back in; refresh_edges_incremental (graph.py)
 #     and ann_brute_topk_numpy (similarity_search.py) rotate out —
-#     both r5-green with their operator files untouched this round.
+#     both r5-green with their operator files untouched this round;
+#   - NEW late in the round: doc_token_counts (wires the formerly
+#     dead bpe_ish_token_count), doc_winnow_fingerprints and
+#     dedup_winnowing (the MOSS local-fingerprinting family) — never
+#     driver-checked, so they must window; ann_brute_topk
+#     (similarity_search.py untouched), corpus_stratified_sample and
+#     benchmark_contamination_hits (their curation.py functions
+#     untouched) rotate out, all r5-or-earlier hard-green.
 # Pushed out to make room: 19 r5-green pure-relational/cleaning
 # veterans with no code change this round (top_orders,
 # customer_order_stats, part_search_ilike, event_type_counts,
@@ -3196,10 +3298,10 @@ _WINDOW_R6 = [
     "doc_chunks", "fuzzy_match_customers", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_ngram_adjacent",
     "dedup_incremental_pairs", "cross_corpus_overlap",
-    "benchmark_contamination_hits", "corpus_train_val_split",
-    "corpus_stratified_sample", "dedup_clusters_ngram", "corpus_deduped",
+    "doc_token_counts", "corpus_train_val_split",
+    "doc_winnow_fingerprints", "dedup_clusters_ngram", "corpus_deduped",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
-    "ann_brute_topk", "training_shard_packing",
+    "dedup_winnowing", "training_shard_packing",
 ]
 
 _by_name = {s.name: s for s in _SPECS}
