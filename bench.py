@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_winnowing",
     "corpus_deduped",
     "corpus_curation_stats",
     "corpus_quality_selection",
