@@ -363,3 +363,38 @@ def test_unimax_sample_matches_water_fill_model(spark, rows, frac):
         if h60("unimax" + str(i)) % 1_000_000
         < gates[lang if lang is not None else "<null>"])
     assert got == expect
+
+
+_winnow_texts = st.lists(
+    st.text(st.sampled_from("ab cd"), max_size=40), min_size=1, max_size=8)
+
+
+@given(texts=_winnow_texts, k=st.integers(2, 6), w=st.integers(1, 5))
+@_slow
+def test_winnow_fingerprints_match_python_model(spark, texts, k, w):
+    """Random short texts over a tiny alphabet (dense hash collisions,
+    heavy whitespace) against the pure-Python winnowing model at
+    random (k, w) — the engine-vs-model twin of the golden suite's
+    fixed-parameter cases."""
+    import hashlib
+    import re as _re
+
+    from database_convertor_spark.operators.dedup import winnow_fingerprints
+
+    def model(text):
+        norm = _re.sub(r"\s+", " ", text.lower()).strip(" ")
+        m = len(norm) - k + 1
+        hs = [int(hashlib.md5(norm[i:i + k].encode()).hexdigest()[:15], 16)
+              for i in range(max(m, 0))]
+        if not hs:
+            return set()
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {(r.doc_id, r.fp)
+           for r in winnow_fingerprints(df, k=k, w=w).collect()}
+    want = {(i, fp) for i, t in enumerate(texts) for fp in model(t)}
+    assert got == want
