@@ -339,6 +339,23 @@ class Engine:
         return semantic_dedup(embeddings, threshold,
                               relabel_clusters=relabel_clusters)
 
+    def winnow_dedup(self, documents: DataFrame,
+                     threshold: float = 0.5,
+                     max_df: int = 50) -> DataFrame:
+        """Near-dup pairs by winnowed-fingerprint overlap coefficient
+        (Schleimer et al. 2003 / MOSS) — the local-fingerprinting
+        family: catches copy-paste / partial-overlap duplication that
+        whole-document sketches dilute away."""
+        from .operators.dedup import winnow_pairs
+        return winnow_pairs(documents, threshold=threshold,
+                            max_df=max_df)
+
+    def token_counts(self, documents: DataFrame) -> DataFrame:
+        """Per-doc whitespace + BPE-ish token counts and fertility
+        (token-budget planning signal)."""
+        from .operators.text_analysis import doc_token_counts
+        return doc_token_counts(documents)
+
     def dsir_weights(self, documents: DataFrame, target,
                      num_buckets: int = 65536) -> DataFrame:
         """DSIR-style importance weights of each doc vs a target slice."""

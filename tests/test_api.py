@@ -196,3 +196,22 @@ def test_engine_excel_roundtrip_and_nb_quality(engine, spark, tmp_path):
     out = {r.doc_id: r for r in engine.nb_quality(docs).collect()}
     assert out[1].seed_hq and not out[2].seed_hq
     assert out[1].nb_score > 0 > out[2].nb_score
+
+
+def test_engine_winnow_dedup_and_token_counts(engine, spark):
+    """The facade surfaces the winnowing pair detector and the
+    two-tokenizer counts."""
+    base = ("shared corpus content that repeats across these two "
+            "documents nearly verbatim for the detector to find")
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " plus a small tail"),
+         (3, "an unrelated piece of text about entirely other things "
+             "with no overlap at all")],
+        ["doc_id", "text"])
+    pairs = engine.winnow_dedup(docs).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+
+    counts = {r.doc_id: r for r in engine.token_counts(
+        docs.withColumn("lang", F.lit("en"))).collect()}
+    assert counts[1].n_ws_tokens == len(base.split())
+    assert counts[1].n_bpe_ish_tokens >= counts[1].n_ws_tokens
