@@ -339,6 +339,17 @@ class Engine:
         return semantic_dedup(embeddings, threshold,
                               relabel_clusters=relabel_clusters)
 
+    def mixture_sample(self, documents: DataFrame,
+                       weights: dict[str | None, float],
+                       budget_frac: float = 0.3,
+                       stratum_col: str = "source") -> DataFrame:
+        """Explicit-mixture sampling (DoReMi/Pile-style per-source
+        target weights) via the weighted water-fill; unlisted strata
+        are dropped."""
+        from .operators.curation import mixture_sample
+        return mixture_sample(documents, weights, budget_frac,
+                              stratum_col)
+
     def winnow_dedup(self, documents: DataFrame,
                      threshold: float = 0.5,
                      max_df: int = 50) -> DataFrame:

@@ -299,6 +299,83 @@ def unimax_sample(documents: DataFrame,
     return _hash_gated_sample(docs, gates, salt)
 
 
+def mixture_sample(documents: DataFrame,
+                   weights: dict[str | None, float],
+                   budget_frac: float = 0.3,
+                   stratum_col: str = "source",
+                   salt: str = "mix") -> DataFrame:
+    """Explicit-mixture sampling with a weighted water-fill: allocate
+    a total TOKEN budget across strata in the caller's target
+    PROPORTIONS (DoReMi / The-Pile-style explicit per-source mixture
+    weights — Xie et al. 2023 arXiv:2305.10429, Gao et al. 2020;
+    public methodology), downsampling only. Each stratum keeps
+    min(n_s, w_s * theta) tokens with one shared water level theta, so
+    a stratum too small for its target keeps everything and its unmet
+    demand is re-spread over the others IN PROPORTION TO THEIR
+    WEIGHTS — the weighted generalization of ``unimax_sample``
+    (UniMax IS this operator at uniform weights). Strata absent from
+    ``weights`` (or at weight 0) are DROPPED: an explicit mixture is a
+    whitelist, which is also what makes the operator a pure filter.
+
+    The budget is ``budget_frac`` x the tokens of the WEIGHTED
+    universe (weight-0 strata don't inflate it). Water level computed
+    relationally exactly like unimax_sample: strata sorted by
+    saturation point n_s/w_s ascending, theta candidate at position i
+    is (B - csum_{i-1}(n)) / (W - cumw_{i-1}), theta is the candidate
+    at the first position whose n exceeds its share w_i * candidate —
+    one window pass over the S-row count frame, broadcast back as
+    md5-gated per-stratum keep fractions (same deterministic gate
+    contract as the rest of the sampling family). NULL strata ride as
+    the sentinel stratum keyed by ``None`` in ``weights``.
+    Reference has no analog (beyond-reference training-data operator).
+    """
+    from ..functions.text import token_count
+
+    if not weights or all(v <= 0 for v in weights.values()):
+        raise ValueError("weights must contain a positive entry")
+    if any(v < 0 for v in weights.values()):
+        raise ValueError("weights must be non-negative")
+    key = F.coalesce(F.col(stratum_col).cast("string"),
+                     F.lit("<null>"))
+    docs = documents.withColumn("_stratum", key)
+    pairs: list = []
+    for kk in sorted(weights, key=lambda x: (x is None, str(x))):
+        skey = "<null>" if kk is None else str(kk)
+        pairs += [F.lit(skey), F.lit(float(weights[kk]))]
+    wmap = F.create_map(*pairs)
+    counts = (docs.groupBy("_stratum")
+              .agg(F.sum(token_count(F.col("text"))).alias("_n"))
+              .withColumn("_w", F.coalesce(wmap[F.col("_stratum")],
+                                           F.lit(0.0)))
+              .filter(F.col("_w") > 0))
+    sat = F.col("_n").cast("double") / F.col("_w")
+    wl = Window.orderBy(F.asc(sat), F.asc("_stratum"))
+    wall = Window.partitionBy(F.lit(1))
+    ranked = counts.select(
+        "_stratum", "_n", "_w",
+        F.row_number().over(wl).alias("_i"),
+        F.sum("_n").over(wl).alias("_csum"),
+        F.sum("_w").over(wl).alias("_cw"),
+        F.sum("_n").over(wall).cast("double").alias("_tot"),
+        F.sum("_w").over(wall).alias("_wsum"))
+    budget = F.col("_tot") * F.lit(float(budget_frac))
+    cand = ((budget - (F.col("_csum") - F.col("_n")).cast("double"))
+            / (F.col("_wsum") - (F.col("_cw") - F.col("_w"))))
+    overflow = F.when(F.col("_n").cast("double") > F.col("_w") * cand,
+                      F.struct(F.col("_i"), cand.alias("_th")))
+    theta = F.coalesce(F.min(overflow).over(wall).getField("_th"),
+                       F.lit(float("inf")))
+    frac = F.round(
+        F.when(F.col("_n") > 0,
+               F.least(F.lit(1.0),
+                       F.col("_w") * theta / F.col("_n").cast("double")))
+        .otherwise(F.lit(1.0)), 6)
+    gates = ranked.select(
+        "_stratum",
+        F.round(frac * 1_000_000, 0).cast("long").alias("_gate"))
+    return _hash_gated_sample(docs, gates, salt)
+
+
 # -------------------------------------------------- sequence packing
 def assign_chunk_bins(chunks: DataFrame, documents: DataFrame,
                       budget: int = 512, n_shards: int = 4,

@@ -3136,6 +3136,62 @@ _add(
 )
 
 
+# ================================================= explicit-mixture sampling
+_add(
+    "corpus_mixture_sample",
+    lambda spark, sf: curation.mixture_sample(
+        _t(spark, sf, "documents")[0],
+        {"src8": 0.6, "src1": 0.2, "src7": 0.1, "src19": 0.1},
+        budget_frac=0.5)
+    .select("doc_id", "source"),
+    f"""
+    WITH wts(s, w) AS (
+      VALUES ('src1', 0.2), ('src19', 0.1), ('src7', 0.1), ('src8', 0.6)),
+    counts AS (
+      SELECT coalesce(CAST(source AS VARCHAR), chr(1) || '<null>') AS s,
+             CAST(sum(len({_TOKS_ALL.format(c='text')})) AS BIGINT) AS n
+      FROM documents GROUP BY 1),
+    pos AS (
+      SELECT c.s, c.n, wts.w
+      FROM counts c JOIN wts ON c.s = wts.s WHERE wts.w > 0),
+    ranked AS (
+      SELECT s, n, w,
+             row_number() OVER (ORDER BY CAST(n AS DOUBLE)/w ASC, s ASC) AS i,
+             sum(n) OVER (ORDER BY CAST(n AS DOUBLE)/w ASC, s ASC) AS csum,
+             sum(w) OVER (ORDER BY CAST(n AS DOUBLE)/w ASC, s ASC) AS cw,
+             (SELECT CAST(sum(n) AS DOUBLE) FROM pos) AS tot,
+             (SELECT sum(w) FROM pos) AS wsum
+      FROM pos),
+    shares AS (
+      SELECT s, n, w, i,
+             (tot * 0.5 - CAST(csum - n AS DOUBLE)) / (wsum - (cw - w))
+               AS cand
+      FROM ranked),
+    theta AS (
+      SELECT coalesce((SELECT arg_min(cand, i) FROM shares
+                       WHERE CAST(n AS DOUBLE) > w * cand),
+                      CAST('infinity' AS DOUBLE)) AS th),
+    gates AS (
+      SELECT s, CAST(round(round(
+               CASE WHEN n > 0 THEN least(1.0, w * th / CAST(n AS DOUBLE))
+                    ELSE 1.0 END, 6) * 1000000) AS BIGINT) AS gate
+      FROM pos CROSS JOIN theta)
+    SELECT d.doc_id, d.source
+    FROM documents d
+    JOIN gates g
+      ON coalesce(CAST(d.source AS VARCHAR), chr(1) || '<null>') = g.s
+    WHERE ({_MD5_60.format(x="'mix' || CAST(d.doc_id AS VARCHAR)")}
+           % 1000000) < g.gate
+    """,
+    "pipeline,text-analysis",
+    "explicit-mixture sampling (DoReMi/Pile-style per-source target "
+    "weights): weighted water-fill — each stratum keeps min(n_s, "
+    "w_s*theta) tokens, saturated strata keep all and their unmet "
+    "demand re-spreads in weight proportion; unlisted sources "
+    "dropped (whitelist); the weighted generalization of UniMax",
+)
+
+
 # ============================================== token counting (two tokenizers)
 _add(
     "doc_token_counts",
@@ -3264,11 +3320,13 @@ _add(
 #     both r5-green with their operator files untouched this round;
 #   - NEW late in the round: doc_token_counts (wires the formerly
 #     dead bpe_ish_token_count), doc_winnow_fingerprints and
-#     dedup_winnowing (the MOSS local-fingerprinting family) — never
-#     driver-checked, so they must window; ann_brute_topk
-#     (similarity_search.py untouched), corpus_stratified_sample and
-#     benchmark_contamination_hits (their curation.py functions
-#     untouched) rotate out, all r5-or-earlier hard-green.
+#     dedup_winnowing (the MOSS local-fingerprinting family), and
+#     corpus_mixture_sample (DoReMi-style weighted water-fill) —
+#     never driver-checked, so they must window; ann_brute_topk
+#     (similarity_search.py untouched), corpus_stratified_sample,
+#     benchmark_contamination_hits and cross_corpus_overlap (their
+#     curation.py/dedup.py functions untouched) rotate out, all
+#     r5-or-earlier hard-green.
 # Pushed out to make room: 19 r5-green pure-relational/cleaning
 # veterans with no code change this round (top_orders,
 # customer_order_stats, part_search_ilike, event_type_counts,
@@ -3297,7 +3355,7 @@ _WINDOW_R6 = [
     "corpus_unimax_sample", "doc_perplexity_buckets",
     "doc_chunks", "fuzzy_match_customers", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_ngram_adjacent",
-    "dedup_incremental_pairs", "cross_corpus_overlap",
+    "dedup_incremental_pairs", "corpus_mixture_sample",
     "doc_token_counts", "corpus_train_val_split",
     "doc_winnow_fingerprints", "dedup_clusters_ngram", "corpus_deduped",
     "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",

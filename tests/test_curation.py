@@ -548,3 +548,50 @@ def test_line_dedup_hash_collision_never_deletes(spark, monkeypatch):
     # winner = global (doc 1, pos 0) 'alpha'; doc 2 loses its copy;
     # every OTHER distinct line survives despite sharing the bucket
     assert got == {1: "alpha\nbeta", 2: "gamma", 3: "delta\nepsilon"}
+
+
+def test_mixture_sample_saturation_whitelist_and_uniform_twin(spark):
+    """mixture_sample: (1) a stratum too small for its target keeps
+    100% and the excess re-spreads by weight; (2) strata absent from
+    the weights dict are dropped (whitelist); (3) at uniform weights
+    and the same salt it IS unimax_sample (the weighted
+    generalization degenerates exactly)."""
+    import pytest
+
+    from database_convertor_spark.operators.curation import (
+        mixture_sample,
+        unimax_sample,
+    )
+
+    rows = []
+    did = 0
+    for src, n_docs, words in [("a", 4, 5), ("b", 8, 10), ("c", 8, 10),
+                               ("drop_me", 6, 10)]:
+        for _ in range(n_docs):
+            rows.append((did, src, "tok " * words))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    # a: 20 tokens, wants 0.8 * B; B = 0.5 * (20 + 80 + 80) = 90 ->
+    # target 72 > 20 -> saturates, keeps everything
+    out = mixture_sample(docs, {"a": 0.8, "b": 0.1, "c": 0.1},
+                         budget_frac=0.5)
+    kept = {r.source for r in out.collect()}
+    a_kept = out.filter(F.col("source") == "a").count()
+    assert a_kept == 4                      # saturated stratum: all docs
+    assert "drop_me" not in kept            # whitelist
+
+    # uniform weights + same salt degenerate to unimax exactly
+    uni = mixture_sample(docs, {"a": 1.0, "b": 1.0, "c": 1.0,
+                                "drop_me": 1.0},
+                         budget_frac=0.4, salt="unimax")
+    umax = unimax_sample(docs, budget_frac=0.4, stratum_col="source")
+    assert (sorted(r.doc_id for r in uni.collect())
+            == sorted(r.doc_id for r in umax.collect()))
+
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {})
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {"a": 0.0})
+    with pytest.raises(ValueError):
+        mixture_sample(docs, {"a": 1.0, "b": -0.1})
