@@ -339,6 +339,17 @@ class Engine:
         return semantic_dedup(embeddings, threshold,
                               relabel_clusters=relabel_clusters)
 
+    def unimax_allocation(self, documents: DataFrame,
+                          budget_frac: float = 0.8,
+                          epoch_cap: float = 2.0,
+                          stratum_col: str = "lang") -> DataFrame:
+        """UniMax allocation plan with the paper's epoch cap: tokens
+        + epochs per language for the training loader (small
+        languages upsample to > 1 epochs)."""
+        from .operators.curation import unimax_allocation
+        return unimax_allocation(documents, budget_frac, epoch_cap,
+                                 stratum_col)
+
     def mixture_sample(self, documents: DataFrame,
                        weights: dict[str | None, float],
                        budget_frac: float = 0.3,

@@ -299,6 +299,74 @@ def unimax_sample(documents: DataFrame,
     return _hash_gated_sample(docs, gates, salt)
 
 
+def unimax_allocation(documents: DataFrame,
+                      budget_frac: float = 0.8,
+                      epoch_cap: float = 2.0,
+                      stratum_col: str = "lang") -> DataFrame:
+    """UniMax budget ALLOCATION with the paper's epoch cap (Chung et
+    al. 2023, arXiv:2304.09151 — the full Algorithm 1, not just the
+    downsampling special case): distribute a total token budget
+    across languages as uniformly as possible where each language l
+    may contribute at most ``epoch_cap`` x n_l tokens (i.e. be
+    repeated for at most N epochs). ``unimax_sample`` is the
+    epoch_cap = 1 case restated as a filter; an epoch cap above 1
+    UPSAMPLES small languages, which no pure filter can do — so this
+    operator emits the allocation PLAN (per-stratum allocated tokens
+    and epoch counts) for the training loader to apply, closing the
+    "epoch cap is out of scope for a filter-only operator" caveat in
+    unimax_sample's contract the honest way.
+
+    Same relational water-fill as unimax_sample over caps
+    c_l = epoch_cap * n_l: strata sorted by c_l ascending, the share
+    at position i is (B - csum_{i-1}(c)) / (L - i + 1), theta is the
+    share at the first position whose cap exceeds it, and every
+    stratum gets min(c_l, theta). If the budget exceeds the summed
+    caps every stratum sits at its cap and the report shows the
+    shortfall (allocated < budget) rather than silently over-running
+    the epoch cap. One corpus scan + one window pass over the L-row
+    frame; no shuffle beyond the count aggregate.
+
+    Output: (<stratum_col>, n_tokens, allocated_tokens 4dp,
+    epochs 4dp — NULL for a zero-token stratum). NULL strata ride as
+    the sentinel stratum (output keeps the NULL). Reference has no
+    analog (beyond-reference training-data operator).
+    """
+    from ..functions.text import token_count
+
+    if epoch_cap <= 0:
+        raise ValueError("epoch_cap must be positive")
+    key = F.coalesce(F.col(stratum_col).cast("string"),
+                     F.lit("\u0001<null>"))
+    docs = documents.withColumn("_stratum", key)
+    counts = (docs.groupBy("_stratum")
+              .agg(F.sum(token_count(F.col("text"))).alias("_n"),
+                   F.first(F.col(stratum_col)).alias("_orig")))
+    cap = F.col("_n").cast("double") * F.lit(float(epoch_cap))
+    wl = Window.orderBy(F.asc(cap), F.asc("_stratum"))
+    wall = Window.partitionBy(F.lit(1))
+    ranked = counts.select(
+        "_orig", "_n", "_stratum", cap.alias("_c"),
+        F.row_number().over(wl).alias("_i"),
+        F.sum(cap).over(wl).alias("_csum"),
+        F.sum("_n").over(wall).cast("double").alias("_tot"),
+        F.count(F.lit(1)).over(wall).alias("_L"))
+    budget = F.col("_tot") * F.lit(float(budget_frac))
+    share = ((budget - (F.col("_csum") - F.col("_c")))
+             / (F.col("_L") - F.col("_i") + 1).cast("double"))
+    overflow = F.when(F.col("_c") > share,
+                      F.struct(F.col("_i"), share.alias("_s")))
+    theta = F.coalesce(F.min(overflow).over(wall).getField("_s"),
+                       F.lit(float("inf")))
+    alloc = F.least(F.col("_c"), theta)
+    return ranked.select(
+        F.col("_orig").alias(stratum_col),
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.round(alloc, 4).alias("allocated_tokens"),
+        F.when(F.col("_n") > 0,
+               F.round(alloc / F.col("_n").cast("double"), 4))
+        .alias("epochs"))
+
+
 def mixture_sample(documents: DataFrame,
                    weights: dict[str | None, float],
                    budget_frac: float = 0.3,
@@ -336,11 +404,11 @@ def mixture_sample(documents: DataFrame,
     if any(v < 0 for v in weights.values()):
         raise ValueError("weights must be non-negative")
     key = F.coalesce(F.col(stratum_col).cast("string"),
-                     F.lit("<null>"))
+                     F.lit("\u0001<null>"))
     docs = documents.withColumn("_stratum", key)
     pairs: list = []
     for kk in sorted(weights, key=lambda x: (x is None, str(x))):
-        skey = "<null>" if kk is None else str(kk)
+        skey = "\u0001<null>" if kk is None else str(kk)
         pairs += [F.lit(skey), F.lit(float(weights[kk]))]
     wmap = F.create_map(*pairs)
     counts = (docs.groupBy("_stratum")

@@ -3136,6 +3136,50 @@ _add(
 )
 
 
+# ========================================== UniMax allocation (epoch cap > 1)
+_add(
+    "corpus_unimax_allocation",
+    lambda spark, sf: curation.unimax_allocation(
+        _t(spark, sf, "documents")[0], budget_frac=0.8, epoch_cap=2.0),
+    f"""
+    WITH counts AS (
+      SELECT coalesce(CAST(lang AS VARCHAR), chr(1) || '<null>') AS s,
+             arbitrary(lang) AS orig,
+             CAST(sum(len({_TOKS_ALL.format(c='text')})) AS BIGINT) AS n
+      FROM documents GROUP BY 1),
+    ranked AS (
+      SELECT orig, n, CAST(n AS DOUBLE) * 2.0 AS c,
+             row_number() OVER (ORDER BY CAST(n AS DOUBLE) * 2.0 ASC,
+                                         s ASC) AS i,
+             sum(CAST(n AS DOUBLE) * 2.0)
+               OVER (ORDER BY CAST(n AS DOUBLE) * 2.0 ASC, s ASC) AS csum,
+             (SELECT CAST(sum(n) AS DOUBLE) FROM counts) AS tot,
+             (SELECT count(*) FROM counts) AS L
+      FROM counts),
+    shares AS (
+      SELECT orig, n, c, i,
+             (tot * 0.8 - (csum - c)) / CAST(L - i + 1 AS DOUBLE) AS share
+      FROM ranked),
+    theta AS (
+      SELECT coalesce((SELECT arg_min(share, i) FROM shares
+                       WHERE c > share),
+                      CAST('infinity' AS DOUBLE)) AS th)
+    SELECT orig AS lang, CAST(n AS BIGINT) AS n_tokens,
+           round(least(c, th), 4) AS allocated_tokens,
+           CASE WHEN n > 0
+                THEN round(least(c, th) / CAST(n AS DOUBLE), 4)
+           END AS epochs
+    FROM shares CROSS JOIN theta
+    """,
+    "pipeline,text-analysis",
+    "UniMax allocation with the paper's epoch cap (full Algorithm 1): "
+    "water-fill over caps epoch_cap*n_l — small languages UPSAMPLE to "
+    ">1 epochs, the dominant language downsamples; emitted as the "
+    "allocation plan (tokens + epochs per language) for the training "
+    "loader, since a pure filter cannot upsample",
+)
+
+
 # ================================================= explicit-mixture sampling
 _add(
     "corpus_mixture_sample",
@@ -3320,12 +3364,13 @@ _add(
 #     both r5-green with their operator files untouched this round;
 #   - NEW late in the round: doc_token_counts (wires the formerly
 #     dead bpe_ish_token_count), doc_winnow_fingerprints and
-#     dedup_winnowing (the MOSS local-fingerprinting family), and
-#     corpus_mixture_sample (DoReMi-style weighted water-fill) —
+#     dedup_winnowing (the MOSS local-fingerprinting family),
+#     corpus_mixture_sample (DoReMi-style weighted water-fill) and
+#     corpus_unimax_allocation (the epoch-cap Algorithm 1) —
 #     never driver-checked, so they must window; ann_brute_topk
 #     (similarity_search.py untouched), corpus_stratified_sample,
-#     benchmark_contamination_hits and cross_corpus_overlap (their
-#     curation.py/dedup.py functions untouched) rotate out, all
+#     benchmark_contamination_hits, cross_corpus_overlap and
+#     dedup_exact (functions untouched) rotate out, all
 #     r5-or-earlier hard-green.
 # Pushed out to make room: 19 r5-green pure-relational/cleaning
 # veterans with no code change this round (top_orders,
@@ -3353,7 +3398,7 @@ _WINDOW_R6 = [
     "training_corpus_pipeline", "doc_line_dedup", "doc_lm_logprob",
     "corpus_temperature_sample", "dedup_semantic", "doc_dsir_weights",
     "corpus_unimax_sample", "doc_perplexity_buckets",
-    "doc_chunks", "fuzzy_match_customers", "dedup_exact",
+    "doc_chunks", "fuzzy_match_customers", "corpus_unimax_allocation",
     "dedup_ngram_jaccard", "dedup_ngram_adjacent",
     "dedup_incremental_pairs", "corpus_mixture_sample",
     "doc_token_counts", "corpus_train_val_split",

@@ -595,3 +595,37 @@ def test_mixture_sample_saturation_whitelist_and_uniform_twin(spark):
         mixture_sample(docs, {"a": 0.0})
     with pytest.raises(ValueError):
         mixture_sample(docs, {"a": 1.0, "b": -0.1})
+
+
+def test_unimax_allocation_invariants(spark):
+    """Allocation water-fill with epoch cap: kept totals hit the
+    budget exactly while no stratum exceeds its cap; when the budget
+    exceeds the summed caps, every stratum sits at its cap and the
+    shortfall is visible."""
+    import pytest
+
+    from database_convertor_spark.operators.curation import unimax_allocation
+
+    rows, did = [], 0
+    for lang, n_docs, words in [("aa", 2, 10), ("bb", 10, 10),
+                                ("cc", 30, 10)]:
+        for _ in range(n_docs):
+            rows.append((did, lang, "tok " * words))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    # corpus = 420 tokens (20/100/300); budget 0.8*420 = 336, cap 2x
+    out = {r.lang: r for r in unimax_allocation(
+        docs, budget_frac=0.8, epoch_cap=2.0).collect()}
+    assert abs(sum(r.allocated_tokens for r in out.values()) - 336) < 1e-6
+    for r in out.values():
+        assert r.allocated_tokens <= 2.0 * r.n_tokens + 1e-9
+    assert out["aa"].epochs == 2.0          # tiny language: full 2 epochs
+    assert out["cc"].epochs < 1.0           # dominant language downsampled
+    # budget above the summed caps: everything at cap, shortfall visible
+    capped = {r.lang: r for r in unimax_allocation(
+        docs, budget_frac=3.0, epoch_cap=1.5).collect()}
+    for r in capped.values():
+        assert abs(r.epochs - 1.5) < 1e-9
+    assert sum(r.allocated_tokens for r in capped.values()) < 3.0 * 420
+    with pytest.raises(ValueError):
+        unimax_allocation(docs, epoch_cap=0)
