@@ -507,6 +507,100 @@ def embedding_neardup_pairs(embeddings: DataFrame,
             .filter(F.col("cosine") >= threshold))
 
 
+SRP_BITS = 16
+SRP_BAND_BITS = 4  # 4 bands x 4 bits: Hamming <= 3 shares a band
+
+
+def srp_signs(dim: int, nbits: int = SRP_BITS) -> list[list[float]]:
+    """Deterministic Rademacher hyperplanes for sign-random-projection:
+    sign(i, d) = +1/-1 from bit 0 of md5("srp:i:d") — reproducible in
+    Python (plan literals) and in the DuckDB oracle (the same md5
+    arithmetic), like the MinHash seed family."""
+    from ..functions.text import _hash_const
+
+    return [[1.0 if _hash_const(f"srp:{i}:{d}") % 2 else -1.0
+             for d in range(dim)] for i in range(nbits)]
+
+
+def srp_signature(vec: Column, dim: int,
+                  nbits: int = SRP_BITS) -> Column:
+    """``nbits``-bit sign-random-projection signature (Charikar 2002,
+    STOC — the cosine-LSH rounding scheme; public paper): bit i is
+    sign(<v, r_i>) for a fixed Rademacher hyperplane r_i. P(bits
+    agree) = 1 - angle/pi, so near-parallel vectors share almost all
+    bits. The dot is rounded to 6dp before the sign test so the
+    DuckDB oracle's summation agrees at the boundary."""
+    signs = srp_signs(dim, nbits)
+    out = F.lit(0).cast("long")
+    for i in range(nbits):
+        sv = F.array(*[F.lit(s) for s in signs[i]])
+        dot = F.aggregate(
+            F.zip_with(vec, sv, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        out = out.bitwiseOR(
+            F.when(F.round(dot, 6) >= 0, F.lit(1 << i).cast("long"))
+            .otherwise(F.lit(0).cast("long")))
+    return out
+
+
+def embedding_srp_pairs(embeddings: DataFrame,
+                        threshold: float = 0.95,
+                        dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicates WITHOUT a precomputed coarse
+    quantizer: sign-random-projection LSH (Charikar 2002) generates
+    candidates from a band equi-join over 16-bit signatures (4 bands
+    x 4 bits — the SimHash chunk-banding pattern transplanted to
+    vector space), then every candidate is verified by exact cosine.
+    This removes ``embedding_neardup_pairs``'s dependency on the
+    ``label`` column: on an unlabeled 100 TB embedding table the
+    candidate mass is bounded by similarity structure (band
+    collisions), not by any blocking column's cardinality.
+
+    Recall contract (LSH-probabilistic, like MinHash banding): at
+    cosine 0.95 a bit agrees w.p. 1 - theta/pi ~ 0.90, a 4-bit band
+    w.p. ~0.65, and at least one of 4 bands w.p. ~0.985; pairs losing
+    every band are missed — the documented trade for never running
+    label-quadratic or all-pairs work. Precision is exact: every
+    emitted pair passed the cosine verify.
+
+    Output: (vec_a, vec_b, cosine) with vec_a < vec_b — the same
+    schema as embedding_neardup_pairs.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    e = spread(embeddings).select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("_emb"))
+    sigs = e.select(
+        "vec_id", "_emb",
+        srp_signature(F.col("_emb"), dim).alias("_sig"))
+    sigs = swap_persisted(
+        "srp_sigs", sigs.persist(StorageLevel.MEMORY_AND_DISK))
+    mask = (1 << SRP_BAND_BITS) - 1
+    banded = sigs.select(
+        "vec_id", "_sig",
+        F.posexplode(F.array(*[
+            F.shiftright(F.col("_sig"), c * SRP_BAND_BITS)
+            .bitwiseAND(F.lit(mask))
+            for c in range(SRP_BITS // SRP_BAND_BITS)]))
+        .alias("band_id", "band_val"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                    & (F.col("a.band_val") == F.col("b.band_val"))
+                    & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("vec_a"),
+                     F.col("b.vec_id").alias("vec_b"))
+             .dropDuplicates(["vec_a", "vec_b"]))
+    ea = sigs.select(F.col("vec_id").alias("vec_a"),
+                     F.col("_emb").alias("_ea"))
+    eb = sigs.select(F.col("vec_id").alias("vec_b"),
+                     F.col("_emb").alias("_eb"))
+    sim = cosine_similarity(F.col("_ea"), F.col("_eb"))
+    return (cands.join(ea, "vec_a").join(eb, "vec_b")
+            .select("vec_a", "vec_b", F.round(sim, 4).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
 # --------------------------------------------------------- semantic dedup
 def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
                    block_splits: int = 1,

@@ -1435,6 +1435,77 @@ _add(
     "embedding-cosine near-dup within IVF (label) buckets",
 )
 
+# ======================================== embedding near-dup via SRP-LSH
+def _srp_demo(spark: SparkSession, sf: str) -> DataFrame:
+    """Unlabeled-corpus embedding near-dup: the fixture's organic dup
+    slice sits at cosine ~0.35-0.5 (below any sane LSH regime), so
+    the demo plants deterministic near-twins — vec_id < 100 copied
+    with dimension 1 zeroed (cosine ~ sqrt(1 - v1^2/|v|^2) ~ 0.99) —
+    and SRP must recover them WITHOUT touching the label column."""
+    e, = _t(spark, sf, "embeddings")
+    twin = F.concat(F.array(F.lit(0.0).cast("float")),
+                    F.slice(F.col("embedding"), 2, 63))
+    twins = (e.filter(F.col("vec_id") < 100)
+             .select((F.col("vec_id") + 100000).alias("vec_id"),
+                     twin.alias("embedding")))
+    base = e.select("vec_id", "embedding").unionByName(twins)
+    return dedup.embedding_srp_pairs(base)
+
+
+_SRP_SIGNS_SQL = """
+    signs AS (
+      SELECT i, list_transform(range(1, 65), d ->
+        CASE WHEN ('0x' || substr(md5('srp:' || CAST(i AS VARCHAR)
+                   || ':' || CAST(d - 1 AS VARCHAR)), 1, 15))::BIGINT
+                  % 2 = 1
+             THEN 1.0 ELSE -1.0 END) AS sv
+      FROM range(16) t(i))
+"""
+_add(
+    "dedup_embedding_srp",
+    _srp_demo,
+    f"""
+    WITH base AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_prepend(CAST(0.0 AS FLOAT), embedding[2:64])
+      FROM embeddings WHERE vec_id < 100),
+    {_SRP_SIGNS_SQL},
+    bits AS (
+      SELECT e.vec_id, s.i,
+             CASE WHEN round(list_sum(list_transform(range(1, 65),
+                    d -> CAST(e.embedding[CAST(d AS INTEGER)] AS DOUBLE)
+                         * s.sv[CAST(d AS INTEGER)])), 6) >= 0
+                  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+      FROM base e CROSS JOIN signs s),
+    sig AS (
+      SELECT vec_id,
+             CAST(sum(bit * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS sg
+      FROM bits GROUP BY vec_id),
+    banded AS (
+      SELECT vec_id, band_id, (sg >> (band_id * 4)) & 15 AS band_val
+      FROM sig, range(4) t(band_id)),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b, cosine FROM (
+      SELECT vec_a, vec_b,
+             round({_COS.format(a='x.embedding', b='y.embedding')}, 4)
+               AS cosine
+      FROM cands JOIN base x ON x.vec_id = vec_a
+                 JOIN base y ON y.vec_id = vec_b)
+    WHERE cosine >= 0.95
+    """,
+    "dedup,similarity-search",
+    "embedding near-dup WITHOUT a coarse quantizer: sign-random-"
+    "projection LSH (Charikar 2002) — 16-bit Rademacher-hyperplane "
+    "signatures, 4x4-bit band equi-join, exact-cosine verify; "
+    "candidates bounded by similarity structure, no label column",
+)
+
 # ====================================================== ANN: brute force top-k
 def _ann_brute(spark, sf):
     emb, = _t(spark, sf, "embeddings")
@@ -3365,12 +3436,13 @@ _add(
 #   - NEW late in the round: doc_token_counts (wires the formerly
 #     dead bpe_ish_token_count), doc_winnow_fingerprints and
 #     dedup_winnowing (the MOSS local-fingerprinting family),
-#     corpus_mixture_sample (DoReMi-style weighted water-fill) and
-#     corpus_unimax_allocation (the epoch-cap Algorithm 1) —
+#     corpus_mixture_sample (DoReMi-style weighted water-fill),
+#     corpus_unimax_allocation (the epoch-cap Algorithm 1) and
+#     dedup_embedding_srp (label-free SRP-LSH embedding near-dup) —
 #     never driver-checked, so they must window; ann_brute_topk
 #     (similarity_search.py untouched), corpus_stratified_sample,
-#     benchmark_contamination_hits, cross_corpus_overlap and
-#     dedup_exact (functions untouched) rotate out, all
+#     benchmark_contamination_hits, cross_corpus_overlap, dedup_exact
+#     and dedup_simhash (functions untouched) rotate out, all
 #     r5-or-earlier hard-green.
 # Pushed out to make room: 19 r5-green pure-relational/cleaning
 # veterans with no code change this round (top_orders,
@@ -3403,7 +3475,7 @@ _WINDOW_R6 = [
     "dedup_incremental_pairs", "corpus_mixture_sample",
     "doc_token_counts", "corpus_train_val_split",
     "doc_winnow_fingerprints", "dedup_clusters_ngram", "corpus_deduped",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine",
+    "dedup_minhash_lsh", "dedup_embedding_srp", "dedup_embedding_cosine",
     "dedup_winnowing", "training_shard_packing",
 ]
 

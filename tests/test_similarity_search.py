@@ -138,3 +138,32 @@ def test_ivf_kmeans_multiprobe_recall_beats_chance(spark):
               for r in ivf_topk_kmeans(queries, emb, k=5, n_clusters=8,
                                        n_iter=5, nprobe=2).collect()}
     assert len(approx & exact) / len(exact) >= 0.4  # chance = 0.25
+
+
+def test_srp_pairs_recover_planted_twins_without_labels(spark):
+    """SRP-LSH embedding near-dup: scaled twins (cosine exactly 1.0)
+    produce IDENTICAL signatures, so recall on them is certain — and
+    the input carries NO label column at all."""
+    from database_convertor_spark.operators.dedup import (
+        embedding_srp_pairs,
+        srp_signature,
+    )
+
+    emb = read_table(spark, SF_SMALL, "embeddings") \
+        .select("vec_id", "embedding").filter(F.col("vec_id") < 60)
+    twins = emb.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 2).alias("embedding"))
+    pairs = embedding_srp_pairs(emb.unionByName(twins)).collect()
+    got = {(r.vec_a, r.vec_b) for r in pairs}
+    want = {(i, i + 1000) for i in range(60)}
+    assert want <= got                      # every planted twin found
+    for r in pairs:
+        if (r.vec_a, r.vec_b) in want:
+            assert r.cosine == 1.0          # scaling preserves cosine
+    # signatures are deterministic pure expressions
+    s1 = emb.select(srp_signature(
+        F.col("embedding").cast("array<double>"), 64).alias("s")).collect()
+    s2 = emb.select(srp_signature(
+        F.col("embedding").cast("array<double>"), 64).alias("s")).collect()
+    assert [r.s for r in s1] == [r.s for r in s2]
