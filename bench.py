@@ -32,6 +32,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_winnowing",
+    "dedup_embedding_srp",
     "corpus_deduped",
     "corpus_curation_stats",
     "corpus_quality_selection",
