@@ -95,9 +95,15 @@ def test_pairwise_ops_have_no_cartesian(spark):
                  "dedup_embedding_cosine", "ann_ivf_topk",
                  "ann_ivf_multiprobe", "corpus_curation_stats",
                  "dedup_incremental_pairs", "benchmark_contamination_hits",
-                 "doc_boilerplate_removed"]:
+                 "doc_boilerplate_removed", "dedup_winnowing",
+                 "dedup_embedding_srp"]:
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
+        # NL is allowed only on documented broadcast paths (the
+        # multiprobe top-nprobe codebook probe); every dedup pair
+        # generator must stay pure equi-join
+        if name.startswith("dedup_"):
+            assert "BroadcastNestedLoopJoin" not in plan, name
 
 
 @pytest.mark.parametrize("name", ["pricing_summary", "event_type_counts"])
