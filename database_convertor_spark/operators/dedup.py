@@ -507,8 +507,8 @@ def embedding_neardup_pairs(embeddings: DataFrame,
             .filter(F.col("cosine") >= threshold))
 
 
-SRP_BITS = 16
-SRP_BAND_BITS = 4  # 4 bands x 4 bits: Hamming <= 3 shares a band
+SRP_BITS = 128
+SRP_BAND_BITS = 16  # 8 bands x 16 bits
 
 
 def srp_signs(dim: int, nbits: int = SRP_BITS) -> list[list[float]]:
@@ -522,25 +522,38 @@ def srp_signs(dim: int, nbits: int = SRP_BITS) -> list[list[float]]:
              for d in range(dim)] for i in range(nbits)]
 
 
-def srp_signature(vec: Column, dim: int,
-                  nbits: int = SRP_BITS) -> Column:
-    """``nbits``-bit sign-random-projection signature (Charikar 2002,
-    STOC — the cosine-LSH rounding scheme; public paper): bit i is
-    sign(<v, r_i>) for a fixed Rademacher hyperplane r_i. P(bits
-    agree) = 1 - angle/pi, so near-parallel vectors share almost all
-    bits. The dot is rounded to 6dp before the sign test so the
-    DuckDB oracle's summation agrees at the boundary."""
+def srp_band_keys(vec: Column, dim: int, nbits: int = SRP_BITS,
+                  band_bits: int = SRP_BAND_BITS) -> Column:
+    """Sign-random-projection band keys (Charikar 2002, STOC — the
+    cosine-LSH rounding scheme; public paper): bit i is
+    sign(<v, r_i>) for a fixed Rademacher hyperplane r_i, folded
+    directly into ``nbits/band_bits`` integer band keys of
+    ``band_bits`` bits each. P(bits agree) = 1 - angle/pi. Each dot
+    is rounded to 6dp before the sign test so the DuckDB oracle's
+    summation agrees at the boundary.
+
+    Band LENGTH is the scale knob: a random (near-orthogonal) pair
+    collides on a ``band_bits``-bit band w.p. ~2^-band_bits, so
+    16-bit bands hold the corpus-wide false-candidate mass to
+    ~bands * n^2 / 65536 — the first cut of this operator used 4-bit
+    bands and spent 85% of its sf1 runtime verifying the ~23% of ALL
+    pairs that collided by chance (46.5 s -> see SCALE.md). Long
+    signature, long bands: linear signature work buys down quadratic
+    candidate work.
+    """
     signs = srp_signs(dim, nbits)
-    out = F.lit(0).cast("long")
-    for i in range(nbits):
-        sv = F.array(*[F.lit(s) for s in signs[i]])
-        dot = F.aggregate(
-            F.zip_with(vec, sv, lambda a, b: a * b),
-            F.lit(0.0), lambda acc, x: acc + x)
-        out = out.bitwiseOR(
-            F.when(F.round(dot, 6) >= 0, F.lit(1 << i).cast("long"))
-            .otherwise(F.lit(0).cast("long")))
-    return out
+    bands = []
+    for c in range(nbits // band_bits):
+        val = F.lit(0)
+        for j in range(band_bits):
+            sv = F.array(*[F.lit(s) for s in signs[c * band_bits + j]])
+            dot = F.aggregate(
+                F.zip_with(vec, sv, lambda a, b: a * b),
+                F.lit(0.0), lambda acc, x: acc + x)
+            val = val + F.when(F.round(dot, 6) >= 0,
+                               F.lit(1 << j)).otherwise(F.lit(0))
+        bands.append(val)
+    return F.array(*bands)
 
 
 def embedding_srp_pairs(embeddings: DataFrame,
@@ -548,20 +561,22 @@ def embedding_srp_pairs(embeddings: DataFrame,
                         dim: int = 64) -> DataFrame:
     """Embedding-cosine near-duplicates WITHOUT a precomputed coarse
     quantizer: sign-random-projection LSH (Charikar 2002) generates
-    candidates from a band equi-join over 16-bit signatures (4 bands
-    x 4 bits — the SimHash chunk-banding pattern transplanted to
-    vector space), then every candidate is verified by exact cosine.
-    This removes ``embedding_neardup_pairs``'s dependency on the
-    ``label`` column: on an unlabeled 100 TB embedding table the
+    candidates from a band equi-join over 128-bit signatures (8
+    bands x 16 bits — the SimHash chunk-banding pattern transplanted
+    to vector space), then every candidate is verified by exact
+    cosine. This removes ``embedding_neardup_pairs``'s dependency on
+    the ``label`` column: on an unlabeled 100 TB embedding table the
     candidate mass is bounded by similarity structure (band
-    collisions), not by any blocking column's cardinality.
+    collisions ~ bands * n^2 / 2^16 for the orthogonal bulk), not by
+    any blocking column's cardinality.
 
-    Recall contract (LSH-probabilistic, like MinHash banding): at
-    cosine 0.95 a bit agrees w.p. 1 - theta/pi ~ 0.90, a 4-bit band
-    w.p. ~0.65, and at least one of 4 bands w.p. ~0.985; pairs losing
-    every band are missed — the documented trade for never running
-    label-quadratic or all-pairs work. Precision is exact: every
-    emitted pair passed the cosine verify.
+    Recall contract (LSH-probabilistic, like MinHash banding): a bit
+    agrees w.p. 1 - theta/pi, a 16-bit band w.p. p^16, and at least
+    one of 8 bands w.p. 1-(1-p^16)^8 — ~0.995 at cosine 0.99, ~0.80
+    at 0.95, falling fast below (pairs losing every band are
+    missed — the documented trade for never running label-quadratic
+    or all-pairs work). Precision is exact: every emitted pair
+    passed the cosine verify.
 
     Output: (vec_a, vec_b, cosine) with vec_a < vec_b — the same
     schema as embedding_neardup_pairs.
@@ -573,17 +588,12 @@ def embedding_srp_pairs(embeddings: DataFrame,
         F.col("embedding").cast("array<double>").alias("_emb"))
     sigs = e.select(
         "vec_id", "_emb",
-        srp_signature(F.col("_emb"), dim).alias("_sig"))
+        srp_band_keys(F.col("_emb"), dim).alias("_bands"))
     sigs = swap_persisted(
         "srp_sigs", sigs.persist(StorageLevel.MEMORY_AND_DISK))
-    mask = (1 << SRP_BAND_BITS) - 1
     banded = sigs.select(
-        "vec_id", "_sig",
-        F.posexplode(F.array(*[
-            F.shiftright(F.col("_sig"), c * SRP_BAND_BITS)
-            .bitwiseAND(F.lit(mask))
-            for c in range(SRP_BITS // SRP_BAND_BITS)]))
-        .alias("band_id", "band_val"))
+        "vec_id",
+        F.posexplode(F.col("_bands")).alias("band_id", "band_val"))
     a, b = banded.alias("a"), banded.alias("b")
     cands = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                     & (F.col("a.band_val") == F.col("b.band_val"))

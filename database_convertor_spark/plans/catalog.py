@@ -1459,7 +1459,7 @@ _SRP_SIGNS_SQL = """
                    || ':' || CAST(d - 1 AS VARCHAR)), 1, 15))::BIGINT
                   % 2 = 1
              THEN 1.0 ELSE -1.0 END) AS sv
-      FROM range(16) t(i))
+      FROM range(128) t(i))
 """
 _add(
     "dedup_embedding_srp",
@@ -1479,13 +1479,11 @@ _add(
                          * s.sv[CAST(d AS INTEGER)])), 6) >= 0
                   THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
       FROM base e CROSS JOIN signs s),
-    sig AS (
-      SELECT vec_id,
-             CAST(sum(bit * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS sg
-      FROM bits GROUP BY vec_id),
     banded AS (
-      SELECT vec_id, band_id, (sg >> (band_id * 4)) & 15 AS band_val
-      FROM sig, range(4) t(band_id)),
+      SELECT vec_id, i // 16 AS band_id,
+             CAST(sum(bit * (CAST(1 AS BIGINT) << (i % 16))) AS BIGINT)
+               AS band_val
+      FROM bits GROUP BY vec_id, i // 16),
     cands AS (
       SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       FROM banded a JOIN banded b
@@ -1501,9 +1499,10 @@ _add(
     """,
     "dedup,similarity-search",
     "embedding near-dup WITHOUT a coarse quantizer: sign-random-"
-    "projection LSH (Charikar 2002) — 16-bit Rademacher-hyperplane "
-    "signatures, 4x4-bit band equi-join, exact-cosine verify; "
-    "candidates bounded by similarity structure, no label column",
+    "projection LSH (Charikar 2002) — 128-bit Rademacher-hyperplane "
+    "signatures, 8x16-bit band equi-join (long bands hold random-"
+    "pair collisions to ~2^-16), exact-cosine verify; candidates "
+    "bounded by similarity structure, no label column",
 )
 
 # ====================================================== ANN: brute force top-k

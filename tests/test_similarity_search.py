@@ -146,7 +146,7 @@ def test_srp_pairs_recover_planted_twins_without_labels(spark):
     the input carries NO label column at all."""
     from database_convertor_spark.operators.dedup import (
         embedding_srp_pairs,
-        srp_signature,
+        srp_band_keys,
     )
 
     emb = read_table(spark, SF_SMALL, "embeddings") \
@@ -161,9 +161,10 @@ def test_srp_pairs_recover_planted_twins_without_labels(spark):
     for r in pairs:
         if (r.vec_a, r.vec_b) in want:
             assert r.cosine == 1.0          # scaling preserves cosine
-    # signatures are deterministic pure expressions
-    s1 = emb.select(srp_signature(
+    # band keys are deterministic pure expressions
+    s1 = emb.select(srp_band_keys(
         F.col("embedding").cast("array<double>"), 64).alias("s")).collect()
-    s2 = emb.select(srp_signature(
+    s2 = emb.select(srp_band_keys(
         F.col("embedding").cast("array<double>"), 64).alias("s")).collect()
     assert [r.s for r in s1] == [r.s for r in s2]
+    assert all(len(r.s) == 8 for r in s1)    # 8 bands of 16 bits
