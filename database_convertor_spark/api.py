@@ -395,6 +395,20 @@ class Engine:
         from .operators.text_analysis import doc_lm_logprob
         return doc_lm_logprob(documents)
 
+    def search_documents(self, documents: DataFrame, query: str,
+                         top_k: int = 25) -> DataFrame:
+        """BM25 ranked full-text search in-engine (the reference's ES
+        match-query surface): one corpus scan, one-row stats
+        broadcast, TakeOrderedAndProject top-k."""
+        from .operators.search import bm25_search
+        return bm25_search(documents, query, top_k=top_k)
+
+    def keywords(self, documents: DataFrame, k: int = 3) -> DataFrame:
+        """Per-document top-k TF-IDF keywords (ES significant-terms
+        idea per doc) for tagging / faceting a landed corpus."""
+        from .operators.search import tfidf_keywords
+        return tfidf_keywords(documents, k=k)
+
     def nb_quality(self, documents: DataFrame,
                    seed_threshold: int = 100) -> DataFrame:
         """Trained Naive-Bayes quality classifier (CCNet/GPT-3 style):

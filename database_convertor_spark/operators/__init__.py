@@ -4,6 +4,7 @@ from . import (  # noqa: F401
     graph,
     multimodal,
     relational,
+    search,
     similarity_search,
     text_analysis,
 )

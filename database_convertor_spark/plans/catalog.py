@@ -35,6 +35,7 @@ from ..operators import (
     monitoring,
     relational,
     provider_merge,
+    search,
     similarity_search,
     text_analysis,
 )
@@ -3333,6 +3334,91 @@ _add(
 )
 
 
+# ===================================================== BM25 full-text search
+def _bm25_oracle(query: str, k1: float, b: float, top_k: int) -> str:
+    """DuckDB twin of search.bm25_search — same term order, same
+    literal k1/b values, same fixed-order score fold, 4dp rounding IN
+    the ordering key."""
+    terms = search.query_terms(query)
+    m = len(terms)
+    tf_cols = ",\n         ".join(
+        f"len(list_filter(toks, t -> t = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" AS df{i}" for i in range(m))
+    parts = "\n       + ".join(
+        f"ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5)) * CAST(tf{i} AS DOUBLE)"
+        f" * {k1 + 1.0!r} / (CAST(tf{i} AS DOUBLE)"
+        f" + {k1!r} * ({1.0 - b!r} + {b!r} * CAST(dl AS DOUBLE)"
+        f" / (sumdl / n)))" for i in range(m))
+    matched = " + ".join(f"tf{i}" for i in range(m))
+    return f"""
+    WITH base AS (
+      SELECT doc_id, len(toks) AS dl,
+         {tf_cols}
+      FROM (SELECT doc_id,
+                   {_TOKS_ALL.format(c='lower(text)')} AS toks
+            FROM documents)),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(dl) AS DOUBLE) AS sumdl, {df_cols}
+      FROM base)
+    SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+           round({parts}, 4) AS bm25
+    FROM base CROSS JOIN stats
+    WHERE {matched} > 0
+    ORDER BY bm25 DESC, doc_id LIMIT {top_k}
+    """
+
+
+_add(
+    "doc_bm25_search",
+    lambda spark, sf: search.bm25_search(
+        *_t(spark, sf, "documents"), query="dup join scan", top_k=25),
+    _bm25_oracle("dup join scan", k1=1.2, b=0.75, top_k=25),
+    "S5,S7,text-analysis",
+    "BM25 ranked full-text search in-engine (the reference's ES "
+    "match-query surface, Lucene's own scoring): per-row (dl, tf) in "
+    "ONE struct-accumulator array traversal — no explode, no "
+    "corpus-sized shuffle; one-row stats broadcast; "
+    "TakeOrderedAndProject top-k",
+)
+
+_add(
+    "doc_tfidf_keywords",
+    lambda spark, sf: search.tfidf_keywords(
+        *_t(spark, sf, "documents"), k=3),
+    """
+    WITH tf AS (
+      SELECT doc_id, tok AS term, count(*) AS tf
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text),
+                          '\\s+'), t -> t <> '')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+           FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term,
+             round((CAST(t.tf AS DOUBLE) / dl.dl) * ln(n.n / df.df), 4)
+               AS tfidf
+      FROM tf t JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n)
+    SELECT doc_id, term, CAST(rn AS INTEGER) AS rank, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored) WHERE rn <= 3
+    """,
+    "S7,text-analysis",
+    "per-document top-k TF-IDF keywords (ES significant-terms idea "
+    "per doc): one explode into the inverted-index count, both "
+    "marginals re-aggregated from the persisted counts frame, N "
+    "broadcast, window top-k with rounded-score ordering",
+)
+
+
 # =============================================== winnowing fingerprints (MOSS)
 # DuckDB twin of dedup.winnow_fingerprints at k=10, w=8 (shared CTE
 # text for the fingerprint and pair queries)
@@ -3454,15 +3540,18 @@ _add(
 # refresh_edges_incremental) — all hard-green in CORRECTNESS_r05.
 _WINDOW_R6 = [
     # new + touched-first
+    "doc_bm25_search", "doc_tfidf_keywords",
     "doc_nb_quality", "multimodal_features_real",
     "doc_cross_dup_spans", "top_terms_two_pass", "corpus_curation_stats",
-    # returning veterans (normal cadence)
+    # returning veterans (normal cadence; supplier_neighborhood and
+    # event_props_extract pushed to r7 to make room for the new
+    # full-text search pair, which must window)
     "pricing_summary", "market_segment_revenue", "order_stats_summary",
     "event_funnel", "top_orders_per_customer",
     "distinct_customer_priorities", "user_sessions",
     "automation_run_health", "hourly_event_rollup",
-    "supplier_neighborhood", "scalar_cleaning", "order_date_dimensions",
-    "event_props_extract", "customer_tiering",
+    "scalar_cleaning", "order_date_dimensions",
+    "customer_tiering",
     # held from the r5 window (changed-this-round members included)
     "ann_ivf_topk", "ann_ivf_multiprobe", "embedding_kmeans_clusters",
     "ann_ivf_kmeans", "doc_dup_spans", "doc_span_removal",

@@ -215,3 +215,19 @@ def test_engine_winnow_dedup_and_token_counts(engine, spark):
         docs.withColumn("lang", F.lit("en"))).collect()}
     assert counts[1].n_ws_tokens == len(base.split())
     assert counts[1].n_bpe_ish_tokens >= counts[1].n_ws_tokens
+
+
+def test_engine_search_and_keywords(engine, spark):
+    """The facade surfaces BM25 ranked search (the ES match-query
+    analog) and per-doc TF-IDF keywords."""
+    docs = spark.createDataFrame(
+        [(1, "merge join strategies for large tables"),
+         (2, "broadcast join with a small build side join join"),
+         (3, "window functions and ranking")],
+        ["doc_id", "text"])
+    hits = engine.search_documents(docs, "join", top_k=2).collect()
+    assert [r.doc_id for r in hits] == [2, 1]  # tf saturation ranks 2 first
+    kws = engine.keywords(docs, k=1).collect()
+    by_doc = {r.doc_id: r.term for r in kws}
+    assert by_doc[3] in {"and", "functions", "ranking", "window"}
+    assert len(kws) == 3

@@ -1,0 +1,137 @@
+"""Golden tests for the full-text relevance family (operators/search):
+pure-Python BM25 / TF-IDF references on a tiny corpus, edge cases
+(empty doc, absent term, ubiquitous term), and the plan-shape
+invariants the 100 TB story depends on."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from database_convertor_spark.operators.search import (
+    bm25_search,
+    query_terms,
+    tfidf_keywords,
+)
+
+CORPUS = {
+    1: "the quick brown fox jumps over the lazy dog",
+    2: "spark spark spark join",
+    3: "quick join quick join",
+    4: "",
+    5: "unrelated words only here",
+}
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in CORPUS.items()], ["doc_id", "text"])
+
+
+def _python_bm25(query, k1=1.2, b=0.75):
+    terms = sorted({t for t in query.lower().split() if t})
+    tokenized = {i: t.lower().split() for i, t in CORPUS.items()}
+    n = len(tokenized)
+    avgdl = sum(len(v) for v in tokenized.values()) / n
+    df = {t: sum(1 for v in tokenized.values() if t in v) for t in terms}
+    out = {}
+    for i, toks in tokenized.items():
+        score, matched = 0.0, False
+        for t in terms:
+            tf = toks.count(t)
+            matched = matched or tf > 0
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            score += (idf * tf * (k1 + 1.0)
+                      / (tf + k1 * (1.0 - b + b * len(toks) / avgdl)))
+        if matched:
+            out[i] = (len(toks), round(score, 4))
+    return out
+
+
+def test_bm25_matches_python_reference(docs):
+    got = {r.doc_id: (r.n_tokens, r.bm25)
+           for r in bm25_search(docs, "quick join", top_k=10).collect()}
+    assert got == _python_bm25("quick join")
+    # doc 3 is saturated with both terms: it must rank first
+    rows = bm25_search(docs, "quick join", top_k=10).collect()
+    assert rows[0].doc_id == 3
+    # non-matching and empty docs are absent
+    assert 4 not in got and 5 not in got
+
+
+def test_bm25_absent_term_is_harmless(docs):
+    # a term with df=0 contributes 0 to every score (tf=0), so the
+    # ranking equals the present-terms-only query's ranking
+    with_ghost = {r.doc_id: r.bm25
+                  for r in bm25_search(docs, "quick join zzz_ghost",
+                                       top_k=10).collect()}
+    without = {r.doc_id: r.bm25
+               for r in bm25_search(docs, "quick join", top_k=10).collect()}
+    assert with_ghost == without
+
+
+def test_bm25_dedupes_and_normalizes_query_terms(docs):
+    a = {(r.doc_id, r.bm25)
+         for r in bm25_search(docs, "Quick  JOIN quick", top_k=10).collect()}
+    b = {(r.doc_id, r.bm25)
+         for r in bm25_search(docs, "join quick", top_k=10).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        query_terms("   ")
+
+
+def test_bm25_top_k_cap(docs):
+    assert len(bm25_search(docs, "quick join the", top_k=2).collect()) == 2
+
+
+def test_bm25_plan_shape(docs):
+    plan = bm25_search(docs, "quick join")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # the only join is the one-row stats broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def _python_tfidf(k=2):
+    tokenized = {i: t.lower().split() for i, t in CORPUS.items()}
+    n = len(tokenized)
+    df = {}
+    for toks in tokenized.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    out = set()
+    for i, toks in tokenized.items():
+        if not toks:
+            continue
+        scored = sorted(
+            ((round(toks.count(t) / len(toks) * math.log(n / df[t]), 4), t)
+             for t in set(toks)),
+            key=lambda p: (-p[0], p[1]))
+        for rank, (s, t) in enumerate(scored[:k], start=1):
+            out.add((i, t, rank, s))
+    return out
+
+
+def test_tfidf_matches_python_reference(docs):
+    got = {(r.doc_id, r.term, r.rank, r.tfidf)
+           for r in tfidf_keywords(docs, k=2).collect()}
+    assert got == _python_tfidf(k=2)
+
+
+def test_tfidf_ubiquitous_term_scores_zero(spark):
+    # 'common' appears in every doc -> ln(N/df) = ln(1) = 0
+    d = spark.createDataFrame(
+        [(1, "common alpha"), (2, "common beta"), (3, "common gamma")],
+        ["doc_id", "text"])
+    got = {(r.doc_id, r.term): r.tfidf for r in tfidf_keywords(d, k=2).collect()}
+    assert got[(1, "common")] == 0.0
+    # the distinctive term outranks it
+    ranks = {(r.doc_id, r.term): r.rank for r in tfidf_keywords(d, k=2).collect()}
+    assert ranks[(1, "alpha")] == 1 and ranks[(1, "common")] == 2
+
+
+def test_tfidf_empty_doc_yields_no_rows(docs):
+    assert tfidf_keywords(docs, k=3).filter("doc_id = 4").count() == 0
