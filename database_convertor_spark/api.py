@@ -489,6 +489,14 @@ class Engine:
         return ivf_topk_kmeans(queries, corpus, k=k,
                                n_clusters=n_clusters, nprobe=nprobe)
 
+    def ann_pq(self, queries: DataFrame, corpus: DataFrame,
+               k: int = 5, m: int = 4, ks: int = 8) -> DataFrame:
+        """Product-quantization ANN (ADC): the memory-bound scale
+        path — the corpus is scanned as m small codes per vector, the
+        query stays exact."""
+        from .operators.similarity_search import ann_pq_topk
+        return ann_pq_topk(queries, corpus, k=k, m=m, ks=ks)
+
     # ----------------------------------------------------------- automation
     def run_health(self, runs: DataFrame) -> DataFrame:
         """Health verdicts + alert reasons for automation runs against

@@ -381,6 +381,149 @@ def ivf_topk_kmeans(queries: DataFrame, corpus: DataFrame, k: int = 5,
     return _probe_and_search(queries, c, cents_df, k, nprobe)
 
 
+def pq_fit(corpus: DataFrame, m: int = 4, ks: int = 8, n_iter: int = 3,
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           ) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jegou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the vector into
+    ``m`` contiguous subspaces and train an independent ``ks``-centroid
+    k-means in each — the compressed representation is then m small
+    codes (m * log2(ks) bits) instead of dim floats, the memory lever
+    that keeps a 100 TB embedding corpus scannable.
+
+    Each subspace trains with the SAME distributed Lloyd's loop as the
+    IVF coarse quantizer (``kmeans_fit`` on the sliced subvector
+    column): deterministic md5 init, data never leaves executors, only
+    ks x (dim/m) partials shuffle. The returned centroids are rounded
+    to 9dp — the cross-engine contract that keeps downstream ADC
+    distance tables reproducible to their own 6dp rounding (two
+    engines' mean-update arithmetic agrees to ~1e-13; rounding the
+    codebook pins both sides to identical doubles before any distance
+    is formed).
+    """
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).head()
+    if dim_row is None:
+        raise ValueError("pq_fit: empty corpus — nothing to train on")
+    dim = dim_row.d
+    if dim % m:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias("embedding"))
+        cents, _ = kmeans_fit(sliced, k=ks, n_iter=n_iter)
+        books.append([[round(x, 9) for x in c] for c in cents])
+    return books
+
+
+def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]],
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              ) -> DataFrame:
+    """(id, codes array<int>) under fixed PQ codebooks — the
+    compressed-index write path: a shuffle-free Arrow-batched argmin
+    per subspace (one (batch x sub) @ (sub x ks) GEMM each, expanded-
+    form squared L2, lowest code on ties — the same arithmetic
+    contract as ``kmeans_assign``). At scale the output is m
+    small ints per vector, landed once and scanned by every ADC
+    query instead of the raw floats."""
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    C = [np.asarray(b, dtype="float64") for b in codebooks]
+    m = len(C)
+    sub = C[0].shape[1]
+    bc = spark.sparkContext.broadcast(C)
+    id_t = dict(corpus.dtypes)[id_col]
+
+    def encode(batches):
+        books = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.vstack(pdf["_v"].to_numpy()).astype("float64")
+            codes = np.empty((len(X), m), dtype="int32")
+            for j, cents in enumerate(books):
+                Xj = X[:, j * sub:(j + 1) * sub]
+                d2 = ((Xj ** 2).sum(1)[:, None] - 2 * Xj @ cents.T
+                      + (cents ** 2).sum(1))
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({id_col: pdf["_id"],
+                                "codes": list(codes)})
+
+    return (corpus.select(F.col(id_col).alias("_id"),
+                          F.col(vec_col).cast("array<double>").alias("_v"))
+            .mapInPandas(encode, f"{id_col} {id_t}, codes array<int>"))
+
+
+def ann_pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                m: int = 4, ks: int = 8, n_iter: int = 3) -> DataFrame:
+    """ANN by asymmetric distance computation over PQ codes (Jegou et
+    al. 2011's ADC): fit per-subspace codebooks, encode the corpus to
+    m codes per vector, then score each (query, neighbor) as
+
+        adist = sum_j T_q[j][code_j]   with
+        T_q[j][c] = ||q_j - centroid_{j,c}||^2
+
+    — the query stays EXACT (asymmetric), only the corpus is
+    quantized. Returns (query_id, neighbor_id, rank, adist) with the
+    k smallest approximate distances per query (ties on neighbor_id).
+
+    Distributed shape — the faiss ADC scan re-expressed relationally:
+    the corpus-side operand is ONLY (vec_id, m ints) — the compressed
+    index, never the raw floats; each query's m x ks distance table is
+    a per-row EXPRESSION over codebook literals (computed once per
+    query row, broadcast with the tiny query frame); scoring is m
+    array lookups per pair folded in fixed subspace order (no
+    distributed sum — a groupBy over per-subspace parts would re-add
+    doubles in nondeterministic order); the final top-k is a window
+    over per-query candidates. Table entries are rounded to 6dp so a
+    serial oracle reproduces the ranking bit-for-bit.
+    """
+    books = pq_fit(corpus, m=m, ks=ks, n_iter=n_iter)
+    sub = len(books[0][0])
+    codes = pq_encode(corpus, books)
+
+    def dot_lit(vec, cent):
+        lits = F.array(*[F.lit(x) for x in cent])
+        return F.aggregate(F.zip_with(vec, lits, lambda a, b: a * b),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    def self_dot(vec):
+        return F.aggregate(F.transform(vec, lambda x: x * x),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"))
+    subvecs = [F.slice(F.col("q_emb"), j * sub + 1, sub) for j in range(m)]
+    tables = F.array(*[
+        F.array(*[
+            F.round(self_dot(subvecs[j]) - 2 * dot_lit(subvecs[j], cent)
+                    + F.lit(float(sum(x * x for x in cent))), 6)
+            for cent in books[j]])
+        for j in range(m)])
+    qt = q.select("query_id", tables.alias("_t"))
+
+    adist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)), F.lit(0.0),
+        lambda acc, j: acc + F.element_at(F.element_at(F.col("_t"), j),
+                                          F.element_at(F.col("codes"), j)
+                                          + 1))
+    w = Window.partitionBy("query_id").orderBy(F.asc("_adist"),
+                                               F.asc("neighbor_id"))
+    return (codes.withColumnRenamed("vec_id", "neighbor_id")
+            .crossJoin(F.broadcast(qt))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("_adist", adist)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("_adist", 4).alias("adist")))
+
+
 def ivf_topk_multiprobe(queries: DataFrame, corpus: DataFrame,
                         k: int = 5, nprobe: int = 2) -> DataFrame:
     """Multi-probe IVF: rank the codebook per query by centroid cosine

@@ -2511,43 +2511,49 @@ def _kmeans_demo(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _kmeans_cte_sql(k: int, n_iter: int, dim: int,
-                    normalize: bool) -> str:
+                    normalize: bool, suffix: str = "",
+                    vec_sql: str = "CAST(embedding AS DOUBLE[])",
+                    leading_with: bool = True) -> str:
     """Lloyd's k-means UNROLLED as a DuckDB CTE chain — the fixed
     iteration count and the deterministic md5 init make the
     "iterative" operator SQL-expressible after all, so both k-means
     queries get a hard value oracle instead of rows-only status.
-    Ends with ``cN`` (c, v): the final codebook, and ``assign``
-    (vec_id, c): the corpus assignment under it. Mirrors kmeans_fit /
-    kmeans_assign exactly: expanded-form squared L2, lowest cluster
-    index on ties, emptied clusters keep their previous centroid,
-    spherical variant re-normalizes centroids after every mean
-    update."""
+    Ends with ``cN{suffix}`` (c, v): the final codebook, and
+    ``assign{suffix}`` (vec_id, c): the corpus assignment under it.
+    Mirrors kmeans_fit / kmeans_assign exactly: expanded-form squared
+    L2, lowest cluster index on ties, emptied clusters keep their
+    previous centroid, spherical variant re-normalizes centroids after
+    every mean update. ``suffix`` + ``vec_sql`` let the PQ oracle
+    instantiate one independent chain per subspace (vec_sql = a slice
+    of the embedding) inside a single WITH."""
+    s = suffix
     d2 = ("list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.v)"
           " + list_dot_product(c.v, c.v)")
     if normalize:
         pts = f"""
-    pts AS (
+    pts{s} AS (
       SELECT vec_id,
              CASE WHEN nrm = 0 THEN dv
                   ELSE list_transform(dv, x -> x / nrm) END AS v
-      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
-                   sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
-                                         CAST(embedding AS DOUBLE[])))
+      FROM (SELECT vec_id, {vec_sql} AS dv,
+                   sqrt(list_dot_product({vec_sql},
+                                         {vec_sql}))
                      AS nrm
             FROM embeddings))"""
     else:
-        pts = """
-    pts AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"""
-    parts = [f"""WITH{pts},
-    hh AS (
+        pts = f"""
+    pts{s} AS (
+      SELECT vec_id, {vec_sql} AS v FROM embeddings)"""
+    lead = "WITH" if leading_with else ""
+    parts = [f"""{lead}{pts},
+    hh{s} AS (
       SELECT vec_id, v,
              {_MD5_60.format(x='CAST(vec_id AS VARCHAR)')} AS h
-      FROM pts),
-    c0 AS (
+      FROM pts{s}),
+    c0{s} AS (
       SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INTEGER)
                AS c, v
-      FROM hh QUALIFY row_number() OVER (ORDER BY h, vec_id) <= {k})"""]
+      FROM hh{s} QUALIFY row_number() OVER (ORDER BY h, vec_id) <= {k})"""]
     for i in range(1, n_iter + 1):
         upd = "coalesce(m.v, p.v)"
         if normalize:
@@ -2557,28 +2563,28 @@ def _kmeans_cte_sql(k: int, n_iter: int, dim: int,
                               x / sqrt(list_dot_product({upd}, {upd})))
                   END"""
         parts.append(f"""
-    a{i} AS (
+    a{i}{s} AS (
       SELECT vec_id, v, c FROM (
         SELECT p.vec_id, p.v, c.c,
                row_number() OVER (PARTITION BY p.vec_id
                                   ORDER BY {d2}, c.c) AS rn
-        FROM pts p CROSS JOIN c{i - 1} c) WHERE rn = 1),
-    m{i} AS (
+        FROM pts{s} p CROSS JOIN c{i - 1}{s} c) WHERE rn = 1),
+    m{i}{s} AS (
       SELECT c, j, avg(x) AS cx
       FROM (SELECT c, unnest(v) AS x,
-                   unnest(range(1, {dim + 1})) AS j FROM a{i})
+                   unnest(range(1, {dim + 1})) AS j FROM a{i}{s})
       GROUP BY c, j),
-    mm{i} AS (SELECT c, list(cx ORDER BY j) AS v FROM m{i} GROUP BY c),
-    c{i} AS (
+    mm{i}{s} AS (SELECT c, list(cx ORDER BY j) AS v FROM m{i}{s} GROUP BY c),
+    c{i}{s} AS (
       SELECT p.c, {upd} AS v
-      FROM c{i - 1} p LEFT JOIN mm{i} m ON p.c = m.c)""")
+      FROM c{i - 1}{s} p LEFT JOIN mm{i}{s} m ON p.c = m.c)""")
     parts.append(f"""
-    assign AS (
+    assign{s} AS (
       SELECT vec_id, c FROM (
         SELECT p.vec_id, c.c,
                row_number() OVER (PARTITION BY p.vec_id
                                   ORDER BY {d2}, c.c) AS rn
-        FROM pts p CROSS JOIN c{n_iter} c) WHERE rn = 1)""")
+        FROM pts{s} p CROSS JOIN c{n_iter}{s} c) WHERE rn = 1)""")
     return ",".join(parts)
 
 
@@ -2638,6 +2644,85 @@ _add(
     "IVF ANN over the LEARNED k-means codebook (multi-probe): the "
     "production path when no precomputed label exists; oracle = "
     "unrolled spherical k-means + the multiprobe probe/search tail",
+)
+
+
+def _ann_pq_demo(spark: SparkSession, sf: str) -> DataFrame:
+    emb, = _t(spark, sf, "embeddings")
+    queries = emb.filter(emb.vec_id < 5)
+    return similarity_search.ann_pq_topk(queries, emb, k=5,
+                                         m=4, ks=8, n_iter=3)
+
+
+def _pq_oracle(m: int, ks: int, n_iter: int, dim: int, k: int) -> str:
+    """DuckDB twin of ann_pq_topk: per subspace an independent
+    unrolled Lloyd's chain over the sliced subvectors, codebook
+    rounded to 9dp (the pq_fit cross-engine contract), codes by
+    expanded-form argmin under the ROUNDED codebook, per-query m x ks
+    distance tables rounded to 6dp, adist summed in fixed subspace
+    order, top-k by (adist, neighbor_id)."""
+    sub = dim // m
+    d2 = ("list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.v)"
+          " + list_dot_product(c.v, c.v)")
+    parts = []
+    for j in range(m):
+        vec = f"CAST(embedding AS DOUBLE[])[{j * sub + 1}:{(j + 1) * sub}]"
+        parts.append(_kmeans_cte_sql(
+            ks, n_iter, sub, normalize=False, suffix=f"_s{j}",
+            vec_sql=vec, leading_with=(j == 0)))
+        parts.append(f"""
+    cb_s{j} AS (
+      SELECT c, list_transform(v, x -> round(x, 9)) AS v
+      FROM c{n_iter}_s{j}),
+    code_s{j} AS (
+      SELECT vec_id, c AS code FROM (
+        SELECT p.vec_id, c.c,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {d2}, c.c) AS rn
+        FROM pts_s{j} p CROSS JOIN cb_s{j} c) WHERE rn = 1)""")
+    qsub = {j: f"q.q_emb[{j * sub + 1}:{(j + 1) * sub}]" for j in range(m)}
+    for j in range(m):
+        parts.append(f"""
+    t_s{j} AS (
+      SELECT q.query_id, c.c,
+             round(list_dot_product({qsub[j]}, {qsub[j]})
+                   - 2 * list_dot_product({qsub[j]}, c.v)
+                   + list_dot_product(c.v, c.v), 6) AS tv
+      FROM q CROSS JOIN cb_s{j} c)""")
+    code_joins = "\n      ".join(
+        f"JOIN code_s{j} c{j} ON c{j}.vec_id = c0.vec_id" for j in range(1, m))
+    table_joins = "\n      ".join(
+        f"JOIN t_s{j} t{j} ON t{j}.query_id = q.query_id"
+        f" AND t{j}.c = c{j}.code" for j in range(m))
+    adist = " + ".join(f"t{j}.tv" for j in range(m))
+    q_cte = """
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+          FROM embeddings WHERE vec_id < 5)"""
+    parts.insert(1, q_cte)
+    return ",".join(parts) + f""",
+    pairs AS (
+      SELECT q.query_id, c0.vec_id AS neighbor_id, {adist} AS adist
+      FROM q JOIN code_s0 c0 ON c0.vec_id <> q.query_id
+      {code_joins}
+      {table_joins})
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank,
+           round(adist, 4) AS adist FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist, neighbor_id) AS rn
+      FROM pairs) WHERE rn <= {k}
+    """
+
+
+_add(
+    "ann_pq_topk",
+    _ann_pq_demo,
+    _pq_oracle(m=4, ks=8, n_iter=3, dim=64, k=5),
+    "similarity-search",
+    "product-quantization ANN (Jegou et al. 2011 ADC): per-subspace "
+    "Lloyd codebooks, corpus compressed to m codes (the 100 TB memory "
+    "lever — m*log2(ks) bits vs dim floats), per-query distance "
+    "tables as broadcast expressions, fixed-order table-lookup fold, "
+    "window top-k; oracle = m unrolled Lloyd chains + the ADC tail",
 )
 
 
@@ -3540,18 +3625,18 @@ _add(
 # refresh_edges_incremental) — all hard-green in CORRECTNESS_r05.
 _WINDOW_R6 = [
     # new + touched-first
-    "doc_bm25_search", "doc_tfidf_keywords",
+    "doc_bm25_search", "doc_tfidf_keywords", "ann_pq_topk",
     "doc_nb_quality", "multimodal_features_real",
     "doc_cross_dup_spans", "top_terms_two_pass", "corpus_curation_stats",
-    # returning veterans (normal cadence; supplier_neighborhood and
-    # event_props_extract pushed to r7 to make room for the new
-    # full-text search pair, which must window)
+    # returning veterans (normal cadence; supplier_neighborhood,
+    # event_props_extract and customer_tiering pushed to r7 to make
+    # room for the new full-text search pair + PQ ANN, which must
+    # window)
     "pricing_summary", "market_segment_revenue", "order_stats_summary",
     "event_funnel", "top_orders_per_customer",
     "distinct_customer_priorities", "user_sessions",
     "automation_run_health", "hourly_event_rollup",
     "scalar_cleaning", "order_date_dimensions",
-    "customer_tiering",
     # held from the r5 window (changed-this-round members included)
     "ann_ivf_topk", "ann_ivf_multiprobe", "embedding_kmeans_clusters",
     "ann_ivf_kmeans", "doc_dup_spans", "doc_span_removal",

@@ -168,3 +168,66 @@ def test_srp_pairs_recover_planted_twins_without_labels(spark):
         F.col("embedding").cast("array<double>"), 64).alias("s")).collect()
     assert [r.s for r in s1] == [r.s for r in s2]
     assert all(len(r.s) == 8 for r in s1)    # 8 bands of 16 bits
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    """Codes: m ints in [0, ks); two runs produce identical codes
+    (deterministic md5 init + fixed iteration count)."""
+    from database_convertor_spark.operators.similarity_search import (
+        pq_encode,
+        pq_fit,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") < 100)
+    books = pq_fit(emb, m=4, ks=8, n_iter=2)
+    assert len(books) == 4 and all(len(b) <= 8 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)
+    c1 = {r.vec_id: list(r.codes) for r in pq_encode(emb, books).collect()}
+    c2 = {r.vec_id: list(r.codes) for r in pq_encode(emb, books).collect()}
+    assert c1 == c2
+    assert all(len(v) == 4 and all(0 <= x < 8 for x in v)
+               for v in c1.values())
+
+
+def test_pq_adc_is_exact_on_quantizable_corpus(spark):
+    """When the corpus is built from <= ks distinct sub-patterns per
+    subspace, quantization is lossless and the ADC distance equals the
+    TRUE squared L2 — the property that separates a correct ADC
+    implementation from a plausible one."""
+    import itertools
+
+    from database_convertor_spark.operators.similarity_search import (
+        ann_pq_topk,
+    )
+
+    pats = {0: [1.0] * 16, 1: [-1.0] * 16, 2: [0.5] * 8 + [-0.5] * 8}
+    combos = list(itertools.product([0, 1, 2], repeat=2))[:9]
+    # 9 vectors over 4 subspaces: subspaces 0/1 vary, 2/3 fixed
+    vecs = {i: pats[a] + pats[b] + pats[0] + pats[1]
+            for i, (a, b) in enumerate(combos)}
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>")
+    got = ann_pq_topk(emb.filter("vec_id = 0"), emb, k=8,
+                      m=4, ks=8, n_iter=2).collect()
+    q = vecs[0]
+    for r in got:
+        true_d2 = sum((a - b) ** 2 for a, b in zip(q, vecs[r.neighbor_id]))
+        assert abs(r.adist - true_d2) < 1e-3, (r, true_d2)
+
+
+def test_pq_planted_duplicate_ranks_first(spark):
+    """An exact duplicate shares every code with the query, so its
+    ADC distance is the minimum possible — it must rank at the top."""
+    from database_convertor_spark.operators.similarity_search import (
+        ann_pq_topk,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings") \
+        .select("vec_id", "embedding").filter(F.col("vec_id") < 80)
+    dup = emb.filter("vec_id = 3").select(
+        F.lit(9003).cast("long").alias("vec_id"), "embedding")
+    corpus = emb.unionByName(dup)
+    got = ann_pq_topk(corpus.filter("vec_id = 3"), corpus, k=3,
+                      m=4, ks=8, n_iter=2).collect()
+    top = [r.neighbor_id for r in got if r.query_id == 3]
+    assert 9003 in top[:2], top
