@@ -51,6 +51,9 @@ HEADLINE = [
     "ann_brute_topk",
     "ann_ivf_multiprobe",
     "ann_ivf_kmeans",
+    "ann_pq_topk",
+    "doc_bm25_search",
+    "doc_tfidf_keywords",
     "user_sessions",
     "hourly_event_rollup",
     "asof_purchase_last_click",

@@ -395,6 +395,13 @@ class Engine:
         from .operators.text_analysis import doc_lm_logprob
         return doc_lm_logprob(documents)
 
+    def bigram_logprob(self, documents: DataFrame,
+                       lam: float = 0.75) -> DataFrame:
+        """Per-doc mean log-prob under a JM-interpolated bigram LM
+        (word-order-sensitive quality signal)."""
+        from .operators.text_analysis import doc_bigram_logprob
+        return doc_bigram_logprob(documents, lam=lam)
+
     def search_documents(self, documents: DataFrame, query: str,
                          top_k: int = 25) -> DataFrame:
         """BM25 ranked full-text search in-engine (the reference's ES

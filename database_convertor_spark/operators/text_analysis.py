@@ -212,6 +212,84 @@ def doc_lm_logprob(documents: DataFrame) -> DataFrame:
                     "avg_logprob"))
 
 
+def doc_bigram_logprob(documents: DataFrame,
+                       lam: float = 0.75) -> DataFrame:
+    """Per-document mean log-probability under a Jelinek-Mercer
+    interpolated BIGRAM model of the corpus's own counts — the
+    sharper LM-quality signal one step up from ``doc_lm_logprob``
+    (word-salad text scores near the unigram baseline under a unigram
+    model but collapses under a bigram model, because its local word
+    ORDER carries no signal):
+
+        P(w2 | w1) = lam * c(w1 w2) / c(w1) + (1 - lam) * c(w2) / T
+
+    with c(.) corpus counts, T the corpus token total, and the doc
+    score the mean ln P over its bigram positions. ``lam`` defaults to
+    0.75 — exactly representable in binary, so the interpolation
+    weights introduce no cross-engine drift. c(w1) is the plain
+    unigram count (not the context-position count) — simpler, and the
+    oracle mirrors it.
+
+    Distributed shape: bigram arrays are BOUND BELOW the explode
+    (a co-projected generator re-evaluates expressions per generated
+    row) and guarded by a size >= 2 ``when`` (slice needs a
+    non-negative length; and ``sequence(1, 0)`` is DESCENDING in
+    Spark, not empty). The exploded bigram frame persists once
+    (session slot) and feeds BOTH the bigram-frequency aggregate and
+    the scoring pass; frequencies join back on their own keys (all
+    map-side-combining word-count shapes, AQE handles Zipf-head
+    skew); the token-frequency table and corpus total come from the
+    same persisted token scan ``doc_lm_logprob`` uses. Docs with < 2
+    tokens carry n_bigrams=0 and a NULL score.
+
+    Output: (doc_id, n_bigrams, avg_bigram_logprob rounded 4dp).
+    Reference has no analog (beyond-reference training-data operator).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from ..functions.text import tokens
+    from ..plans.persist_slots import swap_persisted
+
+    base = documents.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("_ta"))
+    toks = base.select("doc_id", F.explode("_ta").alias("_tok"))
+    toks = swap_persisted("bigram_toks",
+                          toks.persist(StorageLevel.MEMORY_AND_DISK))
+    n = F.size("_ta")
+    pairs = F.when(n >= 2, F.zip_with(
+        F.slice("_ta", 1, n - 1),
+        F.slice("_ta", 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))) \
+        .otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bigs = (base.select("doc_id", pairs.alias("_bg"))
+            .select("doc_id", F.explode("_bg").alias("_b"))
+            .select("doc_id", F.col("_b.w1").alias("_w1"),
+                    F.col("_b.w2").alias("_w2")))
+    bigs = swap_persisted("bigram_bigs",
+                          bigs.persist(StorageLevel.MEMORY_AND_DISK))
+    bfreq = bigs.groupBy("_w1", "_w2").agg(F.count(F.lit(1)).alias("_cb"))
+    ufreq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_cu"))
+    total = ufreq.agg(F.sum("_cu").cast("double").alias("_tot"))
+    p = (F.lit(lam) * F.col("_cb") / F.col("_cu1")
+         + F.lit(1.0 - lam) * F.col("_cu2") / F.col("_tot"))
+    scored = (bigs
+              .join(bfreq, ["_w1", "_w2"])
+              .join(ufreq.select(F.col("_tok").alias("_w1"),
+                                 F.col("_cu").alias("_cu1")), "_w1")
+              .join(ufreq.select(F.col("_tok").alias("_w2"),
+                                 F.col("_cu").alias("_cu2")), "_w2")
+              .crossJoin(F.broadcast(total))
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+                   F.round(F.avg(F.log(p)), 4)
+                   .alias("avg_bigram_logprob")))
+    return (documents.select("doc_id")
+            .join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    "avg_bigram_logprob"))
+
+
 def cross_doc_span_signals(documents: DataFrame,
                            window: int = 8) -> DataFrame:
     """Per-document coverage by CROSS-DOCUMENT duplicated token spans:

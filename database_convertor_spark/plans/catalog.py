@@ -2427,6 +2427,48 @@ _add(
 )
 
 _add(
+    "doc_bigram_logprob",
+    lambda spark, sf: text_analysis.doc_bigram_logprob(
+        _t(spark, sf, "documents")[0]),
+    f"""
+    WITH lists AS (
+      SELECT doc_id, {_TOKS_ALL.format(c='lower(text)')} AS toks
+      FROM documents),
+    big AS (
+      SELECT doc_id,
+             unnest(toks[1:len(toks) - 1]) AS w1,
+             unnest(toks[2:len(toks)]) AS w2
+      FROM lists WHERE len(toks) >= 2),
+    uni AS (
+      SELECT w, count(*) AS cu FROM (
+        SELECT unnest(toks) AS w FROM lists) GROUP BY w),
+    tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS tot FROM uni),
+    bfreq AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+    scored AS (
+      SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             round(avg(ln(0.75 * f.cb / u1.cu
+                          + 0.25 * u2.cu / tot.tot)), 4)
+               AS avg_bigram_logprob
+      FROM big b
+      JOIN bfreq f ON f.w1 = b.w1 AND f.w2 = b.w2
+      JOIN uni u1 ON u1.w = b.w1
+      JOIN uni u2 ON u2.w = b.w2
+      CROSS JOIN tot
+      GROUP BY b.doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           s.avg_bigram_logprob
+    FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+    """,
+    "text-analysis",
+    "per-doc mean log-prob under a Jelinek-Mercer interpolated BIGRAM "
+    "LM (word-order-sensitive quality signal one step up from the "
+    "unigram LM): bigram arrays bound below the explode, one persisted "
+    "bigram frame feeds count + scoring passes, word-count-shaped "
+    "aggregates throughout",
+)
+
+_add(
     "corpus_temperature_sample",
     lambda spark, sf: curation.temperature_sample(
         _t(spark, sf, "documents")[0], alpha=0.5)
@@ -3626,17 +3668,18 @@ _add(
 _WINDOW_R6 = [
     # new + touched-first
     "doc_bm25_search", "doc_tfidf_keywords", "ann_pq_topk",
+    "doc_bigram_logprob",
     "doc_nb_quality", "multimodal_features_real",
     "doc_cross_dup_spans", "top_terms_two_pass", "corpus_curation_stats",
     # returning veterans (normal cadence; supplier_neighborhood,
-    # event_props_extract and customer_tiering pushed to r7 to make
-    # room for the new full-text search pair + PQ ANN, which must
-    # window)
+    # event_props_extract, customer_tiering and order_date_dimensions
+    # pushed to r7 to make room for the new full-text search pair,
+    # PQ ANN and the bigram LM, which must window)
     "pricing_summary", "market_segment_revenue", "order_stats_summary",
     "event_funnel", "top_orders_per_customer",
     "distinct_customer_priorities", "user_sessions",
     "automation_run_health", "hourly_event_rollup",
-    "scalar_cleaning", "order_date_dimensions",
+    "scalar_cleaning",
     # held from the r5 window (changed-this-round members included)
     "ann_ivf_topk", "ann_ivf_multiprobe", "embedding_kmeans_clusters",
     "ann_ivf_kmeans", "doc_dup_spans", "doc_span_removal",

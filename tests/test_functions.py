@@ -530,3 +530,45 @@ def test_naive_bayes_generalizes_past_seed(spark):
     assert not got[11].seed_hq
     assert got[11].predicted_hq
     assert got[11].n_vocab_tokens > 0
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    """Exact twin: JM-interpolated bigram scores computed in pure
+    Python must reproduce avg_bigram_logprob to the rounded 4dp;
+    1-token and empty docs carry n_bigrams=0 with a NULL score; the
+    in-order doc must outscore its shuffled twin (the word-order
+    signal a unigram LM cannot see)."""
+    import math
+
+    from database_convertor_spark.operators.text_analysis import (
+        doc_bigram_logprob,
+    )
+
+    corpus = {1: "the cat sat on the mat",
+              2: "the cat sat on the mat",
+              3: "mat the on sat cat the",     # shuffled word order
+              4: "solo",
+              5: ""}
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], ["doc_id", "text"])
+    toks = {i: t.lower().split() for i, t in corpus.items()}
+    uni, big = {}, {}
+    for ts in toks.values():
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    tot = sum(uni.values())
+    expect = {}
+    for i, ts in toks.items():
+        bgs = list(zip(ts, ts[1:]))
+        if not bgs:
+            expect[i] = (0, None)
+        else:
+            s = sum(math.log(0.75 * big[(a, b)] / uni[a]
+                             + 0.25 * uni[b] / tot) for a, b in bgs)
+            expect[i] = (len(bgs), round(s / len(bgs), 4))
+    got = {r.doc_id: (r.n_bigrams, r.avg_bigram_logprob)
+           for r in doc_bigram_logprob(docs).collect()}
+    assert got == expect
+    assert got[1][1] > got[3][1]    # order carries the signal
