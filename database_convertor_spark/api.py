@@ -497,12 +497,17 @@ class Engine:
                                n_clusters=n_clusters, nprobe=nprobe)
 
     def ann_pq(self, queries: DataFrame, corpus: DataFrame,
-               k: int = 5, m: int = 4, ks: int = 8) -> DataFrame:
+               k: int = 5, m: int = 4, ks: int = 8,
+               rerank_shortlist: int | None = None) -> DataFrame:
         """Product-quantization ANN (ADC): the memory-bound scale
         path — the corpus is scanned as m small codes per vector, the
-        query stays exact."""
-        from .operators.similarity_search import ann_pq_topk
-        return ann_pq_topk(queries, corpus, k=k, m=m, ks=ks)
+        query stays exact. With ``rerank_shortlist`` set, the ADC
+        shortlist re-ranks by exact cosine (faiss's refine stage)."""
+        from .operators.similarity_search import ann_pq_rerank, ann_pq_topk
+        if rerank_shortlist is None:
+            return ann_pq_topk(queries, corpus, k=k, m=m, ks=ks)
+        return ann_pq_rerank(queries, corpus, k=k, m=m, ks=ks,
+                             shortlist=rerank_shortlist)
 
     # ----------------------------------------------------------- automation
     def run_health(self, runs: DataFrame) -> DataFrame:

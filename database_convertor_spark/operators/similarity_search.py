@@ -482,6 +482,22 @@ def ann_pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     over per-query candidates. Table entries are rounded to 6dp so a
     serial oracle reproduces the ranking bit-for-bit.
     """
+    cands = _pq_candidates(queries, corpus, m=m, ks=ks, n_iter=n_iter)
+    w = Window.partitionBy("query_id").orderBy(F.asc("_adist"),
+                                               F.asc("neighbor_id"))
+    return (cands
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("_adist", 4).alias("adist")))
+
+
+def _pq_candidates(queries: DataFrame, corpus: DataFrame, m: int,
+                   ks: int, n_iter: int) -> DataFrame:
+    """Shared ADC scan of ``ann_pq_topk`` / ``ann_pq_rerank``:
+    (query_id, neighbor_id, _adist) over the compressed code table —
+    fit, encode, broadcast per-query distance tables, fixed-order
+    lookup fold. Self-pairs excluded."""
     books = pq_fit(corpus, m=m, ks=ks, n_iter=n_iter)
     sub = len(books[0][0])
     codes = pq_encode(corpus, books)
@@ -512,16 +528,50 @@ def ann_pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
         lambda acc, j: acc + F.element_at(F.element_at(F.col("_t"), j),
                                           F.element_at(F.col("codes"), j)
                                           + 1))
-    w = Window.partitionBy("query_id").orderBy(F.asc("_adist"),
-                                               F.asc("neighbor_id"))
     return (codes.withColumnRenamed("vec_id", "neighbor_id")
             .crossJoin(F.broadcast(qt))
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .withColumn("_adist", adist)
+            .select("query_id", "neighbor_id", "_adist"))
+
+
+def ann_pq_rerank(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                  m: int = 4, ks: int = 8, n_iter: int = 3,
+                  shortlist: int = 25) -> DataFrame:
+    """The production two-stage ANN recipe (faiss's IVFADC + refine):
+    the compressed ADC scan shortlists ``shortlist`` candidates per
+    query by approximate distance, then ONLY those rows join back to
+    the raw embeddings for an exact-cosine re-rank to the final top-k.
+    At 100 TB the expensive exact arithmetic touches
+    shortlist x n_queries rows instead of the corpus — the raw-float
+    fetch is a narrow equi-join on neighbor_id against the (pruned)
+    embedding store, never a scan.
+
+    Output: (query_id, neighbor_id, rank, cosine) — same schema as
+    the exact searchers, so recall against ``brute_force_topk`` is a
+    set comparison.
+    """
+    cands = _pq_candidates(queries, corpus, m=m, ks=ks, n_iter=n_iter)
+    sw = Window.partitionBy("query_id").orderBy(F.asc("_adist"),
+                                                F.asc("neighbor_id"))
+    short = (cands.withColumn("_sr", F.row_number().over(sw))
+             .filter(F.col("_sr") <= shortlist)
+             .select("query_id", "neighbor_id"))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"))
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"))
+    sim = cosine_similarity(F.col("q_emb"), F.col("c_emb"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"),
+                                               F.asc("neighbor_id"))
+    return (short.join(c, "neighbor_id").join(F.broadcast(q), "query_id")
+            .withColumn("_sim", sim)
             .withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
-                    F.round("_adist", 4).alias("adist")))
+                    F.round("_sim", 4).alias("cosine")))
 
 
 def ivf_topk_multiprobe(queries: DataFrame, corpus: DataFrame,

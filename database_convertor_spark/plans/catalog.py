@@ -2696,13 +2696,16 @@ def _ann_pq_demo(spark: SparkSession, sf: str) -> DataFrame:
                                          m=4, ks=8, n_iter=3)
 
 
-def _pq_oracle(m: int, ks: int, n_iter: int, dim: int, k: int) -> str:
-    """DuckDB twin of ann_pq_topk: per subspace an independent
-    unrolled Lloyd's chain over the sliced subvectors, codebook
-    rounded to 9dp (the pq_fit cross-engine contract), codes by
-    expanded-form argmin under the ROUNDED codebook, per-query m x ks
-    distance tables rounded to 6dp, adist summed in fixed subspace
-    order, top-k by (adist, neighbor_id)."""
+def _pq_oracle(m: int, ks: int, n_iter: int, dim: int, k: int,
+               shortlist: int | None = None) -> str:
+    """DuckDB twin of ann_pq_topk / ann_pq_rerank: per subspace an
+    independent unrolled Lloyd's chain over the sliced subvectors,
+    codebook rounded to 9dp (the pq_fit cross-engine contract), codes
+    by expanded-form argmin under the ROUNDED codebook, per-query
+    m x ks distance tables rounded to 6dp, adist summed in fixed
+    subspace order, top-k by (adist, neighbor_id). With ``shortlist``
+    set, the ADC top-``shortlist`` per query re-ranks by exact cosine
+    (the refine stage) to the final top-k."""
     sub = dim // m
     d2 = ("list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.v)"
           " + list_dot_product(c.v, c.v)")
@@ -2741,17 +2744,38 @@ def _pq_oracle(m: int, ks: int, n_iter: int, dim: int, k: int) -> str:
     q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
           FROM embeddings WHERE vec_id < 5)"""
     parts.insert(1, q_cte)
-    return ",".join(parts) + f""",
+    body = ",".join(parts) + f""",
     pairs AS (
       SELECT q.query_id, c0.vec_id AS neighbor_id, {adist} AS adist
       FROM q JOIN code_s0 c0 ON c0.vec_id <> q.query_id
       {code_joins}
-      {table_joins})
+      {table_joins})"""
+    if shortlist is None:
+        return body + f"""
     SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank,
            round(adist, 4) AS adist FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY adist, neighbor_id) AS rn
       FROM pairs) WHERE rn <= {k}
+    """
+    return body + f""",
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adist, neighbor_id) AS sr
+        FROM pairs) WHERE sr <= {shortlist}),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_COS.format(a='q.q_emb', b='CAST(e.embedding AS DOUBLE[])')}
+               AS sim
+      FROM short s
+      JOIN embeddings e ON e.vec_id = s.neighbor_id
+      JOIN q ON q.query_id = s.query_id)
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank,
+           round(sim, 4) AS cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM rer) WHERE rn <= {k}
     """
 
 
@@ -2765,6 +2789,26 @@ _add(
     "lever — m*log2(ks) bits vs dim floats), per-query distance "
     "tables as broadcast expressions, fixed-order table-lookup fold, "
     "window top-k; oracle = m unrolled Lloyd chains + the ADC tail",
+)
+
+
+def _ann_pq_rerank_demo(spark: SparkSession, sf: str) -> DataFrame:
+    emb, = _t(spark, sf, "embeddings")
+    queries = emb.filter(emb.vec_id < 5)
+    return similarity_search.ann_pq_rerank(queries, emb, k=5,
+                                           m=4, ks=8, n_iter=3,
+                                           shortlist=25)
+
+
+_add(
+    "ann_pq_rerank",
+    _ann_pq_rerank_demo,
+    _pq_oracle(m=4, ks=8, n_iter=3, dim=64, k=5, shortlist=25),
+    "similarity-search",
+    "two-stage PQ ANN (faiss ADC + refine): the compressed scan "
+    "shortlists candidates by approximate distance, then ONLY those "
+    "rows fetch raw floats (narrow neighbor_id equi-join) for the "
+    "exact-cosine re-rank — the production recall/memory trade",
 )
 
 
@@ -3668,18 +3712,18 @@ _add(
 _WINDOW_R6 = [
     # new + touched-first
     "doc_bm25_search", "doc_tfidf_keywords", "ann_pq_topk",
-    "doc_bigram_logprob",
+    "ann_pq_rerank", "doc_bigram_logprob",
     "doc_nb_quality", "multimodal_features_real",
     "doc_cross_dup_spans", "top_terms_two_pass", "corpus_curation_stats",
     # returning veterans (normal cadence; supplier_neighborhood,
-    # event_props_extract, customer_tiering and order_date_dimensions
-    # pushed to r7 to make room for the new full-text search pair,
-    # PQ ANN and the bigram LM, which must window)
+    # event_props_extract, customer_tiering, order_date_dimensions and
+    # scalar_cleaning pushed to r7 to make room for the new full-text
+    # search pair, the two PQ ANN variants and the bigram LM, which
+    # must window)
     "pricing_summary", "market_segment_revenue", "order_stats_summary",
     "event_funnel", "top_orders_per_customer",
     "distinct_customer_priorities", "user_sessions",
     "automation_run_health", "hourly_event_rollup",
-    "scalar_cleaning",
     # held from the r5 window (changed-this-round members included)
     "ann_ivf_topk", "ann_ivf_multiprobe", "embedding_kmeans_clusters",
     "ann_ivf_kmeans", "doc_dup_spans", "doc_span_removal",
