@@ -496,6 +496,14 @@ class Engine:
         return ivf_topk_kmeans(queries, corpus, k=k,
                                n_clusters=n_clusters, nprobe=nprobe)
 
+    def mine_hard_negatives(self, queries: DataFrame, corpus: DataFrame,
+                            k: int = 5, lo: float = 0.3,
+                            hi: float = 0.8) -> DataFrame:
+        """Contrastive-training hard negatives: per-anchor top-k in
+        the cosine band [lo, hi) — below the near-dup zone."""
+        from .operators.similarity_search import hard_negatives
+        return hard_negatives(queries, corpus, k=k, lo=lo, hi=hi)
+
     def ann_pq(self, queries: DataFrame, corpus: DataFrame,
                k: int = 5, m: int = 4, ks: int = 8,
                rerank_shortlist: int | None = None) -> DataFrame:

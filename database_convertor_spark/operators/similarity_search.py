@@ -381,6 +381,36 @@ def ivf_topk_kmeans(queries: DataFrame, corpus: DataFrame, k: int = 5,
     return _probe_and_search(queries, c, cents_df, k, nprobe)
 
 
+def hard_negatives(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                   lo: float = 0.3, hi: float = 0.8) -> DataFrame:
+    """Hard-negative mining for contrastive training (the classic
+    recipe behind dense-retriever / embedding fine-tuning data): for
+    each anchor, the top-k most similar vectors whose cosine falls in
+    the band [lo, hi) — similar enough to be informative negatives,
+    below the near-duplicate zone where a "negative" is probably a
+    positive. Same distributed shape as ``brute_force_topk`` (anchor
+    set broadcasts, corpus streams, per-anchor window top-k); the band
+    filter runs on the ROUNDED similarity so the band edges are
+    reproducible across engines. At corpus-scale anchor sets, feed the
+    shortlist from ``ann_pq_topk``/``ivf_topk`` instead of the exact
+    scorer — the band logic is unchanged.
+
+    Output: (query_id, neighbor_id, rank, cosine).
+    """
+    q, c = _scored_pairs(queries, corpus)
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    sim = F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 4)
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"),
+                                               F.asc("neighbor_id"))
+    return (pairs.withColumn("_sim", sim)
+            .filter((F.col("_sim") >= lo) & (F.col("_sim") < hi))
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.col("_sim").alias("cosine")))
+
+
 def pq_fit(corpus: DataFrame, m: int = 4, ks: int = 8, n_iter: int = 3,
            id_col: str = "vec_id", vec_col: str = "embedding",
            ) -> list[list[list[float]]]:

@@ -2792,6 +2792,32 @@ _add(
 )
 
 
+_add(
+    "ann_hard_negatives",
+    lambda spark, sf: similarity_search.hard_negatives(
+        read_table(spark, sf, "embeddings").filter("vec_id < 5"),
+        read_table(spark, sf, "embeddings"), k=5, lo=0.3, hi=0.8),
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round({_COS.format(a='q.q_emb', b='e.embedding')}, 4) AS sim
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank,
+           sim AS cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM pairs WHERE sim >= 0.3 AND sim < 0.8) WHERE rn <= 5
+    """,
+    "similarity-search",
+    "hard-negative mining for contrastive training: top-k most "
+    "similar vectors per anchor within a cosine band [lo, hi) — "
+    "informative negatives below the near-dup zone; band filter on "
+    "the rounded similarity, broadcast anchors, window top-k",
+)
+
+
 def _ann_pq_rerank_demo(spark: SparkSession, sf: str) -> DataFrame:
     emb, = _t(spark, sf, "embeddings")
     queries = emb.filter(emb.vec_id < 5)
@@ -3712,18 +3738,18 @@ _add(
 _WINDOW_R6 = [
     # new + touched-first
     "doc_bm25_search", "doc_tfidf_keywords", "ann_pq_topk",
-    "ann_pq_rerank", "doc_bigram_logprob",
+    "ann_pq_rerank", "ann_hard_negatives", "doc_bigram_logprob",
     "doc_nb_quality", "multimodal_features_real",
     "doc_cross_dup_spans", "top_terms_two_pass", "corpus_curation_stats",
     # returning veterans (normal cadence; supplier_neighborhood,
-    # event_props_extract, customer_tiering, order_date_dimensions and
-    # scalar_cleaning pushed to r7 to make room for the new full-text
-    # search pair, the two PQ ANN variants and the bigram LM, which
-    # must window)
+    # event_props_extract, customer_tiering, order_date_dimensions,
+    # scalar_cleaning and hourly_event_rollup pushed to r7 to make
+    # room for the new full-text search pair, the ANN additions and
+    # the bigram LM, which must window)
     "pricing_summary", "market_segment_revenue", "order_stats_summary",
     "event_funnel", "top_orders_per_customer",
     "distinct_customer_priorities", "user_sessions",
-    "automation_run_health", "hourly_event_rollup",
+    "automation_run_health",
     # held from the r5 window (changed-this-round members included)
     "ann_ivf_topk", "ann_ivf_multiprobe", "embedding_kmeans_clusters",
     "ann_ivf_kmeans", "doc_dup_spans", "doc_span_removal",

@@ -262,3 +262,32 @@ def test_pq_rerank_recall_beats_plain_adc(spark):
             for r in ann_pq_rerank(queries, emb, k=5, m=4, ks=8,
                                    n_iter=2, shortlist=79).collect()}
     assert full == exact
+
+
+def test_hard_negatives_band_semantics(spark):
+    """Every mined negative's cosine sits in [lo, hi); near-duplicates
+    above the band are EXCLUDED (a planted twin must not appear); the
+    band degenerating to [-1, 1) plus near-dups removed equals brute
+    force minus the above-band hits."""
+    from database_convertor_spark.operators.similarity_search import (
+        hard_negatives,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") < 60)
+    twin = emb.filter("vec_id = 2").select(
+        F.lit(9002).cast("long").alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 2).alias("embedding"),
+        "label")
+    corpus = emb.unionByName(twin)
+    queries = corpus.filter("vec_id = 2")
+    # the fixture embeddings are near-orthogonal (pair cosines cluster
+    # around 0), so the informative band sits just above 0; the
+    # planted twin at cosine 1.0 is far above hi
+    got = hard_negatives(queries, corpus, k=10, lo=0.0, hi=0.2).collect()
+    assert got, "band should not be empty on this fixture"
+    for r in got:
+        assert 0.0 <= r.cosine < 0.2
+    assert all(r.neighbor_id != 9002 for r in got)  # twin (cos=1) excluded
+    # rank is dense from 1 and ordered by cosine desc
+    ranks = [r.rank for r in sorted(got, key=lambda r: -r.cosine)]
+    assert ranks == list(range(1, len(got) + 1))
