@@ -517,6 +517,15 @@ class Engine:
         return ann_pq_rerank(queries, corpus, k=k, m=m, ks=ks,
                              shortlist=rerank_shortlist)
 
+    def ann_ivfpq(self, queries: DataFrame, corpus: DataFrame,
+                  k: int = 5, n_cells: int = 8, m: int = 4,
+                  ks: int = 8, nprobe: int = 2) -> DataFrame:
+        """Full IVFADC (faiss IVF<n>,PQ<m>): coarse cells prune the
+        scan, residual PQ compresses what remains."""
+        from .operators.similarity_search import ann_ivfpq_topk
+        return ann_ivfpq_topk(queries, corpus, k=k, n_cells=n_cells,
+                              m=m, ks=ks, nprobe=nprobe)
+
     # ----------------------------------------------------------- automation
     def run_health(self, runs: DataFrame) -> DataFrame:
         """Health verdicts + alert reasons for automation runs against

@@ -565,6 +565,118 @@ def _pq_candidates(queries: DataFrame, corpus: DataFrame, m: int,
             .select("query_id", "neighbor_id", "_adist"))
 
 
+def ann_ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                   n_cells: int = 8, m: int = 4, ks: int = 8,
+                   n_iter: int = 3, nprobe: int = 2) -> DataFrame:
+    """The full IVFADC index (Jegou et al. 2011 §IV — what faiss
+    ships as IVF<n>,PQ<m>): a coarse quantizer prunes the corpus to
+    ``nprobe`` of ``n_cells`` inverted lists per query, and a product
+    quantizer over the RESIDUALS (x - coarse_centroid) compresses
+    what remains, scored by asymmetric distance
+
+        adist(q, x) = sum_j T_{q,cell}[j][code_j(x)]  with
+        T_{q,cell}[j][c] = ||(q - c_cell)_j - cent_{j,c}||^2
+
+    — residual PQ beats plain PQ because residuals concentrate near 0
+    (one shared codebook spans every cell's displacement
+    distribution), and the cell pruning bounds the scan.
+
+    Distributed shape — both 100 TB levers composed: the corpus is
+    touched as (vec_id, cell, m codes); candidate selection is a
+    broadcast equi-join on the CELL key (nprobe/n_cells of the index
+    per query — with the index landed partitioned by cell, file
+    pruning); the per-(query, probed cell) distance tables are
+    expressions over codebook literals computed on n_queries x nprobe
+    rows; scoring is the fixed-order lookup fold. Training = one
+    coarse Lloyd's + m residual sub-Lloyd's, all the distributed
+    kmeans_fit loop.
+
+    Cross-engine contract: the coarse codebook and the residuals are
+    rounded to 9dp (so the residual sub-quantizers train on identical
+    inputs in both engines), probe ranking and table entries round to
+    6dp, adist folds in fixed subspace order.
+
+    Output: (query_id, neighbor_id, rank, adist) — approximate
+    distances over probed cells only.
+    """
+    coarse, _ = kmeans_fit(corpus, k=n_cells, n_iter=n_iter)
+    coarse = [[round(x, 9) for x in c] for c in coarse]
+    assign = kmeans_assign(corpus, coarse)
+    coarse_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in coarse])
+    res = (corpus.join(assign, "vec_id")
+           .select("vec_id", "cluster_id",
+                   F.zip_with(F.col("embedding").cast("array<double>"),
+                              F.element_at(coarse_lit,
+                                           F.col("cluster_id") + 1),
+                              lambda a, b: F.round(a - b, 9))
+                   .alias("embedding")))
+    books = pq_fit(res, m=m, ks=ks, n_iter=n_iter)
+    sub = len(books[0][0])
+    codes = pq_encode(res, books).join(assign, "vec_id")
+
+    def dot2(a_col, b_col):
+        return F.aggregate(F.zip_with(a_col, b_col,
+                                      lambda a, b: (a - b) * (a - b)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"))
+    # probe ranking: rounded L2 to each (rounded) coarse centroid
+    cells = queries.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(coarse)],
+        "cell int, centroid array<double>")
+    pd2 = F.round(dot2(F.col("q_emb"), F.col("centroid")), 6)
+    pw = Window.partitionBy("query_id").orderBy(F.asc("_pd2"),
+                                                F.asc("cell"))
+    probes = (q.crossJoin(F.broadcast(cells))
+              .withColumn("_pd2", pd2)
+              .withColumn("_pr", F.row_number().over(pw))
+              .filter(F.col("_pr") <= nprobe)
+              .select("query_id", "q_emb", "cell"))
+
+    # per-(query, probed cell) ADC table over the residual codebooks
+    qres = F.zip_with(F.col("q_emb"),
+                      F.element_at(coarse_lit, F.col("cell") + 1),
+                      lambda a, b: a - b)
+    probes = probes.withColumn("_qr", qres)
+    subvecs = [F.slice(F.col("_qr"), j * sub + 1, sub) for j in range(m)]
+
+    def dot_lit(vec, cent):
+        lits = F.array(*[F.lit(x) for x in cent])
+        return F.aggregate(F.zip_with(vec, lits, lambda a, b: a * b),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    def self_dot(vec):
+        return F.aggregate(F.transform(vec, lambda x: x * x),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    tables = F.array(*[
+        F.array(*[
+            F.round(self_dot(subvecs[j]) - 2 * dot_lit(subvecs[j], cent)
+                    + F.lit(float(sum(x * x for x in cent))), 6)
+            for cent in books[j]])
+        for j in range(m)])
+    qt = probes.select("query_id", "cell", tables.alias("_t"))
+
+    adist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)), F.lit(0.0),
+        lambda acc, j: acc + F.element_at(F.element_at(F.col("_t"), j),
+                                          F.element_at(F.col("codes"), j)
+                                          + 1))
+    w = Window.partitionBy("query_id").orderBy(F.asc("_adist"),
+                                               F.asc("neighbor_id"))
+    return (codes.withColumnRenamed("vec_id", "neighbor_id")
+            .withColumnRenamed("cluster_id", "cell")
+            .join(F.broadcast(qt), "cell")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("_adist", adist)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("_adist", 4).alias("adist")))
+
+
 def ann_pq_rerank(queries: DataFrame, corpus: DataFrame, k: int = 5,
                   m: int = 4, ks: int = 8, n_iter: int = 3,
                   shortlist: int = 25) -> DataFrame:

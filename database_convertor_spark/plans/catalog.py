@@ -2555,7 +2555,8 @@ def _kmeans_demo(spark: SparkSession, sf: str) -> DataFrame:
 def _kmeans_cte_sql(k: int, n_iter: int, dim: int,
                     normalize: bool, suffix: str = "",
                     vec_sql: str = "CAST(embedding AS DOUBLE[])",
-                    leading_with: bool = True) -> str:
+                    leading_with: bool = True,
+                    pts_sql: str | None = None) -> str:
     """Lloyd's k-means UNROLLED as a DuckDB CTE chain — the fixed
     iteration count and the deterministic md5 init make the
     "iterative" operator SQL-expressible after all, so both k-means
@@ -2571,7 +2572,13 @@ def _kmeans_cte_sql(k: int, n_iter: int, dim: int,
     s = suffix
     d2 = ("list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.v)"
           " + list_dot_product(c.v, c.v)")
-    if normalize:
+    if pts_sql is not None:
+        # MATERIALIZED: a pts CTE fed by an upstream chain (the IVFADC
+        # residuals) would otherwise re-inline that chain into every
+        # Lloyd iteration's reference — measured 120 s -> seconds
+        pts = f"""
+    pts{s} AS MATERIALIZED ({pts_sql})"""
+    elif normalize:
         pts = f"""
     pts{s} AS (
       SELECT vec_id,
@@ -2835,6 +2842,123 @@ _add(
     "shortlists candidates by approximate distance, then ONLY those "
     "rows fetch raw floats (narrow neighbor_id equi-join) for the "
     "exact-cosine re-rank — the production recall/memory trade",
+)
+
+
+def _ann_ivfpq_demo(spark: SparkSession, sf: str) -> DataFrame:
+    emb, = _t(spark, sf, "embeddings")
+    queries = emb.filter(emb.vec_id < 5)
+    return similarity_search.ann_ivfpq_topk(queries, emb, k=5, n_cells=8,
+                                            m=4, ks=8, n_iter=3, nprobe=2)
+
+
+def _ivfpq_oracle(n_cells: int, m: int, ks: int, n_iter: int, dim: int,
+                  k: int, nprobe: int) -> str:
+    """DuckDB twin of ann_ivfpq_topk: unrolled coarse Lloyd's chain
+    (suffix _c), coarse codebook rounded to 9dp, cell assignment under
+    the ROUNDED codebook, 9dp-rounded residuals, one unrolled residual
+    sub-chain per subspace, residual codes under the rounded
+    sub-codebooks, probe ranking by 6dp-rounded L2, per-(query, cell)
+    ADC tables rounded to 6dp, fixed-order adist fold over probed
+    cells only."""
+    sub = dim // m
+    d2 = ("list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.v)"
+          " + list_dot_product(c.v, c.v)")
+    parts = [_kmeans_cte_sql(n_cells, n_iter, dim, normalize=False,
+                             suffix="_c", leading_with=True)]
+    parts.append(f"""
+    cbc AS MATERIALIZED (
+      SELECT c, list_transform(v, x -> round(x, 9)) AS v
+      FROM c{n_iter}_c),
+    assignc AS MATERIALIZED (
+      SELECT vec_id, c AS cell FROM (
+        SELECT p.vec_id, c.c,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {d2}, c.c) AS rn
+        FROM pts_c p CROSS JOIN cbc c) WHERE rn = 1),
+    resid AS MATERIALIZED (
+      SELECT p.vec_id, a.cell,
+             list_transform(range(1, {dim + 1}), i ->
+               round(p.v[CAST(i AS INTEGER)]
+                     - cb.v[CAST(i AS INTEGER)], 9)) AS v
+      FROM pts_c p
+      JOIN assignc a ON a.vec_id = p.vec_id
+      JOIN cbc cb ON cb.c = a.cell)""")
+    for j in range(m):
+        parts.append(_kmeans_cte_sql(
+            ks, n_iter, sub, normalize=False, suffix=f"_s{j}",
+            leading_with=False,
+            pts_sql=(f"SELECT vec_id, v[{j * sub + 1}:{(j + 1) * sub}] AS v"
+                     f" FROM resid")))
+        parts.append(f"""
+    cb_s{j} AS (
+      SELECT c, list_transform(v, x -> round(x, 9)) AS v
+      FROM c{n_iter}_s{j}),
+    code_s{j} AS (
+      SELECT vec_id, c AS code FROM (
+        SELECT p.vec_id, c.c,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {d2}, c.c) AS rn
+        FROM pts_s{j} p CROSS JOIN cb_s{j} c) WHERE rn = 1)""")
+    parts.append("""
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+          FROM embeddings WHERE vec_id < 5)""")
+    l2q = ("list_sum(list_transform(range(1, %d), i -> "
+           "pow(q.q_emb[CAST(i AS INTEGER)]"
+           " - cb.v[CAST(i AS INTEGER)], 2)))" % (dim + 1))
+    parts.append(f"""
+    probes AS (
+      SELECT query_id, q_emb, cell, qr FROM (
+        SELECT q.query_id, q.q_emb, cb.c AS cell,
+               list_transform(range(1, {dim + 1}), i ->
+                 q.q_emb[CAST(i AS INTEGER)]
+                 - cb.v[CAST(i AS INTEGER)]) AS qr,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY round({l2q}, 6), cb.c) AS pr
+        FROM q CROSS JOIN cbc cb) WHERE pr <= {nprobe})""")
+    for j in range(m):
+        qs = f"p.qr[{j * sub + 1}:{(j + 1) * sub}]"
+        parts.append(f"""
+    t_s{j} AS (
+      SELECT p.query_id, p.cell, c.c,
+             round(list_dot_product({qs}, {qs})
+                   - 2 * list_dot_product({qs}, c.v)
+                   + list_dot_product(c.v, c.v), 6) AS tv
+      FROM probes p CROSS JOIN cb_s{j} c)""")
+    code_joins = "\n      ".join(
+        f"JOIN code_s{j} c{j} ON c{j}.vec_id = a.vec_id"
+        for j in range(m))
+    table_joins = "\n      ".join(
+        f"JOIN t_s{j} t{j} ON t{j}.query_id = p.query_id"
+        f" AND t{j}.cell = p.cell AND t{j}.c = c{j}.code"
+        for j in range(m))
+    adist = " + ".join(f"t{j}.tv" for j in range(m))
+    return ",".join(parts) + f""",
+    pairs AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, {adist} AS adist
+      FROM probes p
+      JOIN assignc a ON a.cell = p.cell AND a.vec_id <> p.query_id
+      {code_joins}
+      {table_joins})
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank,
+           round(adist, 4) AS adist FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adist, neighbor_id) AS rn
+      FROM pairs) WHERE rn <= {k}
+    """
+
+
+_add(
+    "ann_ivfpq_topk",
+    _ann_ivfpq_demo,
+    _ivfpq_oracle(n_cells=8, m=4, ks=8, n_iter=3, dim=64, k=5, nprobe=2),
+    "similarity-search",
+    "full IVFADC (Jegou et al. 2011 SIV; faiss IVF8,PQ4): coarse "
+    "quantizer prunes to nprobe inverted lists (cell equi-join = "
+    "file pruning at scale), residual product quantizer compresses "
+    "what remains, per-(query, probed cell) ADC tables as broadcast "
+    "expressions; oracle = coarse + m residual Lloyd chains + the "
+    "probed ADC tail",
 )
 
 
@@ -3738,18 +3862,18 @@ _add(
 _WINDOW_R6 = [
     # new + touched-first
     "doc_bm25_search", "doc_tfidf_keywords", "ann_pq_topk",
-    "ann_pq_rerank", "ann_hard_negatives", "doc_bigram_logprob",
+    "ann_pq_rerank", "ann_ivfpq_topk", "ann_hard_negatives",
+    "doc_bigram_logprob",
     "doc_nb_quality", "multimodal_features_real",
     "doc_cross_dup_spans", "top_terms_two_pass", "corpus_curation_stats",
     # returning veterans (normal cadence; supplier_neighborhood,
     # event_props_extract, customer_tiering, order_date_dimensions,
-    # scalar_cleaning and hourly_event_rollup pushed to r7 to make
-    # room for the new full-text search pair, the ANN additions and
-    # the bigram LM, which must window)
+    # scalar_cleaning, hourly_event_rollup and automation_run_health
+    # pushed to r7 to make room for the new full-text search pair,
+    # the ANN additions and the bigram LM, which must window)
     "pricing_summary", "market_segment_revenue", "order_stats_summary",
     "event_funnel", "top_orders_per_customer",
     "distinct_customer_priorities", "user_sessions",
-    "automation_run_health",
     # held from the r5 window (changed-this-round members included)
     "ann_ivf_topk", "ann_ivf_multiprobe", "embedding_kmeans_clusters",
     "ann_ivf_kmeans", "doc_dup_spans", "doc_span_removal",

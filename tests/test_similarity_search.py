@@ -291,3 +291,51 @@ def test_hard_negatives_band_semantics(spark):
     # rank is dense from 1 and ordered by cosine desc
     ranks = [r.rank for r in sorted(got, key=lambda r: -r.cosine)]
     assert ranks == list(range(1, len(got) + 1))
+
+
+def test_ivfpq_planted_duplicate_in_probed_cell_ranks_first(spark):
+    """An exact duplicate lands in the query's own cell with the
+    query's own residual codes — the first probe finds it at the
+    minimum possible ADC distance."""
+    from database_convertor_spark.operators.similarity_search import (
+        ann_ivfpq_topk,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") < 80)
+    dup = emb.filter("vec_id = 7").select(
+        F.lit(9007).cast("long").alias("vec_id"), "embedding", "label")
+    corpus = emb.unionByName(dup)
+    got = ann_ivfpq_topk(corpus.filter("vec_id = 7"), corpus, k=3,
+                         n_cells=4, m=4, ks=8, n_iter=2,
+                         nprobe=1).collect()
+    top = [r.neighbor_id for r in got]
+    assert 9007 in top[:2], top
+
+
+def test_ivfpq_results_come_only_from_probed_cells(spark):
+    """nprobe=1 must return neighbors exclusively from the query's
+    nearest coarse cell — the pruning contract (and, with all cells
+    probed, the candidate set covers the corpus)."""
+    from database_convertor_spark.operators.similarity_search import (
+        ann_ivfpq_topk,
+        kmeans_assign,
+        kmeans_fit,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") < 80)
+    cents, _ = kmeans_fit(emb, k=4, n_iter=2)
+    cents = [[round(x, 9) for x in c] for c in cents]
+    cells = {r.vec_id: r.cluster_id
+             for r in kmeans_assign(emb, cents).collect()}
+    got = ann_ivfpq_topk(emb.filter("vec_id < 3"), emb, k=5, n_cells=4,
+                         m=4, ks=8, n_iter=2, nprobe=1).collect()
+    assert got
+    for r in got:
+        assert cells[r.neighbor_id] == cells[r.query_id]
+    full = ann_ivfpq_topk(emb.filter("vec_id < 3"), emb, k=79, n_cells=4,
+                          m=4, ks=8, n_iter=2, nprobe=4).collect()
+    per_q = {}
+    for r in full:
+        per_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for q, ns in per_q.items():
+        assert len(ns) == 79          # every other vector reachable
