@@ -96,7 +96,10 @@ def test_pairwise_ops_have_no_cartesian(spark):
                  "ann_ivf_multiprobe", "corpus_curation_stats",
                  "dedup_incremental_pairs", "benchmark_contamination_hits",
                  "doc_boilerplate_removed", "dedup_winnowing",
-                 "dedup_embedding_srp"]:
+                 "dedup_embedding_srp", "ann_pq_topk", "ann_pq_rerank",
+                 "ann_ivfpq_topk", "ann_hard_negatives",
+                 "doc_bm25_search", "doc_tfidf_keywords",
+                 "doc_bigram_logprob"]:
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         # NL is allowed only on documented broadcast paths (the
