@@ -396,6 +396,7 @@ def hard_negatives(queries: DataFrame, corpus: DataFrame, k: int = 5,
     scorer — the band logic is unchanged.
 
     Output: (query_id, neighbor_id, rank, cosine).
+    Reference has no analog (beyond-reference training-data operator).
     """
     q, c = _scored_pairs(queries, corpus)
     pairs = c.crossJoin(F.broadcast(q)).filter(
