@@ -52,8 +52,10 @@ HEADLINE = [
     "ann_ivf_multiprobe",
     "ann_ivf_kmeans",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "doc_bm25_search",
     "doc_tfidf_keywords",
+    "doc_bigram_logprob",
     "user_sessions",
     "hourly_event_rollup",
     "asof_purchase_last_click",
