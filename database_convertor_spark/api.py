@@ -526,6 +526,23 @@ class Engine:
         return ann_ivfpq_topk(queries, corpus, k=k, n_cells=n_cells,
                               m=m, ks=ks, nprobe=nprobe)
 
+    def build_ann_index(self, corpus: DataFrame, path: str,
+                        n_cells: int = 8, m: int = 4,
+                        ks: int = 8) -> tuple[list, list]:
+        """Land an IVFADC index partitioned by coarse cell (the
+        inverted lists become the directory layout — searches prune
+        at the file level)."""
+        from .operators.similarity_search import land_ivfpq_index
+        return land_ivfpq_index(corpus, path, n_cells=n_cells,
+                                m=m, ks=ks)
+
+    def search_ann_index(self, path: str, queries: DataFrame,
+                         k: int = 5, nprobe: int = 2) -> DataFrame:
+        """Search a landed IVFADC index with partition pruning."""
+        from .operators.similarity_search import search_ivfpq_index
+        return search_ivfpq_index(self.spark, path, queries,
+                                  k=k, nprobe=nprobe)
+
     # ----------------------------------------------------------- automation
     def run_health(self, runs: DataFrame) -> DataFrame:
         """Health verdicts + alert reasons for automation runs against

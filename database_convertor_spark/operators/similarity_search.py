@@ -600,6 +600,19 @@ def ann_ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     Output: (query_id, neighbor_id, rank, adist) — approximate
     distances over probed cells only.
     """
+    coarse, books, codes = ivfpq_fit_encode(corpus, n_cells=n_cells,
+                                            m=m, ks=ks, n_iter=n_iter)
+    probes = _ivfpq_probes(queries, coarse, nprobe)
+    return _ivfpq_rank(codes, probes, coarse, books, k)
+
+
+def ivfpq_fit_encode(corpus: DataFrame, n_cells: int = 8, m: int = 4,
+                     ks: int = 8, n_iter: int = 3,
+                     ) -> tuple[list, list, DataFrame]:
+    """Train the IVFADC index and encode the corpus: returns
+    (coarse codebook, residual PQ codebooks, codes DataFrame with
+    (vec_id, cell, codes)) — the compressed index a 100 TB deployment
+    lands partitioned by cell (``land_ivfpq_index``)."""
     coarse, _ = kmeans_fit(corpus, k=n_cells, n_iter=n_iter)
     coarse = [[round(x, 9) for x in c] for c in coarse]
     assign = kmeans_assign(corpus, coarse)
@@ -612,9 +625,15 @@ def ann_ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                               lambda a, b: F.round(a - b, 9))
                    .alias("embedding")))
     books = pq_fit(res, m=m, ks=ks, n_iter=n_iter)
-    sub = len(books[0][0])
-    codes = pq_encode(res, books).join(assign, "vec_id")
+    codes = (pq_encode(res, books).join(assign, "vec_id")
+             .select("vec_id", F.col("cluster_id").alias("cell"), "codes"))
+    return coarse, books, codes
 
+
+def _ivfpq_probes(queries: DataFrame, coarse: list,
+                  nprobe: int) -> DataFrame:
+    """(query_id, q_emb, cell): the top-``nprobe`` coarse cells per
+    query by 6dp-rounded L2 to the (rounded) coarse centroids."""
     def dot2(a_col, b_col):
         return F.aggregate(F.zip_with(a_col, b_col,
                                       lambda a, b: (a - b) * (a - b)),
@@ -623,20 +642,27 @@ def ann_ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("q_emb"))
-    # probe ranking: rounded L2 to each (rounded) coarse centroid
     cells = queries.sparkSession.createDataFrame(
         [(i, c) for i, c in enumerate(coarse)],
         "cell int, centroid array<double>")
     pd2 = F.round(dot2(F.col("q_emb"), F.col("centroid")), 6)
     pw = Window.partitionBy("query_id").orderBy(F.asc("_pd2"),
                                                 F.asc("cell"))
-    probes = (q.crossJoin(F.broadcast(cells))
-              .withColumn("_pd2", pd2)
-              .withColumn("_pr", F.row_number().over(pw))
-              .filter(F.col("_pr") <= nprobe)
-              .select("query_id", "q_emb", "cell"))
+    return (q.crossJoin(F.broadcast(cells))
+            .withColumn("_pd2", pd2)
+            .withColumn("_pr", F.row_number().over(pw))
+            .filter(F.col("_pr") <= nprobe)
+            .select("query_id", "q_emb", "cell"))
 
-    # per-(query, probed cell) ADC table over the residual codebooks
+
+def _ivfpq_rank(codes: DataFrame, probes: DataFrame, coarse: list,
+                books: list, k: int) -> DataFrame:
+    """The probed ADC tail shared by in-memory and landed-index
+    search: per-(query, probed cell) residual distance tables as
+    broadcast expressions, fixed-order lookup fold, window top-k."""
+    m = len(books)
+    sub = len(books[0][0])
+    coarse_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in coarse])
     qres = F.zip_with(F.col("q_emb"),
                       F.element_at(coarse_lit, F.col("cell") + 1),
                       lambda a, b: a - b)
@@ -668,7 +694,6 @@ def ann_ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     w = Window.partitionBy("query_id").orderBy(F.asc("_adist"),
                                                F.asc("neighbor_id"))
     return (codes.withColumnRenamed("vec_id", "neighbor_id")
-            .withColumnRenamed("cluster_id", "cell")
             .join(F.broadcast(qt), "cell")
             .filter(F.col("neighbor_id") != F.col("query_id"))
             .withColumn("_adist", adist)
@@ -676,6 +701,48 @@ def ann_ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
                     F.round("_adist", 4).alias("adist")))
+
+
+def land_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 8,
+                     m: int = 4, ks: int = 8, n_iter: int = 3,
+                     ) -> tuple[list, list]:
+    """Write the IVFADC index to disk the way a 100 TB deployment
+    lands it: the codes table PARTITIONED BY CELL (so a search's
+    nprobe cells prune at the file level — the inverted lists ARE the
+    directory layout) plus the two codebooks as a JSON sidecar
+    (codebook-sized driver state; a production deployment would put
+    it in the table's metadata/catalog). Returns (coarse, books)."""
+    import json
+    import os
+
+    coarse, books, codes = ivfpq_fit_encode(corpus, n_cells=n_cells,
+                                            m=m, ks=ks, n_iter=n_iter)
+    codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_codebooks.json"), "w") as fh:
+        json.dump({"coarse": coarse, "books": books}, fh)
+    return coarse, books
+
+
+def search_ivfpq_index(spark, path: str, queries: DataFrame, k: int = 5,
+                       nprobe: int = 2) -> DataFrame:
+    """Search a landed IVFADC index with file pruning: probe selection
+    runs on the broadcastable query dimension, the probed cell set
+    (<= n_queries x nprobe ints, driver-bounded by the ANN query
+    contract) becomes a PARTITION FILTER on the codes scan — the plan
+    reads nprobe-cell directories, not the index. Identical results to
+    ``ann_ivfpq_topk`` under the same codebooks."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_codebooks.json")) as fh:
+        cb = json.load(fh)
+    coarse, books = cb["coarse"], cb["books"]
+    probes = _ivfpq_probes(queries, coarse, nprobe)
+    probed_cells = sorted(
+        r.cell for r in probes.select("cell").distinct().collect())
+    codes = (spark.read.parquet(path)
+             .filter(F.col("cell").isin(probed_cells)))
+    return _ivfpq_rank(codes, probes, coarse, books, k)
 
 
 def ann_pq_rerank(queries: DataFrame, corpus: DataFrame, k: int = 5,

@@ -339,3 +339,33 @@ def test_ivfpq_results_come_only_from_probed_cells(spark):
         per_q.setdefault(r.query_id, set()).add(r.neighbor_id)
     for q, ns in per_q.items():
         assert len(ns) == 79          # every other vector reachable
+
+
+def test_landed_ivfpq_index_prunes_partitions_and_matches(spark, tmp_path):
+    """The landed index contract: cell directories on disk, probe set
+    as a PartitionFilters entry on the codes scan (file pruning), and
+    results identical to the in-memory IVFADC under the same
+    codebooks."""
+    from database_convertor_spark.operators.similarity_search import (
+        ann_ivfpq_topk,
+        land_ivfpq_index,
+        search_ivfpq_index,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") < 120)
+    queries = emb.filter("vec_id < 4")
+    path = str(tmp_path / "ivfpq_index")
+    land_ivfpq_index(emb, path, n_cells=4, m=4, ks=8, n_iter=2)
+
+    landed = search_ivfpq_index(spark, path, queries, k=5, nprobe=2)
+    plan = landed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan
+
+    in_mem = ann_ivfpq_topk(queries, emb, k=5, n_cells=4, m=4, ks=8,
+                            n_iter=2, nprobe=2)
+    assert sorted(map(tuple, landed.collect())) == \
+        sorted(map(tuple, in_mem.collect()))
+
+    import os
+    cells = [d for d in os.listdir(path) if d.startswith("cell=")]
+    assert len(cells) >= 2            # the inverted lists ARE the layout
