@@ -615,19 +615,41 @@ def ivfpq_fit_encode(corpus: DataFrame, n_cells: int = 8, m: int = 4,
     lands partitioned by cell (``land_ivfpq_index``)."""
     coarse, _ = kmeans_fit(corpus, k=n_cells, n_iter=n_iter)
     coarse = [[round(x, 9) for x in c] for c in coarse]
+    res = _ivfpq_residuals(corpus, coarse)
+    books = pq_fit(res, m=m, ks=ks, n_iter=n_iter)
+    codes = (pq_encode(res, books)
+             .join(res.select("vec_id", F.col("cluster_id").alias("cell")),
+                   "vec_id")
+             .select("vec_id", "cell", "codes"))
+    return coarse, books, codes
+
+
+def _ivfpq_residuals(corpus: DataFrame, coarse: list) -> DataFrame:
+    """(vec_id, cluster_id, embedding=9dp-rounded residual) under a
+    fixed coarse codebook."""
     assign = kmeans_assign(corpus, coarse)
     coarse_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in coarse])
-    res = (corpus.join(assign, "vec_id")
-           .select("vec_id", "cluster_id",
-                   F.zip_with(F.col("embedding").cast("array<double>"),
-                              F.element_at(coarse_lit,
-                                           F.col("cluster_id") + 1),
-                              lambda a, b: F.round(a - b, 9))
-                   .alias("embedding")))
-    books = pq_fit(res, m=m, ks=ks, n_iter=n_iter)
-    codes = (pq_encode(res, books).join(assign, "vec_id")
-             .select("vec_id", F.col("cluster_id").alias("cell"), "codes"))
-    return coarse, books, codes
+    return (corpus.join(assign, "vec_id")
+            .select("vec_id", "cluster_id",
+                    F.zip_with(F.col("embedding").cast("array<double>"),
+                               F.element_at(coarse_lit,
+                                            F.col("cluster_id") + 1),
+                               lambda a, b: F.round(a - b, 9))
+                    .alias("embedding")))
+
+
+def ivfpq_encode_under(corpus: DataFrame, coarse: list,
+                       books: list) -> DataFrame:
+    """Encode NEW vectors under a FROZEN index (no refit — the faiss
+    discipline for incremental index maintenance: codebooks are fixed
+    at build time, arrivals are assigned + residual-encoded under
+    them). Returns (vec_id, cell, codes) ready to append to the
+    cell-partitioned codes table."""
+    res = _ivfpq_residuals(corpus, coarse)
+    return (pq_encode(res, books)
+            .join(res.select("vec_id", F.col("cluster_id").alias("cell")),
+                  "vec_id")
+            .select("vec_id", "cell", "codes"))
 
 
 def _ivfpq_probes(queries: DataFrame, coarse: list,

@@ -284,3 +284,43 @@ def run_windowed_stream(spark: SparkSession, sf_dir: str,
                event_type, n, sum_value
         FROM windowed_events
     """)
+
+
+def run_index_ingest_stream(spark: SparkSession, landing_dir: str,
+                            index_path: str, checkpoint: str) -> DataFrame:
+    """Streaming maintenance of a landed IVFADC index (the streaming
+    layer x the ANN family): new embedding files arrive through a
+    landing directory; each micro-batch is deduplicated on vec_id,
+    encoded under the index's FROZEN codebooks (no refit — the faiss
+    discipline: codebooks fix at build time, arrivals are assigned +
+    residual-encoded under them), and APPENDED to the cell-partitioned
+    codes table — arrivals land straight into the inverted-list
+    directories a search prunes to. Trigger.AvailableNow drains the
+    backlog; the checkpoint makes re-runs resume, not re-encode.
+    Returns the index codes table after the drain."""
+    import json
+    import os
+
+    from ..operators.similarity_search import ivfpq_encode_under
+
+    with open(os.path.join(index_path, "_codebooks.json")) as fh:
+        cb = json.load(fh)
+    coarse, books = cb["coarse"], cb["books"]
+
+    stream = (spark.readStream
+              .schema(TESTDATA_SCHEMAS["embeddings"])
+              .option("maxFilesPerTrigger", 4)
+              .parquet(landing_dir)
+              .dropDuplicates(["vec_id"]))
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (ivfpq_encode_under(batch_df, coarse, books)
+         .write.mode("append").partitionBy("cell").parquet(index_path))
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    spark.catalog.refreshByPath(index_path)
+    return spark.read.parquet(index_path)

@@ -123,3 +123,51 @@ def test_ingest_stream_admits_no_duplicates(spark, tmp_path):
     n_out = corpus.count()
     assert 0 < n_out < n_in                 # admitted some, dropped some
     assert ngram_jaccard_pairs(corpus).count() == 0
+
+
+def test_index_ingest_stream_extends_landed_ann_index(spark, tmp_path):
+    """Streaming x ANN: new vectors stream into a landed IVFADC index
+    under its frozen codebooks — a planted twin of a query becomes
+    findable after the drain, streamed codes equal batch encoding
+    under the same codebooks, and in-stream duplicates land once."""
+    from database_convertor_spark.operators.similarity_search import (
+        ivfpq_encode_under,
+        land_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from database_convertor_spark.streaming.pipeline import (
+        run_index_ingest_stream,
+    )
+
+    emb = read_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") < 100)
+    path = os.path.join(tmp_path, "index")
+    coarse, books = land_ivfpq_index(emb, path, n_cells=4, m=4, ks=8,
+                                     n_iter=2)
+
+    base = read_table(spark, SF_SMALL, "embeddings")
+    twin = base.filter("vec_id = 1").select(
+        F.lit(9001).cast("long").alias("vec_id"), "embedding", "label")
+    newv = (base.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 160))
+            .unionByName(twin).unionByName(twin))   # in-stream duplicate
+    landing = os.path.join(tmp_path, "landing")
+    newv.write.parquet(landing)
+
+    after = run_index_ingest_stream(spark, landing, path,
+                                    os.path.join(tmp_path, "ckpt"))
+    assert after.count() == 100 + 60 + 1            # dup landed once
+
+    # streamed rows carry exactly the batch encoding under the frozen
+    # codebooks (cells + codes)
+    got = {r.vec_id: (r.cell, list(r.codes))
+           for r in after.filter("vec_id >= 100").collect()}
+    want = {r.vec_id: (r.cell, list(r.codes))
+            for r in ivfpq_encode_under(
+                newv.dropDuplicates(["vec_id"]), coarse, books).collect()}
+    assert got == want
+
+    # the planted twin shares the query's cell + codes -> minimal ADC
+    # distance, found by the FIRST probe
+    hits = search_ivfpq_index(spark, path, base.filter("vec_id = 1"),
+                              k=3, nprobe=1).collect()
+    assert 9001 in [r.neighbor_id for r in hits][:2]
