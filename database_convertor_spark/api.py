@@ -403,11 +403,15 @@ class Engine:
         return doc_bigram_logprob(documents, lam=lam)
 
     def search_documents(self, documents: DataFrame, query: str,
-                         top_k: int = 25) -> DataFrame:
+                         top_k: int = 25,
+                         snippets: bool = False) -> DataFrame:
         """BM25 ranked full-text search in-engine (the reference's ES
         match-query surface): one corpus scan, one-row stats
-        broadcast, TakeOrderedAndProject top-k."""
-        from .operators.search import bm25_search
+        broadcast, TakeOrderedAndProject top-k. With ``snippets``,
+        each hit carries an ES-style highlight window."""
+        from .operators.search import bm25_search, bm25_search_snippets
+        if snippets:
+            return bm25_search_snippets(documents, query, top_k=top_k)
         return bm25_search(documents, query, top_k=top_k)
 
     def keywords(self, documents: DataFrame, k: int = 3) -> DataFrame:

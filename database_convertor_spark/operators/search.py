@@ -131,6 +131,37 @@ def bm25_search(documents: DataFrame, query: str,
             .limit(top_k))
 
 
+def bm25_search_snippets(documents: DataFrame, query: str,
+                         k1: float = 1.2, b: float = 0.75,
+                         top_k: int = 25, window: int = 40) -> DataFrame:
+    """The full ES hit page: BM25 top-k PLUS a highlight snippet per
+    hit — ``window`` characters of context on each side of the first
+    occurrence of any query term (the reference renders exactly this
+    from ES highlight fields). The snippet expression evaluates on
+    ONLY the top_k rows: the ranked ids broadcast into a hash-join
+    probe of the corpus (text fetched for matching rows; the text
+    column never shuffles — a production deployment would serve this
+    point fetch from a keyed row store).
+
+    First-occurrence position = min over query terms of the term's
+    position in the lowercased text (term order breaks nothing: min is
+    order-free); the window clamps at the document start. Output:
+    (doc_id, n_tokens, bm25, snippet).
+    """
+    hits = bm25_search(documents, query, k1=k1, b=b, top_k=top_k)
+    terms = query_terms(query)
+    low = F.lower(F.col("text"))
+    positions = F.array_compact(F.array(*[
+        F.nullif(F.instr(low, term), F.lit(0)) for term in terms]))
+    pos = F.array_min(positions)
+    start = F.greatest(F.lit(1), pos - window)
+    snippet = F.when(pos.isNull(), F.lit(None).cast("string")) \
+        .otherwise(F.col("text").substr(start, F.lit(2 * window)))
+    return (F.broadcast(hits)
+            .join(documents.select("doc_id", "text"), "doc_id")
+            .select("doc_id", "n_tokens", "bm25", snippet.alias("snippet")))
+
+
 def tfidf_keywords(documents: DataFrame, k: int = 3) -> DataFrame:
     """Per-document top-k distinctive terms by TF-IDF — the ES
     "significant terms" idea applied per document (keyword extraction

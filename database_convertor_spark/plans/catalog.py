@@ -3656,10 +3656,13 @@ _add(
 
 
 # ===================================================== BM25 full-text search
-def _bm25_oracle(query: str, k1: float, b: float, top_k: int) -> str:
+def _bm25_oracle(query: str, k1: float, b: float, top_k: int,
+                 snippet_window: int | None = None) -> str:
     """DuckDB twin of search.bm25_search — same term order, same
     literal k1/b values, same fixed-order score fold, 4dp rounding IN
-    the ordering key."""
+    the ordering key. With ``snippet_window`` set, the hit page joins
+    back to the corpus and extracts the highlight snippet (twin of
+    bm25_search_snippets)."""
     terms = search.query_terms(query)
     m = len(terms)
     tf_cols = ",\n         ".join(
@@ -3674,7 +3677,7 @@ def _bm25_oracle(query: str, k1: float, b: float, top_k: int) -> str:
         f" + {k1!r} * ({1.0 - b!r} + {b!r} * CAST(dl AS DOUBLE)"
         f" / (sumdl / n)))" for i in range(m))
     matched = " + ".join(f"tf{i}" for i in range(m))
-    return f"""
+    core = f"""
     WITH base AS (
       SELECT doc_id, len(toks) AS dl,
          {tf_cols}
@@ -3684,12 +3687,31 @@ def _bm25_oracle(query: str, k1: float, b: float, top_k: int) -> str:
     stats AS (
       SELECT CAST(count(*) AS DOUBLE) AS n,
              CAST(sum(dl) AS DOUBLE) AS sumdl, {df_cols}
-      FROM base)
+      FROM base)"""
+    hit_sel = f"""
     SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
            round({parts}, 4) AS bm25
     FROM base CROSS JOIN stats
     WHERE {matched} > 0
-    ORDER BY bm25 DESC, doc_id LIMIT {top_k}
+    ORDER BY bm25 DESC, doc_id LIMIT {top_k}"""
+    if snippet_window is None:
+        return core + hit_sel + "\n    "
+    w = snippet_window
+    pos_list = ", ".join(
+        f"nullif(instr(lower(d.text), '{t}'), 0)" for t in terms)
+    return core + f""",
+    hits AS ({hit_sel}),
+    withpos AS (
+      SELECT h.doc_id, h.n_tokens, h.bm25,
+             list_min(list_filter([{pos_list}],
+                                  x -> x IS NOT NULL)) AS pos,
+             d.text
+      FROM hits h JOIN documents d USING (doc_id))
+    SELECT doc_id, n_tokens, bm25,
+           CASE WHEN pos IS NULL THEN NULL
+                ELSE substr(text, GREATEST(1, pos - {w}), {2 * w})
+           END AS snippet
+    FROM withpos
     """
 
 
@@ -3704,6 +3726,20 @@ _add(
     "ONE struct-accumulator array traversal — no explode, no "
     "corpus-sized shuffle; one-row stats broadcast; "
     "TakeOrderedAndProject top-k",
+)
+
+_add(
+    "doc_bm25_snippets",
+    lambda spark, sf: search.bm25_search_snippets(
+        *_t(spark, sf, "documents"), query="dup join scan", top_k=25,
+        window=40),
+    _bm25_oracle("dup join scan", k1=1.2, b=0.75, top_k=25,
+                 snippet_window=40),
+    "S5,S7,text-analysis",
+    "the full ES hit page: BM25 top-k + highlight snippet per hit "
+    "(context window around the first query-term occurrence); the "
+    "snippet evaluates on the top_k rows only — ranked ids broadcast "
+    "into a hash-join probe, the text column never shuffles",
 )
 
 _add(
@@ -3861,19 +3897,19 @@ _add(
 # refresh_edges_incremental) — all hard-green in CORRECTNESS_r05.
 _WINDOW_R6 = [
     # new + touched-first
-    "doc_bm25_search", "doc_tfidf_keywords", "ann_pq_topk",
-    "ann_pq_rerank", "ann_ivfpq_topk", "ann_hard_negatives",
-    "doc_bigram_logprob",
+    "doc_bm25_search", "doc_bm25_snippets", "doc_tfidf_keywords",
+    "ann_pq_topk", "ann_pq_rerank", "ann_ivfpq_topk",
+    "ann_hard_negatives", "doc_bigram_logprob",
     "doc_nb_quality", "multimodal_features_real",
     "doc_cross_dup_spans", "top_terms_two_pass", "corpus_curation_stats",
     # returning veterans (normal cadence; supplier_neighborhood,
     # event_props_extract, customer_tiering, order_date_dimensions,
-    # scalar_cleaning, hourly_event_rollup and automation_run_health
-    # pushed to r7 to make room for the new full-text search pair,
-    # the ANN additions and the bigram LM, which must window)
+    # scalar_cleaning, hourly_event_rollup, automation_run_health and
+    # user_sessions pushed to r7 to make room for the new search
+    # family, the ANN additions and the bigram LM, which must window)
     "pricing_summary", "market_segment_revenue", "order_stats_summary",
     "event_funnel", "top_orders_per_customer",
-    "distinct_customer_priorities", "user_sessions",
+    "distinct_customer_priorities",
     # held from the r5 window (changed-this-round members included)
     "ann_ivf_topk", "ann_ivf_multiprobe", "embedding_kmeans_clusters",
     "ann_ivf_kmeans", "doc_dup_spans", "doc_span_removal",

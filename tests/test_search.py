@@ -135,3 +135,32 @@ def test_tfidf_ubiquitous_term_scores_zero(spark):
 
 def test_tfidf_empty_doc_yields_no_rows(docs):
     assert tfidf_keywords(docs, k=3).filter("doc_id = 4").count() == 0
+
+
+def test_bm25_snippets_highlight_semantics(spark):
+    """Each hit carries a context window around the FIRST occurrence
+    of any query term: the snippet contains a query term, clamps at
+    the document start, and the hit set/order equals bm25_search."""
+    from database_convertor_spark.operators.search import (
+        bm25_search,
+        bm25_search_snippets,
+    )
+    docs = spark.createDataFrame(
+        [(1, "quick start of doc " + "pad " * 30),
+         (2, "pad " * 30 + "quick in the middle " + "pad " * 30),
+         (3, "no match here at all")],
+        ["doc_id", "text"])
+    got = {r.doc_id: r for r in
+           bm25_search_snippets(docs, "quick", top_k=5,
+                                window=10).collect()}
+    assert set(got) == {1, 2}
+    # doc 1: term at position 1 -> window clamps to the doc start
+    assert got[1].snippet.startswith("quick")
+    assert len(got[1].snippet) == 20
+    # doc 2: mid-doc occurrence -> 10 chars of left context
+    assert "quick" in got[2].snippet
+    assert not got[2].snippet.startswith("quick")
+    # scores/ids identical to the plain hit page
+    plain = {(r.doc_id, r.bm25) for r in
+             bm25_search(docs, "quick", top_k=5).collect()}
+    assert {(r.doc_id, r.bm25) for r in got.values()} == plain
