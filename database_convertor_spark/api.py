@@ -270,6 +270,13 @@ class Engine:
         from .pipelines.corpus import ingest_documents
         return ingest_documents(new_docs, corpus_docs, threshold)
 
+    def contamination_report(self, documents: DataFrame,
+                             benchmark: DataFrame) -> DataFrame:
+        """Per-doc contamination fraction vs a benchmark set (the
+        GPT-3 dirtiness measure behind the binary decontaminate)."""
+        from .operators.curation import contamination_fraction
+        return contamination_fraction(documents, benchmark)
+
     def decontaminate(self, documents: DataFrame, benchmark: DataFrame,
                       shingle_n: int = 5, min_shared: int = 1) -> DataFrame:
         """Drop corpus docs sharing word shingles with an eval set."""

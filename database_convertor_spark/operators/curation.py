@@ -65,6 +65,46 @@ def decontaminate(documents: DataFrame, benchmark: DataFrame,
     return documents.join(hits, "doc_id", "left_anti")
 
 
+def contamination_fraction(documents: DataFrame, benchmark: DataFrame,
+                           shingle_n: int = 5) -> DataFrame:
+    """The GPT-3 appendix-C "dirtiness" MEASURE (Brown et al. 2020 —
+    public methodology) behind the binary hit flag: per corpus doc,
+    the fraction of its DISTINCT word shingles that appear anywhere
+    in the benchmark set. The published discipline removes docs above
+    a dirtiness threshold and *reports* the residual overlap of what
+    stays — this is the reporting column.
+
+    Distributed shape: the doc shingle stream LEFT-joins the
+    DISTINCT benchmark shingle set on the 60-bit hash (benchmark
+    shingles are eval-set-sized — broadcastable in practice; the
+    join key is the hash either way, never text), then ONE
+    groupBy(doc_id) counts total and matched shingles — no doc x
+    bench pair ever materializes, unlike the hit table which is
+    per-pair by design.
+
+    Output: (doc_id, n_shingles, n_contaminated, contamination_frac
+    rounded 4dp; NULL for shingle-less docs).
+    """
+    d = _shingle_hashes(documents, "doc_id", shingle_n)
+    b = (_shingle_hashes(benchmark, "bench_id", shingle_n)
+         .select("_h").distinct().withColumn("_hit", F.lit(1)))
+    per = (d.join(b, "_h", "left")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long")
+                .alias("n_contaminated")))
+    frac = F.when(
+        F.col("n_shingles") > 0,
+        F.round(F.col("n_contaminated").cast("double")
+                / F.col("n_shingles"), 4))
+    return (documents.select("doc_id").join(per, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+                    F.coalesce("n_contaminated", F.lit(0))
+                    .alias("n_contaminated"),
+                    frac.alias("contamination_frac")))
+
+
 # -------------------------------------------------- boilerplate removal
 def remove_boilerplate_lines(documents: DataFrame,
                              min_docs: int = 5) -> DataFrame:

@@ -1062,6 +1062,56 @@ _add(
 )
 
 
+def _contamination_frac_demo(spark: SparkSession, sf: str) -> DataFrame:
+    docs, = _t(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = (docs.filter(F.col("doc_id") % 97 == 0)
+             .select(F.col("doc_id").alias("bench_id"), "text"))
+    return curation.contamination_fraction(corpus, bench, shingle_n=5)
+
+
+_add(
+    "benchmark_contamination_fraction",
+    _contamination_frac_demo,
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS tk
+      FROM documents),
+    hs AS (
+      SELECT doc_id,
+             list_distinct(list_transform({_SHINGLE5_SQL},
+                           s -> {_MD5_60.format(x='s')})) AS hl
+      FROM toks),
+    d AS (SELECT doc_id, unnest(hl) AS h FROM hs WHERE doc_id % 97 <> 0),
+    bset AS (SELECT DISTINCT unnest(hl) AS h FROM hs
+             WHERE doc_id % 97 = 0),
+    per AS (
+      SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_contaminated
+      FROM d LEFT JOIN bset b ON b.h = d.h
+      GROUP BY d.doc_id)
+    SELECT c.doc_id,
+           CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(coalesce(p.n_contaminated, 0) AS BIGINT)
+             AS n_contaminated,
+           CASE WHEN p.n_shingles > 0
+                THEN round(CAST(p.n_contaminated AS DOUBLE)
+                           / p.n_shingles, 4)
+           END AS contamination_frac
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) c
+    LEFT JOIN per p ON p.doc_id = c.doc_id
+    """,
+    "dedup,text-analysis",
+    "GPT-3 appendix-C dirtiness measure: per corpus doc, the fraction "
+    "of its distinct shingles found anywhere in the benchmark (doc "
+    "stream LEFT-joins the distinct benchmark shingle set on md5-60, "
+    "one groupBy — no doc x bench pairs)",
+)
+
+
 def _boilerplate_demo(spark: SparkSession, sf: str) -> DataFrame:
     """Boilerplate removal on driver tables: deterministic banner lines
     are injected (every doc gets a cookie banner; every 3rd doc a
@@ -3900,15 +3950,17 @@ _WINDOW_R6 = [
     "doc_bm25_search", "doc_bm25_snippets", "doc_tfidf_keywords",
     "ann_pq_topk", "ann_pq_rerank", "ann_ivfpq_topk",
     "ann_hard_negatives", "doc_bigram_logprob",
+    "benchmark_contamination_fraction",
     "doc_nb_quality", "multimodal_features_real",
     "doc_cross_dup_spans", "top_terms_two_pass", "corpus_curation_stats",
     # returning veterans (normal cadence; supplier_neighborhood,
     # event_props_extract, customer_tiering, order_date_dimensions,
-    # scalar_cleaning, hourly_event_rollup, automation_run_health and
-    # user_sessions pushed to r7 to make room for the new search
-    # family, the ANN additions and the bigram LM, which must window)
+    # scalar_cleaning, hourly_event_rollup, automation_run_health,
+    # user_sessions and event_funnel pushed to r7 to make room for the
+    # new search family, the ANN additions, the bigram LM and the
+    # contamination fraction, which must window)
     "pricing_summary", "market_segment_revenue", "order_stats_summary",
-    "event_funnel", "top_orders_per_customer",
+    "top_orders_per_customer",
     "distinct_customer_priorities",
     # held from the r5 window (changed-this-round members included)
     "ann_ivf_topk", "ann_ivf_multiprobe", "embedding_kmeans_clusters",

@@ -629,3 +629,30 @@ def test_unimax_allocation_invariants(spark):
     assert sum(r.allocated_tokens for r in capped.values()) < 3.0 * 420
     with pytest.raises(ValueError):
         unimax_allocation(docs, epoch_cap=0)
+
+
+def test_contamination_fraction_golden(spark):
+    """Pure-Python twin of the GPT-3 dirtiness measure: distinct
+    5-gram shingles per doc, fraction found in the benchmark set —
+    including the fully-dirty doc (frac 1.0), the clean doc (0.0),
+    and the short-doc whole-text shingle case."""
+    corpus = {
+        1: "a b c d e f",          # shingles: abcde, bcdef
+        2: "a b c d e",            # single shingle, in benchmark
+        3: "x y z w v u t",        # clean
+        4: "tiny",                 # < 5 tokens: one whole-text shingle
+    }
+    bench = {10: "a b c d e"}      # one shingle: abcde
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in corpus.items()], ["doc_id", "text"])
+    b = spark.createDataFrame(
+        [(i, t) for i, t in bench.items()], ["bench_id", "text"])
+    from database_convertor_spark.operators.curation import (
+        contamination_fraction,
+    )
+    got = {r.doc_id: (r.n_shingles, r.n_contaminated, r.contamination_frac)
+           for r in contamination_fraction(docs, b, shingle_n=5).collect()}
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (1, 1, 1.0)
+    assert got[3] == (3, 0, 0.0)
+    assert got[4] == (1, 0, 0.0)   # whole-text shingle, not in bench
