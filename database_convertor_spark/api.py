@@ -270,6 +270,13 @@ class Engine:
         from .pipelines.corpus import ingest_documents
         return ingest_documents(new_docs, corpus_docs, threshold)
 
+    def cap_sources(self, documents: DataFrame, cap: int,
+                    source_col: str = "source") -> DataFrame:
+        """Per-source frequency cap (RefinedWeb/C4 domain-dominance
+        discipline), deterministic md5-ranked keep."""
+        from .operators.curation import source_cap
+        return source_cap(documents, cap, source_col=source_col)
+
     def contamination_report(self, documents: DataFrame,
                              benchmark: DataFrame) -> DataFrame:
         """Per-doc contamination fraction vs a benchmark set (the

@@ -223,6 +223,51 @@ def _hash_gated_sample(docs: DataFrame, gates: DataFrame,
             .drop("_gate", "_stratum"))
 
 
+def source_cap(documents: DataFrame, cap: int,
+               source_col: str = "source",
+               oversample: int = 8, salt: str = "srccap") -> DataFrame:
+    """Per-source frequency capping (the RefinedWeb/C4 discipline:
+    no single domain may dominate the corpus — public methodology):
+    keep at most ``cap`` documents per source, chosen
+    deterministically by md5 rank (engine- and run-reproducible, like
+    every sampler in this family).
+
+    Scale shape — two phases so no single reducer ever sorts a
+    mega-source:
+      1. RATE GATE: each over-cap source is first thinned by the
+         deterministic md5 gate to an EXPECTED ``cap * oversample``
+         survivors (pure filter, per-source rates broadcast from one
+         tiny count aggregate) — so the window below holds
+         ~cap*oversample rows per source no matter how skewed the
+         source distribution is (a 10%-of-corpus domain arrives at
+         phase 2 pre-thinned, not as one giant sort partition);
+      2. EXACT CAP: row_number per source ordered by (md5, doc_id)
+         keeps the first ``cap``.
+    Sources at or under cap pass phase 1 whole (gate = 1.0). The gate
+    can in principle leave fewer than ``cap`` survivors for an
+    over-cap source; at the default oversample=8 the shortfall
+    probability is Chernoff-negligible, and it is deterministic —
+    raise ``oversample`` for stricter fills.
+
+    Output: the capped documents (all input columns).
+    """
+    docs = documents.withColumn("_src", F.col(source_col))
+    counts = docs.groupBy("_src").agg(F.count(F.lit(1)).alias("_n"))
+    frac = F.round(F.least(
+        F.lit(1.0),
+        F.lit(float(cap * oversample)) / F.col("_n")), 6)
+    gates = counts.select(
+        "_src", F.round(frac * 1_000_000, 0).cast("long").alias("_gate"))
+    h = md5_long(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
+    surv = (docs.join(F.broadcast(gates), "_src")
+            .filter((h % 1_000_000) < F.col("_gate"))
+            .withColumn("_h", h))
+    w = Window.partitionBy("_src").orderBy("_h", "doc_id")
+    return (surv.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap)
+            .drop("_src", "_gate", "_h", "_rn"))
+
+
 def temperature_sample(documents: DataFrame, alpha: float = 0.5,
                        stratum_col: str = "lang",
                        salt: str = "temp",

@@ -1111,6 +1111,39 @@ _add(
     "one groupBy — no doc x bench pairs)",
 )
 
+_add(
+    "corpus_source_cap",
+    lambda spark, sf: curation.source_cap(
+        _t(spark, sf, "documents")[0], cap=10).select("doc_id", "source"),
+    f"""
+    WITH counts AS (
+      SELECT source, count(*) AS n FROM documents GROUP BY source),
+    gates AS (
+      SELECT source,
+             CAST(round(round(LEAST(1.0, 80.0 / n), 6) * 1000000, 0)
+                  AS BIGINT) AS gate
+      FROM counts),
+    surv AS (
+      SELECT d.doc_id, d.source,
+             {_MD5_60.format(
+                 x="'srccap' || CAST(d.doc_id AS VARCHAR)")} AS h
+      FROM documents d JOIN gates g ON g.source = d.source
+      WHERE ({_MD5_60.format(
+                 x="'srccap' || CAST(d.doc_id AS VARCHAR)")}
+             % 1000000) < g.gate)
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY h, doc_id) AS rn
+      FROM surv) WHERE rn <= 10
+    """,
+    "pipeline,text-analysis",
+    "per-source frequency cap (RefinedWeb/C4 domain-dominance "
+    "discipline): deterministic md5-ranked keep of at most cap docs "
+    "per source; a rate-gate prefilter bounds every window partition "
+    "at ~cap*oversample rows so mega-sources never hit one reducer",
+)
+
 
 def _boilerplate_demo(spark: SparkSession, sf: str) -> DataFrame:
     """Boilerplate removal on driver tables: deterministic banner lines
@@ -3950,18 +3983,18 @@ _WINDOW_R6 = [
     "doc_bm25_search", "doc_bm25_snippets", "doc_tfidf_keywords",
     "ann_pq_topk", "ann_pq_rerank", "ann_ivfpq_topk",
     "ann_hard_negatives", "doc_bigram_logprob",
-    "benchmark_contamination_fraction",
+    "benchmark_contamination_fraction", "corpus_source_cap",
     "doc_nb_quality", "multimodal_features_real",
     "doc_cross_dup_spans", "top_terms_two_pass", "corpus_curation_stats",
     # returning veterans (normal cadence; supplier_neighborhood,
     # event_props_extract, customer_tiering, order_date_dimensions,
     # scalar_cleaning, hourly_event_rollup, automation_run_health,
-    # user_sessions and event_funnel pushed to r7 to make room for the
-    # new search family, the ANN additions, the bigram LM and the
-    # contamination fraction, which must window)
+    # user_sessions, event_funnel and distinct_customer_priorities
+    # pushed to r7 to make room for the new search family, the ANN
+    # additions, the bigram LM, the contamination fraction and the
+    # source cap, which must window)
     "pricing_summary", "market_segment_revenue", "order_stats_summary",
     "top_orders_per_customer",
-    "distinct_customer_priorities",
     # held from the r5 window (changed-this-round members included)
     "ann_ivf_topk", "ann_ivf_multiprobe", "embedding_kmeans_clusters",
     "ann_ivf_kmeans", "doc_dup_spans", "doc_span_removal",

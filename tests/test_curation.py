@@ -656,3 +656,26 @@ def test_contamination_fraction_golden(spark):
     assert got[2] == (1, 1, 1.0)
     assert got[3] == (3, 0, 0.0)
     assert got[4] == (1, 0, 0.0)   # whole-text shingle, not in bench
+
+
+def test_source_cap_semantics_and_gate_engagement(spark):
+    """Cap discipline: every source lands <= cap docs; under-cap
+    sources keep everything; a mega-source engages the rate-gate
+    prefilter (gate < 1e6) yet still fills the cap at the default
+    oversample; two runs agree row-for-row (determinism)."""
+    from pyspark.sql import functions as F
+
+    from database_convertor_spark.operators.curation import source_cap
+
+    rows = ([(i, "mega") for i in range(400)]
+            + [(1000 + i, "small") for i in range(3)])
+    docs = spark.createDataFrame(rows, ["doc_id", "source"]) \
+        .withColumn("text", F.lit("x"))
+    got = source_cap(docs, cap=10).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by_src["mega"]) == 10       # gate (80/400) still fills cap
+    assert by_src["small"] == {1000, 1001, 1002}
+    again = source_cap(docs, cap=10).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
