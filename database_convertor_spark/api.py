@@ -409,6 +409,12 @@ class Engine:
         from .operators.text_analysis import doc_lm_logprob
         return doc_lm_logprob(documents)
 
+    def vocab_report(self, documents: DataFrame) -> DataFrame:
+        """Per-language vocabulary QA report (type-token ratio, hapax
+        fraction, top-token share)."""
+        from .operators.text_analysis import vocab_stats_by_lang
+        return vocab_stats_by_lang(documents)
+
     def bigram_logprob(self, documents: DataFrame,
                        lam: float = 0.75) -> DataFrame:
         """Per-doc mean log-prob under a JM-interpolated bigram LM

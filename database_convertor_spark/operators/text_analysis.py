@@ -82,6 +82,45 @@ def token_stats_by_lang(documents: DataFrame) -> DataFrame:
                  F.round(F.avg("_n"), 4).alias("avg_tokens")))
 
 
+def vocab_stats_by_lang(documents: DataFrame) -> DataFrame:
+    """Per-language VOCABULARY statistics — the corpus-QA numbers a
+    training-data report leads with (a collapsing type-token ratio or
+    an exploding hapax fraction is the classic symptom of boilerplate
+    flooding or tokenizer breakage):
+
+      n_tokens          total token occurrences
+      n_types           distinct tokens (vocabulary size)
+      type_token_ratio  n_types / n_tokens
+      hapax_frac        fraction of the vocabulary occurring once
+      top_share         most frequent token's share of occurrences
+                        (ties irrelevant: max by count)
+
+    Distributed shape: one explode into a (lang, token) word-count
+    (map-side combining; the Zipf head combines before the shuffle),
+    then ONE per-language aggregate over the vocabulary-sized frame —
+    the corpus is scanned once and nothing wider than (lang, token,
+    count) shuffles.
+    Reference has no analog (beyond-reference training-data operator).
+    """
+    from ..functions.text import tokens as _tokens
+
+    tf = (documents.select(
+        "lang", F.explode(_tokens(F.lower(F.col("text")))).alias("_tok"))
+        .groupBy("lang", "_tok")
+        .agg(F.count(F.lit(1)).alias("_c")))
+    return (tf.groupBy("lang")
+            .agg(F.sum("_c").cast("long").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("long").alias("n_types"),
+                 F.round(F.count(F.lit(1))
+                         / F.sum("_c").cast("double"), 4)
+                 .alias("type_token_ratio"),
+                 F.round(F.sum(F.when(F.col("_c") == 1, 1).otherwise(0))
+                         / F.count(F.lit(1)).cast("double"), 4)
+                 .alias("hapax_frac"),
+                 F.round(F.max("_c") / F.sum("_c").cast("double"), 4)
+                 .alias("top_share")))
+
+
 def repetition_signals(documents: DataFrame,
                        top_ns: tuple[int, ...] = (2, 3),
                        dup_ns: tuple[int, ...] = (5,)) -> DataFrame:

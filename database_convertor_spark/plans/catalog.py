@@ -2019,6 +2019,33 @@ _add(
     "corpus token statistics per language",
 )
 
+_add(
+    "corpus_vocab_stats",
+    lambda spark, sf: text_analysis.vocab_stats_by_lang(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH tf AS (
+      SELECT lang, tok, count(*) AS c
+      FROM (SELECT lang,
+                   unnest({_TOKS_ALL.format(c='lower(text)')}) AS tok
+            FROM documents)
+      GROUP BY lang, tok)
+    SELECT lang,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(count(*) / CAST(sum(c) AS DOUBLE), 4)
+             AS type_token_ratio,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 4) AS hapax_frac,
+           round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_share
+    FROM tf GROUP BY lang
+    """,
+    "text-analysis,A4",
+    "per-language vocabulary QA report (type-token ratio, hapax "
+    "fraction, top-token share): one word-count-shaped explode, one "
+    "per-language aggregate over the vocabulary-sized frame",
+)
+
 # ============================================================== fingerprints
 _add(
     "doc_fingerprints",
@@ -3984,16 +4011,18 @@ _WINDOW_R6 = [
     "ann_pq_topk", "ann_pq_rerank", "ann_ivfpq_topk",
     "ann_hard_negatives", "doc_bigram_logprob",
     "benchmark_contamination_fraction", "corpus_source_cap",
+    "corpus_vocab_stats",
     "doc_nb_quality", "multimodal_features_real",
     "doc_cross_dup_spans", "top_terms_two_pass", "corpus_curation_stats",
     # returning veterans (normal cadence; supplier_neighborhood,
     # event_props_extract, customer_tiering, order_date_dimensions,
     # scalar_cleaning, hourly_event_rollup, automation_run_health,
-    # user_sessions, event_funnel and distinct_customer_priorities
-    # pushed to r7 to make room for the new search family, the ANN
-    # additions, the bigram LM, the contamination fraction and the
-    # source cap, which must window)
-    "pricing_summary", "market_segment_revenue", "order_stats_summary",
+    # user_sessions, event_funnel, distinct_customer_priorities and
+    # order_stats_summary pushed to r7 to make room for the new search
+    # family, the ANN additions, the bigram LM, the contamination
+    # fraction, the source cap and the vocab report, which must
+    # window)
+    "pricing_summary", "market_segment_revenue",
     "top_orders_per_customer",
     # held from the r5 window (changed-this-round members included)
     "ann_ivf_topk", "ann_ivf_multiprobe", "embedding_kmeans_clusters",

@@ -572,3 +572,23 @@ def test_bigram_logprob_matches_python_reference(spark):
            for r in doc_bigram_logprob(docs).collect()}
     assert got == expect
     assert got[1][1] > got[3][1]    # order carries the signal
+
+
+def test_vocab_stats_golden(spark):
+    """Pure-Python twin of the per-language vocabulary QA report,
+    including the hapax and top-share edges."""
+    from database_convertor_spark.operators.text_analysis import (
+        vocab_stats_by_lang,
+    )
+    docs = spark.createDataFrame(
+        [(1, "en", "a a a b c"),        # 5 tokens, 3 types, hapax b c
+         (2, "en", "a d"),              # d hapax
+         (3, "fr", "x x")],
+        ["doc_id", "lang", "text"])
+    got = {r.lang: (r.n_tokens, r.n_types, r.type_token_ratio,
+                    r.hapax_frac, r.top_share)
+           for r in vocab_stats_by_lang(docs).collect()}
+    # en: tokens a*4 b c d -> 7 occurrences, 4 types, 3 hapax, top a=4/7
+    assert got["en"] == (7, 4, round(4 / 7, 4), 0.75, round(4 / 7, 4))
+    # fr: x x -> 2 occ, 1 type, 0 hapax, top 1.0
+    assert got["fr"] == (2, 1, 0.5, 0.0, 1.0)
