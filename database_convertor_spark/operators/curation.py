@@ -85,7 +85,11 @@ def contamination_fraction(documents: DataFrame, benchmark: DataFrame,
     Output: (doc_id, n_shingles, n_contaminated, contamination_frac
     rounded 4dp; NULL for shingle-less docs).
     """
-    d = _shingle_hashes(documents, "doc_id", shingle_n)
+    # NULL-text docs produce a single NULL hash from the whole-text
+    # shingle branch — filter it so they report (0, 0, NULL) like the
+    # docstring (and the serial oracle, whose unnest drops them) says
+    d = _shingle_hashes(documents, "doc_id", shingle_n).filter(
+        F.col("_h").isNotNull())
     b = (_shingle_hashes(benchmark, "bench_id", shingle_n)
          .select("_h").distinct().withColumn("_hit", F.lit(1)))
     per = (d.join(b, "_h", "left")
@@ -247,7 +251,12 @@ def source_cap(documents: DataFrame, cap: int,
     can in principle leave fewer than ``cap`` survivors for an
     over-cap source; at the default oversample=8 the shortfall
     probability is Chernoff-negligible, and it is deterministic —
-    raise ``oversample`` for stricter fills.
+    raise ``oversample`` for stricter fills. The gate is floored at 1
+    (keep rate 1e-6): without the floor, a source past
+    ~cap*oversample*2e6 docs would round its rate to ZERO and be
+    dropped entirely instead of capped — the floored gate still
+    expects >= cap survivors for any source the 60-bit hash can
+    address.
 
     Output: the capped documents (all input columns).
     """
@@ -257,7 +266,9 @@ def source_cap(documents: DataFrame, cap: int,
         F.lit(1.0),
         F.lit(float(cap * oversample)) / F.col("_n")), 6)
     gates = counts.select(
-        "_src", F.round(frac * 1_000_000, 0).cast("long").alias("_gate"))
+        "_src", F.greatest(
+            F.lit(1).cast("long"),
+            F.round(frac * 1_000_000, 0).cast("long")).alias("_gate"))
     h = md5_long(F.concat(F.lit(salt), F.col("doc_id").cast("string")))
     surv = (docs.join(F.broadcast(gates), "_src")
             .filter((h % 1_000_000) < F.col("_gate"))

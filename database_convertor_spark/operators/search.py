@@ -135,9 +135,14 @@ def bm25_search_snippets(documents: DataFrame, query: str,
                          k1: float = 1.2, b: float = 0.75,
                          top_k: int = 25, window: int = 40) -> DataFrame:
     """The full ES hit page: BM25 top-k PLUS a highlight snippet per
-    hit — ``window`` characters of context on each side of the first
-    occurrence of any query term (the reference renders exactly this
-    from ES highlight fields). The snippet expression evaluates on
+    hit — a FIXED ``2 * window``-character excerpt starting ``window``
+    characters before the first occurrence of any query term (the
+    same fixed-fragment semantics as ES's highlighter
+    ``fragment_size``: the budget is a character count, so a term
+    longer than ``window`` is excerpted from its start, not padded —
+    size ``window`` to the longest query term when that matters; the
+    reference renders exactly these fragments from ES highlight
+    fields). The snippet expression evaluates on
     ONLY the top_k rows: the ranked ids broadcast into a hash-join
     probe of the corpus (text fetched for matching rows; the text
     column never shuffles — a production deployment would serve this
@@ -145,7 +150,7 @@ def bm25_search_snippets(documents: DataFrame, query: str,
 
     First-occurrence position = min over query terms of the term's
     position in the lowercased text (term order breaks nothing: min is
-    order-free); the window clamps at the document start. Output:
+    order-free); the excerpt clamps at the document start. Output:
     (doc_id, n_tokens, bm25, snippet).
     """
     hits = bm25_search(documents, query, k1=k1, b=b, top_k=top_k)

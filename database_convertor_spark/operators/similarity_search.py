@@ -395,10 +395,17 @@ def hard_negatives(queries: DataFrame, corpus: DataFrame, k: int = 5,
     shortlist from ``ann_pq_topk``/``ivf_topk`` instead of the exact
     scorer — the band logic is unchanged.
 
-    Output: (query_id, neighbor_id, rank, cosine).
+    Output: (query_id, neighbor_id, rank, cosine). Inputs need only
+    (vec_id, embedding) — no label column (shortlist-produced anchor
+    frames don't carry one).
     Reference has no analog (beyond-reference training-data operator).
     """
-    q, c = _scored_pairs(queries, corpus)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"))
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"))
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id"))
     sim = F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 4)
@@ -615,7 +622,7 @@ def ivfpq_fit_encode(corpus: DataFrame, n_cells: int = 8, m: int = 4,
     lands partitioned by cell (``land_ivfpq_index``)."""
     coarse, _ = kmeans_fit(corpus, k=n_cells, n_iter=n_iter)
     coarse = [[round(x, 9) for x in c] for c in coarse]
-    res = _ivfpq_residuals(corpus, coarse)
+    res = _ivfpq_residuals(corpus, coarse, slot="ivfpq_res_fit")
     books = pq_fit(res, m=m, ks=ks, n_iter=n_iter)
     codes = (pq_encode(res, books)
              .join(res.select("vec_id", F.col("cluster_id").alias("cell")),
@@ -624,18 +631,28 @@ def ivfpq_fit_encode(corpus: DataFrame, n_cells: int = 8, m: int = 4,
     return coarse, books, codes
 
 
-def _ivfpq_residuals(corpus: DataFrame, coarse: list) -> DataFrame:
+def _ivfpq_residuals(corpus: DataFrame, coarse: list,
+                     slot: str = "ivfpq_res") -> DataFrame:
     """(vec_id, cluster_id, embedding=9dp-rounded residual) under a
-    fixed coarse codebook."""
+    fixed coarse codebook. PERSISTED (session slot): the residual
+    frame feeds every PQ sub-fit (m slices x n_iter passes), the
+    encode pass, and the cell join — without the persist, each of
+    those re-runs the assignment GEMM + corpus join from scratch
+    (m+2 full corpus-residual computations where one suffices)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..plans.persist_slots import swap_persisted
+
     assign = kmeans_assign(corpus, coarse)
     coarse_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in coarse])
-    return (corpus.join(assign, "vec_id")
-            .select("vec_id", "cluster_id",
-                    F.zip_with(F.col("embedding").cast("array<double>"),
-                               F.element_at(coarse_lit,
-                                            F.col("cluster_id") + 1),
-                               lambda a, b: F.round(a - b, 9))
-                    .alias("embedding")))
+    res = (corpus.join(assign, "vec_id")
+           .select("vec_id", "cluster_id",
+                   F.zip_with(F.col("embedding").cast("array<double>"),
+                              F.element_at(coarse_lit,
+                                           F.col("cluster_id") + 1),
+                              lambda a, b: F.round(a - b, 9))
+                   .alias("embedding")))
+    return swap_persisted(slot, res.persist(StorageLevel.MEMORY_AND_DISK))
 
 
 def ivfpq_encode_under(corpus: DataFrame, coarse: list,
@@ -645,7 +662,7 @@ def ivfpq_encode_under(corpus: DataFrame, coarse: list,
     at build time, arrivals are assigned + residual-encoded under
     them). Returns (vec_id, cell, codes) ready to append to the
     cell-partitioned codes table."""
-    res = _ivfpq_residuals(corpus, coarse)
+    res = _ivfpq_residuals(corpus, coarse, slot="ivfpq_res_under")
     return (pq_encode(res, books)
             .join(res.select("vec_id", F.col("cluster_id").alias("cell")),
                   "vec_id")
@@ -737,12 +754,27 @@ def land_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 8,
     import json
     import os
 
+    _require_local_index_path(path)
     coarse, books, codes = ivfpq_fit_encode(corpus, n_cells=n_cells,
                                             m=m, ks=ks, n_iter=n_iter)
     codes.write.mode("overwrite").partitionBy("cell").parquet(path)
     with open(os.path.join(path, "_codebooks.json"), "w") as fh:
         json.dump({"coarse": coarse, "books": books}, fh)
     return coarse, books
+
+
+def _require_local_index_path(path: str) -> None:
+    """The codebook sidecar is read/written with local-file I/O; a
+    URI-scheme path (hdfs://, s3a://, ...) would land the parquet
+    remotely and then fail (or silently divorce) the sidecar — refuse
+    up front. A production deployment stores the codebooks in the
+    table's metadata/catalog instead of a sidecar file."""
+    if "://" in path:
+        raise NotImplementedError(
+            "IVFPQ index paths must be local-filesystem paths in this "
+            "environment: the codebook sidecar (_codebooks.json) uses "
+            "local file I/O. For an object-store/HDFS deployment, keep "
+            "the codebooks in the table metadata/catalog instead.")
 
 
 def search_ivfpq_index(spark, path: str, queries: DataFrame, k: int = 5,
@@ -756,6 +788,7 @@ def search_ivfpq_index(spark, path: str, queries: DataFrame, k: int = 5,
     import json
     import os
 
+    _require_local_index_path(path)
     with open(os.path.join(path, "_codebooks.json")) as fh:
         cb = json.load(fh)
     coarse, books = cb["coarse"], cb["books"]

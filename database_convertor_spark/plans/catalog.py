@@ -1120,8 +1120,9 @@ _add(
       SELECT source, count(*) AS n FROM documents GROUP BY source),
     gates AS (
       SELECT source,
-             CAST(round(round(LEAST(1.0, 80.0 / n), 6) * 1000000, 0)
-                  AS BIGINT) AS gate
+             GREATEST(CAST(1 AS BIGINT),
+                      CAST(round(round(LEAST(1.0, 80.0 / n), 6)
+                                 * 1000000, 0) AS BIGINT)) AS gate
       FROM counts),
     surv AS (
       SELECT d.doc_id, d.source,

@@ -301,8 +301,12 @@ def run_index_ingest_stream(spark: SparkSession, landing_dir: str,
     import json
     import os
 
-    from ..operators.similarity_search import ivfpq_encode_under
+    from ..operators.similarity_search import (
+        _require_local_index_path,
+        ivfpq_encode_under,
+    )
 
+    _require_local_index_path(index_path)
     with open(os.path.join(index_path, "_codebooks.json")) as fh:
         cb = json.load(fh)
     coarse, books = cb["coarse"], cb["books"]

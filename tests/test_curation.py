@@ -679,3 +679,39 @@ def test_source_cap_semantics_and_gate_engagement(spark):
     assert by_src["small"] == {1000, 1001, 1002}
     again = source_cap(docs, cap=10).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_source_cap_gate_floor_never_drops_a_mega_source(spark):
+    """Regression (round-6 review): a source so large that its keep
+    rate rounds to zero at 6dp (n > cap*oversample*2e6) must still be
+    CAPPED, not dropped — the gate floors at 1 (keep rate 1e-6).
+    2.1M docs at cap=1, oversample=1: rate 1/2.1M rounds to 0.0; the
+    floored gate admits the 3 ids whose md5 lands on residue 0, and
+    the window keeps the first."""
+    from pyspark.sql import functions as F
+
+    from database_convertor_spark.operators.curation import source_cap
+
+    docs = (spark.range(2_100_000)
+            .select(F.col("id").alias("doc_id"),
+                    F.lit("mega").alias("source")))
+    got = source_cap(docs, cap=1, oversample=1).collect()
+    assert len(got) == 1                 # capped, NOT dropped
+    assert got[0].doc_id in {614145, 868960, 1478385}
+
+
+def test_contamination_fraction_null_text_doc(spark):
+    """Regression (round-6 review): a NULL-text doc reports
+    (0, 0, NULL) — matching the serial oracle, whose unnest drops the
+    NULL shingle — instead of counting one NULL-hash shingle."""
+    from database_convertor_spark.operators.curation import (
+        contamination_fraction,
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None)], ["doc_id", "text"])
+    bench = spark.createDataFrame([(10, "a b c d e")],
+                                  ["bench_id", "text"])
+    got = {r.doc_id: (r.n_shingles, r.n_contaminated, r.contamination_frac)
+           for r in contamination_fraction(docs, bench).collect()}
+    assert got[2] == (0, 0, None)
+    assert got[1] == (1, 1, 1.0)

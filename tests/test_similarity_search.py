@@ -369,3 +369,37 @@ def test_landed_ivfpq_index_prunes_partitions_and_matches(spark, tmp_path):
     import os
     cells = [d for d in os.listdir(path) if d.startswith("cell=")]
     assert len(cells) >= 2            # the inverted lists ARE the layout
+
+
+def test_hard_negatives_needs_no_label_column(spark):
+    """Regression (round-6 review): anchor/corpus frames with only
+    (vec_id, embedding) — e.g. an ANN shortlist — must work; the
+    operator must not demand a label column it never uses."""
+    from database_convertor_spark.operators.similarity_search import (
+        hard_negatives,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings") \
+        .select("vec_id", "embedding").filter(F.col("vec_id") < 40)
+    got = hard_negatives(emb.filter("vec_id < 2"), emb,
+                         k=5, lo=0.0, hi=0.3).collect()
+    assert got
+    for r in got:
+        assert 0.0 <= r.cosine < 0.3
+
+
+def test_index_path_guard_refuses_uri_schemes(spark, tmp_path):
+    """Regression (round-6 review): the codebook sidecar is local-file
+    I/O — URI-scheme index paths must be refused up front, not fail
+    halfway with a landed-but-unsearchable index."""
+    import pytest
+
+    from database_convertor_spark.operators.similarity_search import (
+        land_ivfpq_index,
+        search_ivfpq_index,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") < 30)
+    with pytest.raises(NotImplementedError, match="local-filesystem"):
+        land_ivfpq_index(emb, "s3a://bucket/index")
+    with pytest.raises(NotImplementedError, match="local-filesystem"):
+        search_ivfpq_index(spark, "hdfs://nn/index", emb.limit(1))
