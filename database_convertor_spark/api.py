@@ -270,6 +270,12 @@ class Engine:
         from .pipelines.corpus import ingest_documents
         return ingest_documents(new_docs, corpus_docs, threshold)
 
+    def diff_corpus(self, old: DataFrame, new: DataFrame) -> DataFrame:
+        """Snapshot diff by content fingerprint: added / removed /
+        modified (migration verification)."""
+        from .operators.curation import corpus_diff
+        return corpus_diff(old, new)
+
     def cap_sources(self, documents: DataFrame, cap: int,
                     source_col: str = "source") -> DataFrame:
         """Per-source frequency cap (RefinedWeb/C4 domain-dominance

@@ -227,6 +227,45 @@ def _hash_gated_sample(docs: DataFrame, gates: DataFrame,
             .drop("_gate", "_stratum"))
 
 
+def corpus_diff(old: DataFrame, new: DataFrame,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Snapshot diff between two corpus versions — the migration-
+    verification pass the reference's conversion workflows imply
+    (after any batch rewrite/re-crawl: what was added, what vanished,
+    what changed in place?). Rows are compared by CONTENT FINGERPRINT
+    (whitespace-normalized md5, the dedup family's key), not raw
+    text, so a 100 TB diff shuffles two narrow (id, 32-char) frames:
+
+      added      id only in ``new``
+      removed    id only in ``old``
+      modified   id in both, fingerprints differ
+
+    Unchanged rows are omitted (at corpus scale they are the bulk —
+    emitting them would make the diff as large as the corpus). One
+    full-outer equi-join on the id, pure column expressions after.
+
+    Output: (<id_col>, change in {'added','removed','modified'},
+    old_fp, new_fp) — fingerprints NULL on the missing side.
+    Reference analog: the migration key-remap verification
+    (SURVEY J9; sources/sqlite.py migrates, this audits).
+    """
+    from ..functions.text import fingerprint
+
+    o = old.select(F.col(id_col), fingerprint(F.col(text_col))
+                   .alias("old_fp"))
+    n = new.select(F.col(id_col), fingerprint(F.col(text_col))
+                   .alias("new_fp"))
+    change = (F.when(F.col("old_fp").isNull(), F.lit("added"))
+              .when(F.col("new_fp").isNull(), F.lit("removed"))
+              .when(F.col("old_fp") != F.col("new_fp"),
+                    F.lit("modified")))
+    return (o.join(n, id_col, "full_outer")
+            .withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(id_col, "change", "old_fp", "new_fp"))
+
+
 def source_cap(documents: DataFrame, cap: int,
                source_col: str = "source",
                oversample: int = 8, salt: str = "srccap") -> DataFrame:

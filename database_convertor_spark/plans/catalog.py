@@ -2020,6 +2020,55 @@ _add(
     "corpus token statistics per language",
 )
 
+def _corpus_diff_demo(spark: SparkSession, sf: str) -> DataFrame:
+    """Diff two deterministic snapshots of the documents table: the
+    'old' version lacks every doc_id % 7 == 3 row (added later) and
+    carries a ' v1' suffix on doc_id % 11 == 0 texts (modified since);
+    the 'new' version lacks doc_id % 13 == 5 rows (removed)."""
+    docs, = _t(spark, sf, "documents")
+    old = (docs.filter(F.col("doc_id") % 7 != 3)
+           .withColumn("text", F.when(F.col("doc_id") % 11 == 0,
+                                      F.concat(F.col("text"),
+                                               F.lit(" v1")))
+                       .otherwise(F.col("text"))))
+    new = docs.filter(F.col("doc_id") % 13 != 5)
+    return curation.corpus_diff(old, new)
+
+
+_add(
+    "corpus_snapshot_diff",
+    _corpus_diff_demo,
+    """
+    WITH o AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(
+               CASE WHEN doc_id % 11 = 0 THEN text || ' v1'
+                    ELSE text END), '\\s+', ' ', 'g'))) AS old_fp
+      FROM documents WHERE doc_id % 7 <> 3),
+    n AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS new_fp
+      FROM documents WHERE doc_id % 13 <> 5)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.old_fp IS NULL THEN 'added'
+                WHEN n.new_fp IS NULL THEN 'removed'
+                WHEN o.old_fp <> n.new_fp THEN 'modified'
+           END AS change,
+           o.old_fp, n.new_fp
+    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+    WHERE (CASE WHEN o.old_fp IS NULL THEN 'added'
+                WHEN n.new_fp IS NULL THEN 'removed'
+                WHEN o.old_fp <> n.new_fp THEN 'modified'
+           END) IS NOT NULL
+    """,
+    "J9,pipeline",
+    "corpus snapshot diff (migration verification): added / removed "
+    "/ modified by content fingerprint — ONE full-outer equi-join of "
+    "two narrow (id, fp) frames, unchanged bulk omitted",
+)
+
+
 _add(
     "corpus_vocab_stats",
     lambda spark, sf: text_analysis.vocab_stats_by_lang(
@@ -4012,19 +4061,18 @@ _WINDOW_R6 = [
     "ann_pq_topk", "ann_pq_rerank", "ann_ivfpq_topk",
     "ann_hard_negatives", "doc_bigram_logprob",
     "benchmark_contamination_fraction", "corpus_source_cap",
-    "corpus_vocab_stats",
+    "corpus_vocab_stats", "corpus_snapshot_diff",
     "doc_nb_quality", "multimodal_features_real",
     "doc_cross_dup_spans", "top_terms_two_pass", "corpus_curation_stats",
     # returning veterans (normal cadence; supplier_neighborhood,
     # event_props_extract, customer_tiering, order_date_dimensions,
     # scalar_cleaning, hourly_event_rollup, automation_run_health,
-    # user_sessions, event_funnel, distinct_customer_priorities and
-    # order_stats_summary pushed to r7 to make room for the new search
-    # family, the ANN additions, the bigram LM, the contamination
-    # fraction, the source cap and the vocab report, which must
-    # window)
+    # user_sessions, event_funnel, distinct_customer_priorities,
+    # order_stats_summary and top_orders_per_customer pushed to r7 to
+    # make room for the new search family, the ANN additions, the
+    # bigram LM, the contamination fraction, the source cap, the
+    # vocab report and the snapshot diff, which must window)
     "pricing_summary", "market_segment_revenue",
-    "top_orders_per_customer",
     # held from the r5 window (changed-this-round members included)
     "ann_ivf_topk", "ann_ivf_multiprobe", "embedding_kmeans_clusters",
     "ann_ivf_kmeans", "doc_dup_spans", "doc_span_removal",

@@ -715,3 +715,24 @@ def test_contamination_fraction_null_text_doc(spark):
            for r in contamination_fraction(docs, bench).collect()}
     assert got[2] == (0, 0, None)
     assert got[1] == (1, 1, 1.0)
+
+
+def test_corpus_diff_semantics(spark):
+    """added / removed / modified classification by content
+    fingerprint; whitespace-only rewrites are NOT modifications
+    (fingerprints normalize whitespace); unchanged rows are omitted."""
+    from database_convertor_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma"), (3, "delta")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(1, "alpha   beta"),      # whitespace-only: unchanged
+         (2, "gamma REVISED"),     # modified
+         (4, "epsilon")],          # added; 3 removed
+        ["doc_id", "text"])
+    got = {r.doc_id: r.change for r in corpus_diff(old, new).collect()}
+    assert got == {2: "modified", 3: "removed", 4: "added"}
+    rows = {r.doc_id: r for r in corpus_diff(old, new).collect()}
+    assert rows[4].old_fp is None and rows[4].new_fp is not None
+    assert rows[3].new_fp is None and rows[3].old_fp is not None
