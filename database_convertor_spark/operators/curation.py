@@ -33,6 +33,10 @@ from pyspark.sql import functions as F
 
 from ..functions.text import md5_long, shingles, tokens
 
+#: Sentinel fingerprint for NULL-text rows in corpus_diff — md5(NULL)
+#: is NULL, which would read as "row absent" without this.
+NULL_TEXT_FP = "fp:null-text"
+
 
 # ------------------------------------------------------- decontamination
 def _shingle_hashes(df: DataFrame, id_col: str, n: int) -> DataFrame:
@@ -246,19 +250,26 @@ def corpus_diff(old: DataFrame, new: DataFrame,
     full-outer equi-join on the id, pure column expressions after.
 
     Output: (<id_col>, change in {'added','removed','modified'},
-    old_fp, new_fp) — fingerprints NULL on the missing side.
+    old_fp, new_fp) — fingerprints NULL on the missing side. Presence
+    is decided by JOIN-SIDE FLAGS, never by fingerprint nullness: a
+    NULL text would fingerprint to NULL (md5 of NULL) and masquerade
+    as a missing row, so NULL texts get the sentinel fingerprint
+    ``fp:null-text`` and the modified test compares null-safely.
     Reference analog: the migration key-remap verification
     (SURVEY J9; sources/sqlite.py migrates, this audits).
     """
     from ..functions.text import fingerprint
 
-    o = old.select(F.col(id_col), fingerprint(F.col(text_col))
-                   .alias("old_fp"))
-    n = new.select(F.col(id_col), fingerprint(F.col(text_col))
-                   .alias("new_fp"))
-    change = (F.when(F.col("old_fp").isNull(), F.lit("added"))
-              .when(F.col("new_fp").isNull(), F.lit("removed"))
-              .when(F.col("old_fp") != F.col("new_fp"),
+    def fp(col: str) -> Column:
+        return F.coalesce(fingerprint(F.col(col)), F.lit(NULL_TEXT_FP))
+
+    o = old.select(F.col(id_col), fp(text_col).alias("old_fp"),
+                   F.lit(True).alias("_in_old"))
+    n = new.select(F.col(id_col), fp(text_col).alias("new_fp"),
+                   F.lit(True).alias("_in_new"))
+    change = (F.when(F.col("_in_old").isNull(), F.lit("added"))
+              .when(F.col("_in_new").isNull(), F.lit("removed"))
+              .when(~F.col("old_fp").eqNullSafe(F.col("new_fp")),
                     F.lit("modified")))
     return (o.join(n, id_col, "full_outer")
             .withColumn("change", change)

@@ -86,6 +86,35 @@ def _jaccard_filter(pairs: DataFrame, threshold: float) -> DataFrame:
             .filter(F.col("jaccard") >= threshold))
 
 
+# pair-mass estimates keyed by (session, estimate plan, adjacency):
+# the gate's histogram job runs ONCE per distinct input within a
+# session — a pipeline invoking several gated operators over the same
+# upstream (corpus_deduped + curation_stats both estimate on the raw
+# documents scan) pays for the estimate once, not per operator. The
+# estimate is a coarse work bound, so intra-session staleness (same
+# plan, mutated files underneath) is an accepted trade; bounded FIFO.
+_PAIR_MASS_CACHE: dict[tuple, float] = {}
+_PAIR_MASS_CACHE_MAX = 64
+
+
+def _block_pair_mass_cached(docs: DataFrame,
+                            adjacent_bands: bool) -> float:
+    try:
+        key = (id(docs.sparkSession),
+               docs._jdf.queryExecution().analyzed().semanticHash(),
+               adjacent_bands)
+    except Exception:                      # connect / API drift: no cache
+        key = None
+    if key is not None and key in _PAIR_MASS_CACHE:
+        return _PAIR_MASS_CACHE[key]
+    mass = _block_pair_mass(docs, adjacent_bands)
+    if key is not None:
+        while len(_PAIR_MASS_CACHE) >= _PAIR_MASS_CACHE_MAX:
+            _PAIR_MASS_CACHE.pop(next(iter(_PAIR_MASS_CACHE)))
+        _PAIR_MASS_CACHE[key] = mass
+    return mass
+
+
 def _block_pair_mass(docs: DataFrame, adjacent_bands: bool) -> float:
     """Estimated candidate-pair mass of the (lang, band) blocking,
     from ONE cheap histogram aggregate (the scan reads only lang +
@@ -171,7 +200,7 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
             raise ValueError(
                 f"on_budget_exceeded must be 'raise', 'route' or "
                 f"'ignore', got {on_budget_exceeded!r}")
-        mass = _block_pair_mass(
+        mass = _block_pair_mass_cached(
             docs if estimate_on is None
             else _ngram_docs(estimate_on, band_chars), adjacent_bands)
         if mass > max_block_pairs:
@@ -558,7 +587,7 @@ def srp_band_keys(vec: Column, dim: int, nbits: int = SRP_BITS,
 
 def embedding_srp_pairs(embeddings: DataFrame,
                         threshold: float = 0.95,
-                        dim: int = 64) -> DataFrame:
+                        dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicates WITHOUT a precomputed coarse
     quantizer: sign-random-projection LSH (Charikar 2002) generates
     candidates from a band equi-join over 128-bit signatures (8
@@ -580,9 +609,26 @@ def embedding_srp_pairs(embeddings: DataFrame,
 
     Output: (vec_a, vec_b, cosine) with vec_a < vec_b — the same
     schema as embedding_neardup_pairs.
+
+    ``dim`` defaults to the ACTUAL embedding length (one head() on a
+    narrow size() projection, like pq_fit): a mismatched caller value
+    would NULL every zip_with dot product, zero every band key, and
+    silently degenerate the band join to all-pairs — results would
+    stay correct through the exact verify while the scale contract
+    evaporated. A caller-supplied dim that disagrees fails fast.
     """
     from pyspark.storagelevel import StorageLevel
 
+    actual_row = embeddings.select(
+        F.size(F.col("embedding")).alias("d")).head()
+    actual = actual_row["d"] if actual_row else 0
+    if dim is None:
+        dim = actual
+    elif actual and dim != actual:
+        raise ValueError(
+            f"embedding_srp_pairs: dim={dim} but embeddings are "
+            f"length {actual} — a mismatch would zero every SRP band "
+            "key and degenerate the band join to all-pairs")
     e = spread(embeddings).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("_emb"))

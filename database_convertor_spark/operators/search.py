@@ -40,7 +40,7 @@ from __future__ import annotations
 import re
 from functools import reduce
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -112,6 +112,23 @@ def bm25_search(documents: DataFrame, query: str,
         *[F.sum((F.col(f"_tf{i}") > 0).cast("long")).cast("double")
           .alias(f"_df{i}") for i in range(m)])
 
+    matched = reduce(lambda a, c: a + c,
+                     [F.col(f"_tf{i}") for i in range(m)]) > 0
+    score = _bm25_score(m, k1, b)
+    return (per_doc.crossJoin(F.broadcast(gstats))
+            .filter(matched)
+            .select("doc_id", F.col("_dl").alias("n_tokens"),
+                    F.round(score, 4).alias("bm25"))
+            .orderBy(F.desc("bm25"), "doc_id")
+            .limit(top_k))
+
+
+def _bm25_score(m: int, k1: float, b: float):
+    """The BM25 scoring expression over the conventional stats columns
+    (_dl, _tf{i}; _n, _sumdl, _df{i}) — extracted so ``bm25_search``
+    (stats refit per call) and ``search_text_index`` (stats read from
+    the landed index) build the IDENTICAL expression tree: same fixed
+    term-order fold, same literal arithmetic — bit-identical scores."""
     avgdl = F.col("_sumdl") / F.col("_n")
     norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / avgdl)
     parts = []
@@ -120,15 +137,7 @@ def bm25_search(documents: DataFrame, query: str,
                     / (F.col(f"_df{i}") + 0.5))
         tf = F.col(f"_tf{i}").cast("double")
         parts.append(idf * tf * F.lit(k1 + 1.0) / (tf + norm))
-    matched = reduce(lambda a, c: a + c,
-                     [F.col(f"_tf{i}") for i in range(m)]) > 0
-    score = reduce(lambda a, c: a + c, parts)
-    return (per_doc.crossJoin(F.broadcast(gstats))
-            .filter(matched)
-            .select("doc_id", F.col("_dl").alias("n_tokens"),
-                    F.round(score, 4).alias("bm25"))
-            .orderBy(F.desc("bm25"), "doc_id")
-            .limit(top_k))
+    return reduce(lambda a, c: a + c, parts)
 
 
 def bm25_search_snippets(documents: DataFrame, query: str,
@@ -151,9 +160,14 @@ def bm25_search_snippets(documents: DataFrame, query: str,
     First-occurrence position = min over query terms of the term's
     position in the lowercased text (term order breaks nothing: min is
     order-free); the excerpt clamps at the document start. Output:
-    (doc_id, n_tokens, bm25, snippet).
+    (doc_id, rank, n_tokens, bm25, snippet) — ``rank`` carries the
+    BM25 hit-page position THROUGH the snippet join (the join would
+    otherwise discard the ordering), and the result re-sorts by it so
+    the page reads top-hit-first without consumer work.
     """
     hits = bm25_search(documents, query, k1=k1, b=b, top_k=top_k)
+    rw = Window.orderBy(F.desc("bm25"), "doc_id")
+    hits = hits.withColumn("rank", F.row_number().over(rw).cast("int"))
     terms = query_terms(query)
     low = F.lower(F.col("text"))
     positions = F.array_compact(F.array(*[
@@ -164,7 +178,9 @@ def bm25_search_snippets(documents: DataFrame, query: str,
         .otherwise(F.col("text").substr(start, F.lit(2 * window)))
     return (F.broadcast(hits)
             .join(documents.select("doc_id", "text"), "doc_id")
-            .select("doc_id", "n_tokens", "bm25", snippet.alias("snippet")))
+            .select("doc_id", "rank", "n_tokens", "bm25",
+                    snippet.alias("snippet"))
+            .orderBy("rank"))
 
 
 def tfidf_keywords(documents: DataFrame, k: int = 3) -> DataFrame:
@@ -209,3 +225,149 @@ def tfidf_keywords(documents: DataFrame, k: int = 3) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w).cast("int"))
             .filter(F.col("rank") <= k)
             .select("doc_id", "term", "rank", "tfidf"))
+
+
+# ------------------------------------------------- landed text index
+# The reference's ES is a PERSISTENT index queried many times;
+# ``bm25_search`` refits corpus stats per query string. This family
+# lands the inverted index once and serves every subsequent query from
+# an index scan that prunes at the FILE level — the text twin of the
+# landed IVFADC ANN index (land_ivfpq_index / search_ivfpq_index).
+
+#: default term-hash fan-out of the landed index's bucket partitioning
+N_TERM_BUCKETS = 64
+
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver-side twin of ``_term_bucket_col`` — CRC-32 is the same
+    public polynomial in zlib and in Spark's crc32(), so the driver
+    can compute a query's bucket set without touching the cluster."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def _term_bucket_col(col: Column, n_buckets: int) -> Column:
+    return (F.crc32(F.encode(col, "utf-8")) % n_buckets).cast("int")
+
+
+def _postings(documents: DataFrame, n_buckets: int) -> DataFrame:
+    """(bucket, term, doc_id, tf, dl) posting rows for a document
+    frame — the shared encoder of the batch build and the streaming
+    append (same tokenize, same bucket hash). One tokenize+explode,
+    one map-side-combining (doc, term) count; dl rides as a window sum
+    over the aggregated frame (posting-sized, never corpus-sized)."""
+    from ..functions.text import tokens
+
+    tf = (documents
+          .select("doc_id",
+                  F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).cast("long").alias("tf")))
+    dl = F.sum("tf").over(Window.partitionBy("doc_id"))
+    return (tf.withColumn("dl", dl.cast("long"))
+            .withColumn("bucket", _term_bucket_col(F.col("term"),
+                                                   n_buckets)))
+
+
+def _require_local_text_index_path(path: str) -> None:
+    """The stats sidecar is read/written with local-file I/O (the same
+    contract as the IVFPQ codebook sidecar); a URI-scheme path would
+    divorce it from the parquet. A production deployment keeps the
+    stats in the table's metadata/catalog."""
+    if "://" in path:
+        raise NotImplementedError(
+            "text index paths must be local-filesystem paths in this "
+            "environment: the stats sidecar (_stats.json) uses local "
+            "file I/O. For an object-store/HDFS deployment, keep the "
+            "corpus stats in the table metadata/catalog.")
+
+
+def land_text_index(documents: DataFrame, path: str,
+                    n_buckets: int = N_TERM_BUCKETS) -> dict:
+    """Build and LAND the BM25 index: the postings table
+    (bucket, term, doc_id, tf, dl) written PARTITIONED BY the term's
+    hash bucket — a query's terms prune to <= m of ``n_buckets``
+    partition directories at the file level (the inverted lists ARE
+    the directory layout, the ES/Lucene segment idea re-expressed as
+    parquet partitioning) — plus a one-row stats sidecar
+    (_stats.json: n_docs INCLUDING token-less docs, total token count,
+    the bucket fan-out). Returns the stats dict.
+
+    Train-once/probe-many is THE 100 TB usage shape: the corpus scan
+    (tokenize, explode, count) happens here exactly once; every
+    subsequent ``search_text_index`` touches only the queried terms'
+    buckets. Reference analog: the persistent ES index behind
+    api_clients.py:678-728 — queries hit the index, never the corpus.
+    """
+    import json
+    import os
+
+    _require_local_text_index_path(path)
+    post = _postings(documents, n_buckets)
+    post.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    # n_docs counts EVERY document (bm25's N), token-less included;
+    # sumdl re-derives from the landed postings (sum of tf == total
+    # token count; empty docs contribute 0 either way)
+    n_docs = documents.count()
+    spark = documents.sparkSession
+    spark.catalog.refreshByPath(path)
+    sumdl = (spark.read.parquet(path)
+             .agg(F.coalesce(F.sum("tf"), F.lit(0))).head()[0])
+    stats = {"n_docs": int(n_docs), "sumdl": int(sumdl),
+             "n_buckets": int(n_buckets)}
+    with open(os.path.join(path, "_stats.json"), "w") as fh:
+        json.dump(stats, fh)
+    return stats
+
+
+def search_text_index(spark, path: str, query: str,
+                      k1: float = 1.2, b: float = 0.75,
+                      top_k: int = 25) -> DataFrame:
+    """Serve a BM25 hit page from the LANDED index — identical
+    results to ``bm25_search`` on the corpus the index was built from
+    (same scoring expression via ``_bm25_score``, same rounding, same
+    tie-break), at index-scan cost: the query's term buckets are
+    computed DRIVER-SIDE (CRC-32 twin), so the postings scan arrives
+    with a PartitionFilter on <= m of n_buckets directories, and the
+    rows read are only the queried terms' postings. Per-term document
+    frequencies come from one aggregate over that pruned scan (a
+    term's postings count IS its df); n_docs/sumdl ride from the
+    sidecar as literals.
+
+    Staleness contract: streaming appends
+    (``run_text_index_ingest_stream``) add new documents' postings
+    under FROZEN global stats — appended docs are immediately
+    searchable, but N/avgdl/df stay at build-time values until the
+    next ``land_text_index`` rebuild (the ES refresh-vs-merge trade)."""
+    import json
+    import os
+
+    _require_local_text_index_path(path)
+    with open(os.path.join(path, "_stats.json")) as fh:
+        stats = json.load(fh)
+    terms = query_terms(query)
+    m = len(terms)
+    buckets = sorted({_term_bucket_py(t, stats["n_buckets"])
+                      for t in terms})
+    post = (spark.read.parquet(path)
+            .filter(F.col("bucket").isin(buckets)
+                    & F.col("term").isin(terms)))
+    per_doc = post.groupBy("doc_id").agg(
+        F.max("dl").alias("_dl"),
+        *[F.coalesce(F.sum(F.when(F.col("term") == t, F.col("tf"))),
+                     F.lit(0)).cast("long").alias(f"_tf{i}")
+          for i, t in enumerate(terms)])
+    gstats = post.agg(
+        *[F.sum((F.col("term") == t).cast("long")).cast("double")
+          .alias(f"_df{i}") for i, t in enumerate(terms)]) \
+        .select(F.lit(float(stats["n_docs"])).alias("_n"),
+                F.lit(float(stats["sumdl"])).alias("_sumdl"),
+                *[F.coalesce(F.col(f"_df{i}"), F.lit(0.0))
+                  .alias(f"_df{i}") for i in range(m)])
+    score = _bm25_score(m, k1, b)
+    return (per_doc.crossJoin(F.broadcast(gstats))
+            .select("doc_id", F.col("_dl").alias("n_tokens"),
+                    F.round(score, 4).alias("bm25"))
+            .orderBy(F.desc("bm25"), "doc_id")
+            .limit(top_k))

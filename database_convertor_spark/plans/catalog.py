@@ -2041,26 +2041,29 @@ _add(
     """
     WITH o AS (
       SELECT doc_id,
-             md5(trim(regexp_replace(lower(
+             coalesce(md5(trim(regexp_replace(lower(
                CASE WHEN doc_id % 11 = 0 THEN text || ' v1'
-                    ELSE text END), '\\s+', ' ', 'g'))) AS old_fp
+                    ELSE text END), '\\s+', ' ', 'g'))),
+               'fp:null-text') AS old_fp,
+             TRUE AS in_old
       FROM documents WHERE doc_id % 7 <> 3),
     n AS (
       SELECT doc_id,
-             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-               AS new_fp
-      FROM documents WHERE doc_id % 13 <> 5)
-    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
-           CASE WHEN o.old_fp IS NULL THEN 'added'
-                WHEN n.new_fp IS NULL THEN 'removed'
-                WHEN o.old_fp <> n.new_fp THEN 'modified'
-           END AS change,
-           o.old_fp, n.new_fp
-    FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
-    WHERE (CASE WHEN o.old_fp IS NULL THEN 'added'
-                WHEN n.new_fp IS NULL THEN 'removed'
-                WHEN o.old_fp <> n.new_fp THEN 'modified'
-           END) IS NOT NULL
+             coalesce(md5(trim(regexp_replace(lower(text),
+               '\\s+', ' ', 'g'))), 'fp:null-text') AS new_fp,
+             TRUE AS in_new
+      FROM documents WHERE doc_id % 13 <> 5),
+    j AS (
+      SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.in_old IS NULL THEN 'added'
+                  WHEN n.in_new IS NULL THEN 'removed'
+                  WHEN o.old_fp IS DISTINCT FROM n.new_fp
+                    THEN 'modified'
+             END AS change,
+             o.old_fp, n.new_fp
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+    SELECT doc_id, change, old_fp, new_fp
+    FROM j WHERE change IS NOT NULL
     """,
     "J9,pipeline",
     "corpus snapshot diff (migration verification): added / removed "
@@ -3861,13 +3864,17 @@ def _bm25_oracle(query: str, k1: float, b: float, top_k: int,
         f"nullif(instr(lower(d.text), '{t}'), 0)" for t in terms)
     return core + f""",
     hits AS ({hit_sel}),
+    ranked AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                     AS INTEGER) AS rank
+      FROM hits),
     withpos AS (
-      SELECT h.doc_id, h.n_tokens, h.bm25,
+      SELECT h.doc_id, h.rank, h.n_tokens, h.bm25,
              list_min(list_filter([{pos_list}],
                                   x -> x IS NOT NULL)) AS pos,
              d.text
-      FROM hits h JOIN documents d USING (doc_id))
-    SELECT doc_id, n_tokens, bm25,
+      FROM ranked h JOIN documents d USING (doc_id))
+    SELECT doc_id, rank, n_tokens, bm25,
            CASE WHEN pos IS NULL THEN NULL
                 ELSE substr(text, GREATEST(1, pos - {w}), {2 * w})
            END AS snippet

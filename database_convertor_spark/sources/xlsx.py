@@ -171,7 +171,12 @@ def read_xlsx(path: str, sheet: str | int = 0
                 elif ctype == "b":
                     cells[idx] = v.text in ("1", "true")
                 else:
-                    cells[idx] = float(v.text)
+                    # match openpyxl inference (int when the stored
+                    # text has no '.'/exponent) so the Spark schema is
+                    # the same whichever reader ingested the file
+                    t = v.text.strip()
+                    cells[idx] = (int(t) if re.fullmatch(r"-?\d+", t)
+                                  else float(t))
             raw_rows.append(cells)
     if not raw_rows:
         return [], []

@@ -328,3 +328,55 @@ def run_index_ingest_stream(spark: SparkSession, landing_dir: str,
     q.awaitTermination()
     spark.catalog.refreshByPath(index_path)
     return spark.read.parquet(index_path)
+
+
+def run_text_index_ingest_stream(spark: SparkSession, landing_dir: str,
+                                 index_path: str,
+                                 checkpoint: str) -> DataFrame:
+    """Streaming maintenance of a landed BM25 text index (the
+    streaming layer x the search family — the text twin of
+    ``run_index_ingest_stream``): new document files arrive through a
+    landing directory; each micro-batch is deduplicated on doc_id,
+    encoded to posting rows with the SAME tokenizer + bucket hash as
+    the batch build (``search._postings``), and APPENDED to the
+    bucket-partitioned postings table — arrivals land straight into
+    the term directories a search prunes to.
+
+    FROZEN-STATS contract (the ES refresh-vs-merge trade, documented
+    on ``search_text_index``): the _stats.json sidecar is NOT
+    touched — appended documents become searchable immediately (their
+    postings carry their own tf/dl), but global N/avgdl/df stay at
+    build-time values until the next ``land_text_index`` rebuild, so
+    scores drift slowly as the appended fraction grows.
+    Trigger.AvailableNow drains the backlog; the checkpoint makes
+    re-runs resume, not re-encode. Returns the postings table after
+    the drain."""
+    import json
+    import os
+
+    from ..operators.search import (
+        _postings,
+        _require_local_text_index_path,
+    )
+
+    _require_local_text_index_path(index_path)
+    with open(os.path.join(index_path, "_stats.json")) as fh:
+        n_buckets = json.load(fh)["n_buckets"]
+
+    stream = (spark.readStream
+              .schema(TESTDATA_SCHEMAS["documents"])
+              .option("maxFilesPerTrigger", 4)
+              .parquet(landing_dir)
+              .dropDuplicates(["doc_id"]))
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (_postings(batch_df, n_buckets)
+         .write.mode("append").partitionBy("bucket").parquet(index_path))
+
+    q = (stream.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    spark.catalog.refreshByPath(index_path)
+    return spark.read.parquet(index_path)

@@ -736,3 +736,33 @@ def test_corpus_diff_semantics(spark):
     rows = {r.doc_id: r for r in corpus_diff(old, new).collect()}
     assert rows[4].old_fp is None and rows[4].new_fp is not None
     assert rows[3].new_fp is None and rows[3].old_fp is not None
+
+
+def test_corpus_diff_null_text_presence_flags(spark):
+    """Regression (round-6 ADVICE medium): presence is decided by
+    join-side flags, never fingerprint nullness — a NULL-text row in
+    BOTH snapshots is unchanged (omitted), NULL only in old is
+    'removed', and text -> NULL is 'modified' (sentinel fingerprint,
+    null-safe compare)."""
+    from database_convertor_spark.operators.curation import (
+        NULL_TEXT_FP,
+        corpus_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "gamma"), (3, None), (5, "keep")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (4, None), (5, "keep")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in corpus_diff(old, new).collect()}
+    assert {d: r.change for d, r in rows.items()} == {
+        2: "modified",   # text became NULL — NOT 'removed'
+        3: "removed",    # NULL-text row that vanished — NOT 'added'
+        4: "added",
+    }
+    # NULL text fingerprints to the sentinel, so consumers can still
+    # read "NULL fp" as "row absent on that side"
+    assert rows[2].new_fp == NULL_TEXT_FP
+    assert rows[3].old_fp == NULL_TEXT_FP
+    assert rows[4].old_fp is None

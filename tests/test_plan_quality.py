@@ -153,3 +153,67 @@ def test_partitioned_layout_prunes_on_read(spark, tmp_path_factory):
     scan = [ln for ln in plan.splitlines() if "Scan parquet" in ln or
             "PartitionFilters" in ln]
     assert any("PartitionFilters" in ln and "lang" in ln for ln in scan)
+
+
+def _logical_node_names(node):
+    """Class names of a logical plan tree, recursing through children.
+    InMemoryRelation is a LEAF in the logical plan, so the walk stops
+    at cache boundaries — unlike plan STRINGS, which inline every
+    cached child plan and make occurrence-counting meaningless."""
+    yield node.getClass().getSimpleName()
+    for i in range(node.children().length()):
+        yield from _logical_node_names(node.children().apply(i))
+
+
+def test_nb_quality_scans_corpus_exactly_once(spark):
+    """Round-6 ADVICE closure: naive_bayes_quality evaluates the heavy
+    quality_score projection on EXACTLY ONE corpus scan. Structural
+    proof on the optimized logical plans: the output reads only caches
+    (no direct parquet relation), and of the operator's persist slots
+    exactly one — the base frame — reads the corpus; the token stream
+    derives from that cache, so quality_score has a single evaluating
+    subtree."""
+    from database_convertor_spark.operators.text_analysis import (
+        naive_bayes_quality,
+    )
+    from database_convertor_spark.plans import persist_slots
+    from database_convertor_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    out = naive_bayes_quality(docs)
+    names = list(_logical_node_names(
+        out._jdf.queryExecution().optimizedPlan()))
+    assert not any("LogicalRelation" in n for n in names), \
+        "output must read the corpus only through the persisted base"
+    assert any("InMemoryRelation" in n for n in names)
+
+    with persist_slots._LOCK:
+        slots = {name: df for (sess, name), df in
+                 persist_slots._SLOTS.items()
+                 if name.startswith("nb_quality")}
+    assert set(slots) == {"nb_quality_base", "nb_quality_toks",
+                          "nb_quality_vocab"}
+
+    def _physical_node_names(node):
+        """Walk a cached SparkPlan; InMemoryTableScanExec is a leaf,
+        so the walk stops at nested cache boundaries."""
+        name = node.getClass().getSimpleName()
+        yield name
+        if name == "AdaptiveSparkPlanExec":
+            yield from _physical_node_names(node.inputPlan())
+            return
+        for i in range(node.children().length()):
+            yield from _physical_node_names(node.children().apply(i))
+
+    direct_readers = []
+    for name, df in sorted(slots.items()):
+        imr = df._jdf.queryExecution().optimizedPlan()
+        # each slot is self-cached: its optimized plan IS its own
+        # InMemoryRelation; the computation lives in cachedPlan()
+        assert imr.getClass().getSimpleName() == "InMemoryRelation"
+        if any("FileSourceScan" in n for n in
+               _physical_node_names(imr.cachedPlan())):
+            direct_readers.append(name)
+    assert direct_readers == ["nb_quality_base"], \
+        f"only the base slot may scan the corpus, got {direct_readers}"
+    out.limit(1).collect()   # the plan executes

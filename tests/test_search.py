@@ -164,3 +164,19 @@ def test_bm25_snippets_highlight_semantics(spark):
     plain = {(r.doc_id, r.bm25) for r in
              bm25_search(docs, "quick", top_k=5).collect()}
     assert {(r.doc_id, r.bm25) for r in got.values()} == plain
+
+
+def test_bm25_snippets_carry_rank_and_order(docs):
+    """Round-6 ADVICE closure: the snippet join no longer discards the
+    BM25 ordering — a rank column rides through and the page is sorted
+    by it (top hit first) without consumer re-sorting."""
+    from database_convertor_spark.operators.search import (
+        bm25_search_snippets,
+    )
+    rows = bm25_search_snippets(docs, "quick join", top_k=10,
+                                window=15).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    bm25s = [r.bm25 for r in rows]
+    assert bm25s == sorted(bm25s, reverse=True)
+    hits = bm25_search(docs, "quick join", top_k=10).collect()
+    assert [r.doc_id for r in rows] == [r.doc_id for r in hits]

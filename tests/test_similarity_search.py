@@ -403,3 +403,93 @@ def test_index_path_guard_refuses_uri_schemes(spark, tmp_path):
         land_ivfpq_index(emb, "s3a://bucket/index")
     with pytest.raises(NotImplementedError, match="local-filesystem"):
         search_ivfpq_index(spark, "hdfs://nn/index", emb.limit(1))
+
+
+def test_hard_negatives_broadcast_guard_trips(spark, monkeypatch):
+    """Anchor sets past MAX_BROADCAST_QUERIES raise unconditionally —
+    both the exact and the shortlist path broadcast the anchor frame
+    (the r6 verdict's last unguarded broadcast)."""
+    import database_convertor_spark.operators.similarity_search as ss
+
+    emb = read_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") < 60).select("vec_id", "embedding")
+    monkeypatch.setattr(ss, "MAX_BROADCAST_QUERIES", 10)
+    try:
+        ss.hard_negatives(emb, emb, k=3)
+        raise AssertionError("guard did not trip")
+    except ValueError as e:
+        assert "broadcasts the anchor set" in str(e)
+
+
+def test_hard_negatives_pair_budget_raises_naming_route(spark):
+    """Past max_pair_mass the exact anchors x corpus scan refuses to
+    run, naming the shortlist route (same discipline as
+    ngram_jaccard_pairs)."""
+    from database_convertor_spark.operators.similarity_search import (
+        hard_negatives,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") < 60).select("vec_id", "embedding")
+    try:
+        hard_negatives(emb, emb, k=3, max_pair_mass=100.0)
+        raise AssertionError("budget gate did not trip")
+    except ValueError as e:
+        assert "route" in str(e) and "pair mass" in str(e)
+
+
+def test_hard_negatives_routed_subset_of_band(spark):
+    """The routed (PQ-shortlist) path: every emitted negative passed
+    the exact-cosine band (precision exact), its pairs are a subset of
+    the brute band universe, and with a corpus-sized shortlist it
+    degenerates to the exact result."""
+    import warnings
+
+    from database_convertor_spark.operators.similarity_search import (
+        hard_negatives,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") < 80).select("vec_id", "embedding")
+    anchors = emb.filter("vec_id < 4")
+    brute = hard_negatives(anchors, emb, k=10, lo=0.0, hi=0.2,
+                           max_pair_mass=None)
+    brute_all = hard_negatives(anchors, emb, k=10**6, lo=0.0, hi=0.2,
+                               max_pair_mass=None)
+    universe = {(r.query_id, r.neighbor_id, r.cosine)
+                for r in brute_all.collect()}
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        routed = hard_negatives(anchors, emb, k=10, lo=0.0, hi=0.2,
+                                max_pair_mass=10.0,
+                                on_budget_exceeded="route",
+                                shortlist_k=30, n_iter=2)
+        got = routed.collect()
+        assert got, "routed band should not be empty on this fixture"
+        for r in got:
+            assert 0.0 <= r.cosine < 0.2
+        assert {(r.query_id, r.neighbor_id, r.cosine)
+                for r in got} <= universe
+        # corpus-sized shortlist == exact path
+        full = hard_negatives(anchors, emb, k=10, lo=0.0, hi=0.2,
+                              max_pair_mass=10.0,
+                              on_budget_exceeded="route",
+                              shortlist_k=79, n_iter=2)
+        assert ({(r.query_id, r.neighbor_id, r.rank, r.cosine)
+                 for r in full.collect()}
+                == {(r.query_id, r.neighbor_id, r.rank, r.cosine)
+                    for r in brute.collect()})
+
+
+def test_srp_pairs_dim_mismatch_fails_fast(spark):
+    """Regression (round-6 ADVICE): a caller-supplied dim that
+    disagrees with the data raises instead of silently zeroing every
+    band key (which would degenerate the band join to all-pairs)."""
+    from database_convertor_spark.operators.dedup import (
+        embedding_srp_pairs,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") < 10).select("vec_id", "embedding")
+    try:
+        embedding_srp_pairs(emb, dim=32)
+        raise AssertionError("dim mismatch did not raise")
+    except ValueError as e:
+        assert "dim=32" in str(e)

@@ -178,3 +178,19 @@ def test_xlsx_codec_property_roundtrip(tmp_path):
         assert got == [[norm(v) for v in row] for row in rows]
 
     check()
+
+
+def test_xlsx_codec_integer_inference(tmp_path):
+    """Round-6 ADVICE closure: integral cells (stored without a
+    decimal point) come back as int — matching openpyxl/pandas
+    inference, so the same file yields the same Spark schema whichever
+    environment ingests it. Stored decimals stay float."""
+    from database_convertor_spark.sources.xlsx import read_xlsx, write_xlsx
+
+    path = str(tmp_path / "ints.xlsx")
+    write_xlsx(path, ["i", "f", "neg"], [[7, 7.5, -3], [0, 2.0, -4]])
+    _, rows = read_xlsx(path)
+    assert rows == [[7, 7.5, -3], [0, 2.0, -4]]
+    assert [type(v) for v in rows[0]] == [int, float, int]
+    # 2.0 was WRITTEN as a decimal ('2.0') — it stays float
+    assert type(rows[1][1]) is float
