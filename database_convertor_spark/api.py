@@ -573,6 +573,25 @@ class Engine:
         return search_ivfpq_index(self.spark, path, queries,
                                   k=k, nprobe=nprobe)
 
+    def build_text_index(self, documents: DataFrame, path: str,
+                         n_buckets: int = 64) -> dict:
+        """Land the BM25 inverted index (postings partitioned by the
+        term's hash bucket — query terms prune at the file level) plus
+        the one-row stats sidecar. The persistent-ES usage shape:
+        scan the corpus once here, serve every later query from the
+        index."""
+        from .operators.search import land_text_index
+        return land_text_index(documents, path, n_buckets=n_buckets)
+
+    def query_text_index(self, path: str, query: str,
+                         top_k: int = 25) -> DataFrame:
+        """Serve a BM25 hit page from a landed text index — identical
+        results to ``search_documents`` on the indexed corpus, at
+        index-scan cost (partition pruning to the query's term
+        buckets)."""
+        from .operators.search import search_text_index
+        return search_text_index(self.spark, path, query, top_k=top_k)
+
     # ----------------------------------------------------------- automation
     def run_health(self, runs: DataFrame) -> DataFrame:
         """Health verdicts + alert reasons for automation runs against

@@ -3909,6 +3909,36 @@ _add(
     "into a hash-join probe, the text column never shuffles",
 )
 
+def _text_index_demo(spark: SparkSession, sf: str) -> DataFrame:
+    """Land the BM25 inverted index to a scratch path (stable per sf,
+    overwritten per run), then serve the hit page FROM the index — the
+    persistent-ES usage shape. The oracle is the plain bm25 oracle:
+    the landed search contract is result-identical to bm25_search."""
+    import re as _re
+
+    from ..operators import search as search_ops
+
+    docs, = _t(spark, sf, "documents")
+    slug = _re.sub(r"[^A-Za-z0-9._-]", "_", sf)
+    path = f"/tmp/dcs_text_index/{slug}"
+    search_ops.land_text_index(docs, path)
+    return search_ops.search_text_index(spark, path, "dup join scan",
+                                        top_k=25)
+
+
+_add(
+    "doc_text_index_search",
+    _text_index_demo,
+    _bm25_oracle("dup join scan", k1=1.2, b=0.75, top_k=25),
+    "S5,S7,text-analysis,T2",
+    "landed BM25 text index, the persistent-ES lifecycle: postings "
+    "partitioned by term-hash bucket (query terms prune at the FILE "
+    "level), one-row stats sidecar, result-identical to bm25_search "
+    "by construction (same scoring expression); the streaming append "
+    "twin (run_text_index_ingest_stream) adds documents under frozen "
+    "stats",
+)
+
 _add(
     "doc_tfidf_keywords",
     lambda spark, sf: search.tfidf_keywords(

@@ -180,3 +180,68 @@ def test_bm25_snippets_carry_rank_and_order(docs):
     assert bm25s == sorted(bm25s, reverse=True)
     hits = bm25_search(docs, "quick join", top_k=10).collect()
     assert [r.doc_id for r in rows] == [r.doc_id for r in hits]
+
+
+def test_landed_text_index_prunes_and_matches(spark, tmp_path):
+    """The landed text-index contract (text twin of the IVFADC index):
+    bucket directories on disk, the query's term buckets arrive as a
+    PartitionFilters entry on the postings scan (file pruning), and
+    the hit page is IDENTICAL to bm25_search on the source corpus —
+    same scores, same order, same rounding."""
+    from database_convertor_spark.operators.search import (
+        land_text_index,
+        search_text_index,
+    )
+    from database_convertor_spark.sources.readers import read_table
+    from .conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    path = str(tmp_path / "text_index")
+    stats = land_text_index(docs, path, n_buckets=16)
+    assert stats["n_docs"] == docs.count()
+
+    landed = search_text_index(spark, path, "dup join scan", top_k=25)
+    plan = landed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan
+
+    direct = bm25_search(docs, "dup join scan", top_k=25)
+    assert [tuple(r) for r in landed.collect()] == \
+        [tuple(r) for r in direct.collect()]
+
+    import os
+    buckets = [d for d in os.listdir(path) if d.startswith("bucket=")]
+    assert len(buckets) >= 2          # the inverted lists ARE the layout
+
+
+def test_text_index_path_guard_refuses_uri_schemes(docs):
+    """The stats sidecar is local-file I/O — URI-scheme paths are
+    refused up front (same contract as the IVFPQ codebook sidecar)."""
+    import pytest
+
+    from database_convertor_spark.operators.search import (
+        land_text_index,
+        search_text_index,
+    )
+    with pytest.raises(NotImplementedError, match="local-filesystem"):
+        land_text_index(docs, "s3a://bucket/idx")
+    with pytest.raises(NotImplementedError, match="local-filesystem"):
+        search_text_index(docs.sparkSession, "hdfs://nn/idx", "x")
+
+
+def test_term_bucket_driver_twin_matches_spark(spark):
+    """The driver-side CRC-32 bucket computation must agree with the
+    Spark-side column for every term — it is what turns the query into
+    a partition filter."""
+    from pyspark.sql import functions as F
+
+    from database_convertor_spark.operators.search import (
+        _term_bucket_col,
+        _term_bucket_py,
+    )
+    terms = ["quick", "join", "scan", "zebra", "a", "Ångström",
+             "longish-term-with-dashes", "123"]
+    df = spark.createDataFrame([(t,) for t in terms], ["term"])
+    got = {r.term: r.b for r in df.select(
+        "term", _term_bucket_col(F.col("term"), 16).alias("b")).collect()}
+    for t in terms:
+        assert got[t] == _term_bucket_py(t, 16), t

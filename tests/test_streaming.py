@@ -171,3 +171,53 @@ def test_index_ingest_stream_extends_landed_ann_index(spark, tmp_path):
     hits = search_ivfpq_index(spark, path, base.filter("vec_id = 1"),
                               k=3, nprobe=1).collect()
     assert 9001 in [r.neighbor_id for r in hits][:2]
+
+
+def test_text_index_ingest_stream_appends_frozen_stats(spark, tmp_path):
+    """Streaming x search: new documents stream into a landed BM25
+    index — appended postings equal the batch encoder's output (same
+    tokenizer, same bucket hash), a term unique to a streamed doc is
+    immediately searchable, in-stream duplicates land once, and the
+    stats sidecar stays FROZEN (the documented staleness contract)."""
+    import json
+
+    from database_convertor_spark.operators.search import (
+        _postings,
+        land_text_index,
+        search_text_index,
+    )
+    from database_convertor_spark.streaming.pipeline import (
+        run_text_index_ingest_stream,
+    )
+
+    docs = read_table(spark, SF_SMALL, "documents").filter(
+        F.col("doc_id") < 400)
+    path = os.path.join(tmp_path, "tindex")
+    stats0 = land_text_index(docs, path, n_buckets=16)
+
+    base = read_table(spark, SF_SMALL, "documents")
+    novel = spark.createDataFrame(
+        [(9001, "zzzuniqterm appears here and zzzuniqterm again",
+          "en", "stream", 46)],
+        base.schema)
+    newd = (base.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 440))
+            .unionByName(novel).unionByName(novel))  # in-stream duplicate
+    landing = os.path.join(tmp_path, "landing")
+    newd.write.parquet(landing)
+
+    after = run_text_index_ingest_stream(spark, landing, path,
+                                         os.path.join(tmp_path, "ckpt"))
+    # streamed postings == batch encoding of the deduplicated batch
+    got = sorted(tuple(r) for r in after.filter("doc_id >= 400")
+                 .select("bucket", "term", "doc_id", "tf", "dl").collect())
+    want = sorted(tuple(r) for r in
+                  _postings(newd.dropDuplicates(["doc_id"]), 16)
+                  .select("bucket", "term", "doc_id", "tf", "dl").collect())
+    assert got == want and got            # dup landed once
+
+    # the streamed doc is searchable NOW...
+    hits = search_text_index(spark, path, "zzzuniqterm").collect()
+    assert [r.doc_id for r in hits] == [9001]
+    # ...but the global stats are frozen at build time
+    with open(os.path.join(path, "_stats.json")) as fh:
+        assert json.load(fh) == stats0
