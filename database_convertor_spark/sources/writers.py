@@ -52,13 +52,15 @@ def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
 
 
 def write_excel(df: DataFrame, path: str, sheet_name: str = "Export",
-                max_rows: int = 1_000_000) -> None:
+                max_rows: int = 1_000_000, styled: bool = False) -> None:
     """Excel export sink (reference S17: openpyxl styled workbook,
     utils.py:60-163). Excel is a driver-side, small-output format by
     nature: hard-capped, collected via Arrow, written with pandas when
     openpyxl exists; when it is absent (this image) the stdlib
-    SpreadsheetML codec writes the flat unstyled sheet (the styled
-    header/column-width treatment of utils.py:60-163 needs openpyxl).
+    SpreadsheetML codec writes the sheet — INCLUDING the reference's
+    styled treatment when ``styled`` is set (bold white header on
+    #366092, centered, autofit column widths: plain styles.xml +
+    <cols> markup, no openpyxl needed).
     Complex columns are JSON-serialized, as in write_csv (C26)."""
     from pyspark.sql import types as T
 
@@ -93,7 +95,7 @@ def write_excel(df: DataFrame, path: str, sheet_name: str = "Export",
         rows = [[_cell(v) for v in row]
                 for row in pdf.itertuples(index=False, name=None)]
         write_xlsx(path, [str(c) for c in pdf.columns], rows,
-                   sheet_name=sheet_name)
+                   sheet_name=sheet_name, styled=styled)
 
 
 def scd2_upsert(spark: SparkSession, target_path: str, updates: DataFrame,

@@ -35,6 +35,7 @@ _CONTENT_TYPES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Default Extension="xml" ContentType="application/xml"/>
 <Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
 <Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>
 </Types>"""
 
 _ROOT_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
@@ -50,7 +51,23 @@ _WORKBOOK = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 _WORKBOOK_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
 <Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
 <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/>
 </Relationships>"""
+
+# Header style 1 mirrors the reference's export treatment
+# (utils.py:88-92): bold white text, solid #366092 fill, centered.
+# Fills 0/1 are the spec-mandated none/gray125 placeholders.
+_STYLES = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+<fonts count="2"><font/><font><b/><color rgb="FFFFFFFF"/></font></fonts>
+<fills count="3"><fill><patternFill patternType="none"/></fill>
+<fill><patternFill patternType="gray125"/></fill>
+<fill><patternFill patternType="solid"><fgColor rgb="FF366092"/></patternFill></fill></fills>
+<borders count="1"><border/></borders>
+<cellStyleXfs count="1"><xf/></cellStyleXfs>
+<cellXfs count="2"><xf numFmtId="0" fontId="0" fillId="0" borderId="0"/>
+<xf numFmtId="0" fontId="1" fillId="2" borderId="0" applyFont="1" applyFill="1" applyAlignment="1"><alignment horizontal="center"/></xf></cellXfs>
+</styleSheet>"""
 
 
 def _col_letter(idx: int) -> str:
@@ -73,32 +90,57 @@ def _col_index(ref: str) -> int:
     return out - 1
 
 
-def _cell_xml(ref: str, value) -> str:
+def _cell_xml(ref: str, value, style: int | None = None) -> str:
+    s = f' s="{style}"' if style else ""
     if value is None:
         return ""
     if isinstance(value, bool):
-        return f'<c r="{ref}" t="b"><v>{1 if value else 0}</v></c>'
+        return f'<c r="{ref}"{s} t="b"><v>{1 if value else 0}</v></c>'
     if isinstance(value, (int, float)):
         if isinstance(value, float) and (value != value):   # NaN: blank
             return ""
-        return f'<c r="{ref}"><v>{value!r}</v></c>'
+        return f'<c r="{ref}"{s}><v>{value!r}</v></c>'
     text = escape(str(value))
     # literal control chars are invalid XML; strip like Excel does
     text = re.sub(r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "", text)
     space = ' xml:space="preserve"' if text != text.strip() else ""
-    return (f'<c r="{ref}" t="inlineStr"><is><t{space}>{text}</t></is></c>')
+    return (f'<c r="{ref}"{s} t="inlineStr"><is>'
+            f'<t{space}>{text}</t></is></c>')
+
+
+def _col_widths_xml(header: list[str], rows: list[list]) -> str:
+    """<cols> width autofit, the reference's rule (utils.py:93-105):
+    width = min(longest cell string + 2, 50) per column."""
+    out = []
+    for c_idx, name in enumerate(header):
+        longest = len(str(name))
+        for row in rows:
+            if c_idx < len(row) and row[c_idx] is not None:
+                longest = max(longest, len(str(row[c_idx])))
+        w = min(longest + 2, 50)
+        out.append(f'<col min="{c_idx + 1}" max="{c_idx + 1}" '
+                   f'width="{w}" customWidth="1"/>')
+    return "<cols>" + "".join(out) + "</cols>" if out else ""
 
 
 def write_xlsx(path: str, header: list[str], rows: list[list],
-               sheet_name: str = "Export") -> None:
-    """Write a flat table as a single-sheet .xlsx (stdlib only)."""
+               sheet_name: str = "Export", styled: bool = False) -> None:
+    """Write a flat table as a single-sheet .xlsx (stdlib only). With
+    ``styled``, the header row gets the reference's export treatment
+    (bold white on #366092, centered — utils.py:88-92) and columns get
+    autofit widths (utils.py:93-105) — legal plain SpreadsheetML, no
+    openpyxl."""
     lines = ['<?xml version="1.0" encoding="UTF-8" standalone="yes"?>',
              '<worksheet xmlns="http://schemas.openxmlformats.org/'
-             'spreadsheetml/2006/main"><sheetData>']
+             'spreadsheetml/2006/main">']
+    if styled:
+        lines.append(_col_widths_xml(list(header), rows))
+    lines.append("<sheetData>")
     all_rows = [list(header)] + [list(r) for r in rows]
     for r_idx, row in enumerate(all_rows, start=1):
+        style = 1 if (styled and r_idx == 1) else None
         cells = "".join(
-            _cell_xml(f"{_col_letter(c_idx)}{r_idx}", v)
+            _cell_xml(f"{_col_letter(c_idx)}{r_idx}", v, style)
             for c_idx, v in enumerate(row))
         lines.append(f'<row r="{r_idx}">{cells}</row>')
     lines.append("</sheetData></worksheet>")
@@ -109,6 +151,7 @@ def write_xlsx(path: str, header: list[str], rows: list[list],
         z.writestr("_rels/.rels", _ROOT_RELS)
         z.writestr("xl/workbook.xml", _WORKBOOK.format(name=safe_name))
         z.writestr("xl/_rels/workbook.xml.rels", _WORKBOOK_RELS)
+        z.writestr("xl/styles.xml", _STYLES)
         z.writestr("xl/worksheets/sheet1.xml", sheet)
 
 

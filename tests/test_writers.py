@@ -194,3 +194,42 @@ def test_xlsx_codec_integer_inference(tmp_path):
     assert [type(v) for v in rows[0]] == [int, float, int]
     # 2.0 was WRITTEN as a decimal ('2.0') — it stays float
     assert type(rows[1][1]) is float
+
+
+def test_xlsx_styled_export_in_stdlib_codec(spark, tmp_path):
+    """S17 styling works WITHOUT openpyxl (round-7 closure of the S17
+    remainder): bold-white-on-#366092 centered header + autofit column
+    widths are legal plain SpreadsheetML — the zip carries the style
+    parts, the sheet references them, and values still round-trip
+    (styling is presentation-only)."""
+    import zipfile
+
+    from database_convertor_spark.sources.readers import read_excel
+    from database_convertor_spark.sources.writers import write_excel
+    from database_convertor_spark.sources.xlsx import read_xlsx
+
+    df = spark.createDataFrame(
+        [(1, "a-short", "x" * 80), (2, "b", "y")],
+        ["id", "name", "long_text"])
+    path = str(tmp_path / "styled.xlsx")
+    write_excel(df, path, sheet_name="Companies", styled=True)
+
+    with zipfile.ZipFile(path) as z:
+        names = z.namelist()
+        assert "xl/styles.xml" in names
+        styles = z.read("xl/styles.xml").decode()
+        # the reference's header treatment (utils.py:88-92)
+        assert "FF366092" in styles and "<b/>" in styles \
+            and 'horizontal="center"' in styles
+        sheet = z.read("xl/worksheets/sheet1.xml").decode()
+        # header cells carry the style; width autofit caps at 50
+        assert 'A1" s="1"' in sheet and "<cols>" in sheet
+        assert 'width="50"' in sheet          # 80-char col capped
+        assert 'width="4"' in sheet           # 'id' col: 2 + 2
+    # values unaffected by styling
+    h, rows = read_xlsx(path, "Companies")
+    assert h == ["id", "name", "long_text"]
+    assert rows == [[1, "a-short", "x" * 80], [2, "b", "y"]]
+    back = read_excel(spark, path, "Companies")
+    assert sorted(map(tuple, back.collect())) == \
+        sorted(map(tuple, df.collect()))
