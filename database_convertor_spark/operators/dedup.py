@@ -717,6 +717,15 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
     used as-is; pass ``None`` to trust any incoming label column
     unconditionally.
 
+    Third-decade note (measured at the r7 sf10 probe, SCALE.md):
+    auto-relabel holds pair mass flat but moves cost into the k-means
+    fit, whose distance pass grows n x k = n^2/target — linear per
+    decade today (sf1 17.6 s → sf10 176 s on 10x data), supra-linear
+    eventually. Remedies at that scale: cap ``relabel_clusters`` and
+    absorb the larger labels with ``block_splits`` (pair mass grows
+    only as the cap ratio), or fit the codebook on a fixed-size
+    sample and assign the full corpus in one linear pass.
+
     Returns the surviving rows of ``embeddings`` (all columns).
     Reference has no analog (beyond-reference training-data operator).
     """
