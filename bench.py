@@ -54,6 +54,8 @@ HEADLINE = [
     "ann_pq_topk",
     "ann_ivfpq_topk",
     "doc_bm25_search",
+    "doc_text_index_search",
+    "doc_hybrid_search",
     "doc_tfidf_keywords",
     "doc_bigram_logprob",
     "user_sessions",

@@ -592,6 +592,23 @@ class Engine:
         from .operators.search import search_text_index
         return search_text_index(self.spark, path, query, top_k=top_k)
 
+    def compact_text_index(self, path: str) -> dict:
+        """Compact a landed text index after streaming appends: merge
+        the accumulated small files per bucket and un-freeze the
+        global stats (the ES merge)."""
+        from .operators.search import compact_text_index
+        return compact_text_index(self.spark, path)
+
+    def hybrid_search(self, documents: DataFrame, embeddings: DataFrame,
+                      query: str, query_vec: list[float],
+                      top_k: int = 25) -> DataFrame:
+        """Hybrid retrieval: BM25 lexical leg + cosine semantic leg
+        fused by Reciprocal Rank Fusion (the ES/OpenSearch hybrid
+        rule)."""
+        from .operators.search import hybrid_search_rrf
+        return hybrid_search_rrf(documents, embeddings, query,
+                                 query_vec, top_k=top_k)
+
     # ----------------------------------------------------------- automation
     def run_health(self, runs: DataFrame) -> DataFrame:
         """Health verdicts + alert reasons for automation runs against

@@ -312,10 +312,14 @@ def land_text_index(documents: DataFrame, path: str,
     n_docs = documents.count()
     spark = documents.sparkSession
     spark.catalog.refreshByPath(path)
-    sumdl = (spark.read.parquet(path)
-             .agg(F.coalesce(F.sum("tf"), F.lit(0))).head()[0])
-    stats = {"n_docs": int(n_docs), "sumdl": int(sumdl),
-             "n_buckets": int(n_buckets)}
+    agg = (spark.read.parquet(path)
+           .agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("sumdl"),
+                F.countDistinct("doc_id").alias("nd")).head())
+    # token-less docs leave no postings but count in bm25's N; carry
+    # the residual so compact_text_index can recompute N later
+    stats = {"n_docs": int(n_docs), "sumdl": int(agg["sumdl"]),
+             "n_buckets": int(n_buckets),
+             "n_tokenless": int(n_docs) - int(agg["nd"])}
     with open(os.path.join(path, "_stats.json"), "w") as fh:
         json.dump(stats, fh)
     return stats
@@ -370,4 +374,110 @@ def search_text_index(spark, path: str, query: str,
             .select("doc_id", F.col("_dl").alias("n_tokens"),
                     F.round(score, 4).alias("bm25"))
             .orderBy(F.desc("bm25"), "doc_id")
+            .limit(top_k))
+
+
+def compact_text_index(spark, path: str) -> dict:
+    """Compact a landed text index after streaming appends — the ES
+    merge: rewrite each bucket's accumulated small append files into
+    one pass's worth of fresh parquet AND un-freeze the global stats
+    (N, sumdl recomputed from the current postings), so scores stop
+    drifting. n_docs counts distinct indexed doc_ids plus the
+    build-time token-less residual carried in the sidecar (a streamed
+    EMPTY document leaves no postings, so it cannot be recounted here
+    — the one documented drift this pass cannot repair).
+
+    Stage-and-swap (the merge_upsert discipline): parquet cannot
+    overwrite a path it is reading, so the rewrite lands in a staging
+    dir and renames over. Returns the refreshed stats."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    _require_local_text_index_path(path)
+    with open(os.path.join(path, "_stats.json")) as fh:
+        old = json.load(fh)
+    post = spark.read.parquet(path)
+    agg = post.agg(
+        F.countDistinct("doc_id").alias("nd"),
+        F.coalesce(F.sum("tf"), F.lit(0)).alias("sumdl")).head()
+    n_tokenless = old.get("n_tokenless", 0)
+    stats = {"n_docs": int(agg["nd"]) + int(n_tokenless),
+             "sumdl": int(agg["sumdl"]),
+             "n_buckets": int(old["n_buckets"]),
+             "n_tokenless": int(n_tokenless)}
+    parent = os.path.dirname(path) or "."
+    staging = tempfile.mkdtemp(prefix="text_index_compact_", dir=parent)
+    post.write.mode("overwrite").partitionBy("bucket").parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    with open(os.path.join(path, "_stats.json"), "w") as fh:
+        json.dump(stats, fh)
+    spark.catalog.refreshByPath(path)
+    return stats
+
+
+def hybrid_search_rrf(documents: DataFrame, embeddings: DataFrame,
+                      query: str, query_vec: list[float],
+                      top_k: int = 25, candidates: int = 50,
+                      rrf_k: int = 60, k1: float = 1.2,
+                      b: float = 0.75) -> DataFrame:
+    """Hybrid retrieval — the production search pattern the
+    reference's ES + the ANN family imply when composed: a lexical leg
+    (BM25 over the text) and a semantic leg (cosine over the embedding
+    column) each produce a ranked candidate list, fused by Reciprocal
+    Rank Fusion (Cormack et al. 2009, the public fusion rule ES/
+    OpenSearch ship for hybrid search):
+
+        rrf(d) = sum over legs of 1 / (rrf_k + rank_leg(d))
+
+    with absent legs contributing 0 — rank-based fusion needs no score
+    normalization across incommensurable scales (BM25 vs cosine),
+    which is exactly why RRF beats score mixing in practice.
+
+    Distributed shape: each leg is the family's own top-``candidates``
+    plan (BM25: one corpus scan + TakeOrderedAndProject; vector: the
+    broadcast-query brute scan — swap in ``search_text_index`` /
+    ``ann_pq_topk`` legs at index scale, fusion unchanged); the fusion
+    is a full-outer equi-join of two <= ``candidates``-row frames —
+    driver-scale, never corpus-scale.
+
+    Determinism contract: leg ranks use the legs' own rounded-score
+    orderings (ties on id); rrf rounds to 6dp in the ordering key,
+    ties break on doc_id. Output: (doc_id, rrf, bm25_rank, vec_rank)
+    — NULL rank on a leg that did not surface the doc.
+
+    ``embeddings`` rows join to documents by vec_id == doc_id;
+    ``query_vec`` is the literal query embedding (an external query,
+    so corpus self-matches are NOT excluded).
+    """
+    from ..functions.similarity import cosine_similarity
+
+    text_leg = bm25_search(documents, query, k1=k1, b=b,
+                           top_k=candidates)
+    tw = Window.orderBy(F.desc("bm25"), "doc_id")
+    text_leg = text_leg.select(
+        "doc_id", F.row_number().over(tw).cast("int").alias("bm25_rank"))
+
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = F.round(cosine_similarity(
+        F.col("embedding").cast("array<double>"), qv), 4)
+    vec_leg = (embeddings
+               .select(F.col("vec_id").alias("doc_id"),
+                       sim.alias("_sim"))
+               .orderBy(F.desc("_sim"), "doc_id")
+               .limit(candidates))
+    vw = Window.orderBy(F.desc("_sim"), "doc_id")
+    vec_leg = vec_leg.select(
+        "doc_id", F.row_number().over(vw).cast("int").alias("vec_rank"))
+
+    rrf = (F.coalesce(1.0 / (F.lit(rrf_k) + F.col("bm25_rank")),
+                      F.lit(0.0))
+           + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")),
+                        F.lit(0.0)))
+    return (text_leg.join(vec_leg, "doc_id", "full_outer")
+            .select("doc_id", F.round(rrf, 6).alias("rrf"),
+                    "bm25_rank", "vec_rank")
+            .orderBy(F.desc("rrf"), "doc_id")
             .limit(top_k))

@@ -3909,6 +3909,73 @@ _add(
     "into a hash-join probe, the text column never shuffles",
 )
 
+def _hybrid_oracle(query: str, k1: float, b: float, candidates: int,
+                   top_k: int, rrf_k: int) -> str:
+    """DuckDB twin of search.hybrid_search_rrf: the bm25 oracle's own
+    core CTEs produce the lexical leg, _COS the semantic leg (query
+    vector = embeddings row vec_id 0, as the demo passes), fused by
+    the same 1/(rrf_k + rank) arithmetic rounded 6dp."""
+    bm25 = _bm25_oracle(query, k1=k1, b=b, top_k=candidates)
+    # reuse the bm25 oracle text as a hits CTE: strip the leading
+    # WITH, wrap the trailing SELECT
+    body = bm25.strip()
+    assert body.startswith("WITH ")
+    core, select = body.split("SELECT doc_id, CAST(dl AS BIGINT)", 1)
+    hits_sql = "SELECT doc_id, CAST(dl AS BIGINT)" + select
+    return f"""
+    {core.rstrip().rstrip(',')},
+    hits AS ({hits_sql}),
+    t AS (SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                      AS INTEGER) AS bm25_rank
+          FROM hits),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    vs AS (SELECT e.vec_id AS doc_id,
+                  round({_COS.format(a='e.embedding', b='q.embedding')},
+                        4) AS sim
+           FROM embeddings e CROSS JOIN q
+           ORDER BY sim DESC, doc_id LIMIT {candidates}),
+    v AS (SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+                      AS INTEGER) AS vec_rank
+          FROM vs)
+    SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+           round(coalesce(1.0 / ({rrf_k} + t.bm25_rank), 0)
+                 + coalesce(1.0 / ({rrf_k} + v.vec_rank), 0), 6) AS rrf,
+           t.bm25_rank, v.vec_rank
+    FROM t FULL OUTER JOIN v ON t.doc_id = v.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT {top_k}
+    """
+
+
+def _hybrid_demo(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuse the BM25 leg over documents with the cosine leg over
+    embeddings (vec_id joins doc_id); the query vector is embeddings
+    row 0 — a bounded driver scalar, the ANN query contract."""
+    from ..operators import search as search_ops
+
+    docs, emb = _t(spark, sf, "documents", "embeddings")
+    qv = [float(x) for x in
+          emb.filter("vec_id = 0").head()["embedding"]]
+    return search_ops.hybrid_search_rrf(docs, emb, "dup join scan",
+                                        qv, top_k=25, candidates=50)
+
+
+_add(
+    "doc_hybrid_search",
+    _hybrid_demo,
+    _hybrid_oracle("dup join scan", k1=1.2, b=0.75, candidates=50,
+                   top_k=25, rrf_k=60),
+    "S5,S7,similarity-search,text-analysis",
+    "hybrid retrieval: BM25 lexical leg + cosine semantic leg fused "
+    "by Reciprocal Rank Fusion (Cormack 2009, the ES/OpenSearch "
+    "hybrid rule) — rank-based fusion needs no score normalization; "
+    "each leg is its family's own top-candidates plan, the fusion a "
+    "full-outer join of two candidate-sized frames, never "
+    "corpus-sized",
+)
+
+
 def _text_index_demo(spark: SparkSession, sf: str) -> DataFrame:
     """Land the BM25 inverted index to a scratch path (stable per sf,
     overwritten per run), then serve the hit page FROM the index — the
@@ -4076,8 +4143,11 @@ _add(
 #     user_sessions, event_funnel, distinct_customer_priorities,
 #     order_stats_summary, top_orders_per_customer;
 #   - the 19 pure-relational/cleaning veterans pushed out in r6
-#     return on rotation; fuzzy_match_customers and dedup_semantic
-#     (sf10-probed this round) keep their slots.
+#     return on rotation; dedup_semantic (sf10-probed this round)
+#     keeps its slot; doc_hybrid_search (NEW late in the round: RRF
+#     hybrid retrieval) windows per the convention, displacing
+#     fuzzy_match_customers (hard-green r5+r6, entity_resolution.py
+#     untouched this round).
 # Pushed out vs r6 (all hard-green in CORRECTNESS_r06, code
 # untouched this round): ann_pq_topk, ann_pq_rerank, ann_ivfpq_topk,
 # doc_bigram_logprob, benchmark_contamination_fraction,
@@ -4116,8 +4186,8 @@ _WINDOW_R7 = [
     "linkedin_profile_pick", "officer_email_matches",
     "provider_enrichment_merge", "doc_boilerplate_removed",
     "doc_pii_redacted", "refresh_edges_incremental",
-    # heavyweights holding slots (sf10-probed / regime-audited)
-    "fuzzy_match_customers", "dedup_semantic",
+    # new late in the round (must window) + sf10-probed heavyweight
+    "doc_hybrid_search", "dedup_semantic",
 ]
 
 _by_name = {s.name: s for s in _SPECS}

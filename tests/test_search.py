@@ -245,3 +245,92 @@ def test_term_bucket_driver_twin_matches_spark(spark):
         "term", _term_bucket_col(F.col("term"), 16).alias("b")).collect()}
     for t in terms:
         assert got[t] == _term_bucket_py(t, 16), t
+
+
+def _rrf_python(text_ranks, vec_ranks, rrf_k=60, top_k=25):
+    ids = set(text_ranks) | set(vec_ranks)
+    out = []
+    for d in ids:
+        s = 0.0
+        if d in text_ranks:
+            s += 1.0 / (rrf_k + text_ranks[d])
+        if d in vec_ranks:
+            s += 1.0 / (rrf_k + vec_ranks[d])
+        out.append((round(s, 6), d))
+    out.sort(key=lambda p: (-p[0], p[1]))
+    return out[:top_k]
+
+
+def test_hybrid_search_rrf_fusion_semantics(spark):
+    """RRF fusion: rank-only (no score mixing), absent legs contribute
+    0, ties break on doc_id — checked against a pure-Python replica on
+    a corpus where the lexical and semantic legs disagree."""
+    from database_convertor_spark.operators.search import (
+        hybrid_search_rrf,
+    )
+    from database_convertor_spark.sources.readers import read_table
+    from .conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    got = hybrid_search_rrf(docs, emb, "dup join scan", qv,
+                            top_k=25, candidates=50).collect()
+
+    text_ranks = {r.doc_id: r.bm25_rank for r in got
+                  if r.bm25_rank is not None}
+    vec_ranks = {r.doc_id: r.vec_rank for r in got
+                 if r.vec_rank is not None}
+    # vec 0 matches itself at cosine 1.0 -> semantic rank 1
+    assert vec_ranks.get(0) == 1
+    # both legs contributed (disagreeing candidate sets)
+    assert any(r.bm25_rank is None for r in got)
+    assert any(r.vec_rank is None for r in got)
+    # rrf values recompute from the ranks alone
+    for r in got:
+        want = 0.0
+        if r.bm25_rank is not None:
+            want += 1.0 / (60 + r.bm25_rank)
+        if r.vec_rank is not None:
+            want += 1.0 / (60 + r.vec_rank)
+        assert r.rrf == round(want, 6)
+    # ordering: rrf desc, doc_id asc
+    keys = [(-r.rrf, r.doc_id) for r in got]
+    assert keys == sorted(keys)
+
+
+def test_compact_text_index_unfreezes_stats(spark, tmp_path):
+    """After streaming appends, compaction recomputes N/sumdl from
+    the current postings (plus the build-time token-less residual) —
+    post-compaction searches score appended docs under CURRENT
+    stats, identical to a fresh rebuild on the full corpus."""
+    import os
+
+    from database_convertor_spark.operators.search import (
+        compact_text_index,
+        land_text_index,
+        search_text_index,
+    )
+    from database_convertor_spark.sources.readers import read_table
+    from .conftest import SF_SMALL
+
+    base = read_table(spark, SF_SMALL, "documents")
+    old = base.filter("doc_id < 300")
+    new = base.filter("doc_id >= 300 and doc_id < 400")
+    path = str(tmp_path / "ti")
+    land_text_index(old, path, n_buckets=8)
+    # append the new docs' postings the way the stream sink does
+    from database_convertor_spark.operators.search import _postings
+    _postings(new, 8).write.mode("append") \
+        .partitionBy("bucket").parquet(path)
+    spark.catalog.refreshByPath(path)
+
+    stats = compact_text_index(spark, path)
+    fresh_path = str(tmp_path / "ti_fresh")
+    fresh_stats = land_text_index(
+        base.filter("doc_id < 400"), fresh_path, n_buckets=8)
+    assert stats == fresh_stats
+    got = search_text_index(spark, path, "dup join scan").collect()
+    want = search_text_index(spark, fresh_path, "dup join scan").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    assert os.path.exists(os.path.join(path, "_stats.json"))
