@@ -15,6 +15,18 @@ raises), and entries of other live sessions are untouched.
 Releasing a previous occupant that some caller still holds is safe:
 its lineage is intact, so unpersist costs recomputation, never
 correctness.
+
+SAME-PLAN GUARD (found by the r7 structural plan test running after
+the golden tests): Spark's CacheManager deduplicates cache entries by
+CANONICALIZED PLAN, so when an operator is invoked twice on the same
+input, the second call's ``persist()`` reuses the FIRST call's entry
+("Asked to cache already cached data") — and releasing the previous
+occupant would then unpersist the SHARED entry, silently un-caching
+the new call (every consumer re-scans; a bench min-of-2 second pass
+would run uncached). ``swap_persisted`` therefore skips the release
+when the outgoing and incoming occupants have the same canonical
+plan — the slot contract (one cached frame per slot) is preserved
+either way, since they ARE the same cache entry.
 """
 
 from __future__ import annotations
@@ -74,6 +86,17 @@ def swap_persisted(slot: str, df: DataFrame) -> DataFrame:
         for k in dead:
             _SLOTS.pop(k, None)
         _SLOTS[key] = df
-    if prev is not None:
+    if prev is not None and not _same_cache_entry(prev, df):
         _release(prev)
     return df
+
+
+def _same_cache_entry(prev: DataFrame, new: DataFrame) -> bool:
+    """True when both frames resolve to the same CacheManager entry
+    (canonicalized-plan equality) — releasing one would un-cache the
+    other."""
+    try:
+        return bool(prev._jdf.queryExecution().analyzed().sameResult(
+            new._jdf.queryExecution().analyzed()))
+    except Exception:
+        return False

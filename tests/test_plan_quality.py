@@ -217,3 +217,24 @@ def test_nb_quality_scans_corpus_exactly_once(spark):
     assert direct_readers == ["nb_quality_base"], \
         f"only the base slot may scan the corpus, got {direct_readers}"
     out.limit(1).collect()   # the plan executes
+
+
+def test_swap_persisted_survives_same_plan_reinvocation(spark):
+    """Regression (r7): CacheManager dedups cache entries by canonical
+    plan, so invoking an operator twice on the same input makes the
+    slot swap's release of the previous occupant point at the SHARED
+    entry — without the same-plan guard the second call silently ran
+    uncached (every consumer re-scanning; bench min-of-2 second passes
+    included). Both invocations must read through InMemoryRelation."""
+    from database_convertor_spark.operators.text_analysis import (
+        naive_bayes_quality,
+    )
+    from database_convertor_spark.sources.readers import read_table
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    for _ in range(2):
+        out = naive_bayes_quality(docs)
+        names = list(_logical_node_names(
+            out._jdf.queryExecution().optimizedPlan()))
+        assert not any("LogicalRelation" in n for n in names)
+        assert any("InMemoryRelation" in n for n in names)
