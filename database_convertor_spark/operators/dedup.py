@@ -471,19 +471,58 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs with chunk banding: split the 60-bit hash
-    into 4x15-bit chunks; any pair within Hamming distance <= 3 must
-    agree on at least one chunk (pigeonhole), so candidates come from
-    an equi-join on (chunk_id, chunk_value)."""
+def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
+                  n_blocks: int = 6, key_blocks: int = 3) -> DataFrame:
+    """SimHash near-dup pairs with MULTI-BLOCK banding (Manku et al.
+    WWW'07, "Detecting Near-Duplicates for Web Crawling" §3 — the
+    production simhash dedup design): split the 60-bit hash into
+    ``n_blocks`` equal blocks and key candidates on every
+    ``key_blocks``-subset of blocks. A pair within Hamming distance
+    <= ``max_hamming`` has dirty bits in at most ``max_hamming``
+    blocks, leaving >= ``n_blocks - max_hamming`` clean — so as long
+    as ``key_blocks <= n_blocks - max_hamming`` (validated), at least
+    one all-clean subset exists and the pair meets in that subset's
+    equi-join (generalized pigeonhole). Every candidate is verified by
+    exact Hamming distance, so the emitted pair set is IDENTICAL for
+    any valid banding — banding chooses cost, not results.
+
+    Scale rationale (measured, SCALE.md r7): the old 4 x 15-bit
+    single-chunk keys left a 32k key space, so random chunk
+    collisions grew ~n^2/2^15 — 22.2x on 10x data at the sf10 probe.
+    The default 6-blocks/3-of-6 keys emit C(6,3) = 20 rows/doc
+    (5x the linear work) against a 2^30 key space (~2^15x fewer
+    random collisions) — the same linear-for-quadratic trade as the
+    SRP 128-bit redesign. At petabyte corpora raise ``n_blocks``
+    further (Manku's tables) — the guarantee only needs
+    n_blocks - key_blocks >= max_hamming."""
+    from itertools import combinations
+
+    if n_blocks - key_blocks < max_hamming:
+        raise ValueError(
+            f"simhash_pairs: need n_blocks - key_blocks >= max_hamming "
+            f"for the pigeonhole guarantee (got {n_blocks} - "
+            f"{key_blocks} < {max_hamming})")
+    if SIMHASH_BITS % n_blocks:
+        raise ValueError(
+            f"simhash_pairs: {SIMHASH_BITS}-bit hash not divisible "
+            f"into {n_blocks} blocks")
+    width = SIMHASH_BITS // n_blocks
+    mask = (1 << width) - 1
     sh = (spread(documents)
           .select("doc_id", simhash_votes(F.col("text")).alias("_v"))
           .select("doc_id", votes_to_simhash(F.col("_v")).alias("sh")))
+    blocks = [F.shiftright(F.col("sh"), c * width)
+              .bitwiseAND(F.lit(mask)) for c in range(n_blocks)]
+    keys = []
+    for combo in combinations(range(n_blocks), key_blocks):
+        key = F.lit(0).cast("long")
+        for pos, c in enumerate(combo):
+            key = key.bitwiseOR(
+                F.shiftleft(blocks[c].cast("long"), pos * width))
+        keys.append(key)
     chunked = sh.select(
         "doc_id", "sh",
-        F.posexplode(F.array(*[
-            F.shiftright(F.col("sh"), c * 15).bitwiseAND(F.lit(0x7FFF))
-            for c in range(4)])).alias("chunk_id", "chunk_val"))
+        F.posexplode(F.array(*keys)).alias("chunk_id", "chunk_val"))
     a, b = spread(chunked).alias("a"), chunked.alias("b")
     cands = (a.join(b, (F.col("a.chunk_id") == F.col("b.chunk_id"))
                     & (F.col("a.chunk_val") == F.col("b.chunk_val"))

@@ -4142,9 +4142,12 @@ _add(
 #     scalar_cleaning, hourly_event_rollup, automation_run_health,
 #     user_sessions, event_funnel, distinct_customer_priorities,
 #     order_stats_summary, top_orders_per_customer;
-#   - the 19 pure-relational/cleaning veterans pushed out in r6
-#     return on rotation; dedup_semantic (sf10-probed this round)
-#     keeps its slot; doc_hybrid_search (NEW late in the round: RRF
+#   - the r6-pushed veterans return on rotation; dedup_semantic
+#     (sf10-probed this round) keeps its slot; dedup_simhash windows
+#     because its banding changed in-round (Manku 3-of-6 multi-block
+#     keys after the sf10 probe caught the 22x regime — results
+#     banding-invariant, property-tested), displacing
+#     url_keyval_cleaning (hard-green r5, untouched); doc_hybrid_search (NEW late in the round: RRF
 #     hybrid retrieval) windows per the convention, displacing
 #     fuzzy_match_customers (hard-green r5+r6, entity_resolution.py
 #     untouched this round).
@@ -4182,7 +4185,7 @@ _WINDOW_R7 = [
     "event_type_counts", "orders_union_dedup", "priority_order_pick",
     "open_orders", "shipments_by_month", "customers_without_orders",
     "active_customer_keys", "nation_customer_rollup",
-    "shared_supplier_pairs", "url_keyval_cleaning",
+    "shared_supplier_pairs", "dedup_simhash",
     "linkedin_profile_pick", "officer_email_matches",
     "provider_enrichment_merge", "doc_boilerplate_removed",
     "doc_pii_redacted", "refresh_edges_incremental",

@@ -398,3 +398,25 @@ def test_winnow_fingerprints_match_python_model(spark, texts, k, w):
            for r in winnow_fingerprints(df, k=k, w=w).collect()}
     want = {(i, fp) for i, t in enumerate(texts) for fp in model(t)}
     assert got == want
+
+
+def test_simhash_banding_invariance_and_guard(spark):
+    """The Manku multi-block banding chooses COST, not results: any
+    valid (n_blocks, key_blocks) emits the identical verified pair
+    set (the old 4x15 single-chunk scheme included, as key_blocks=1);
+    a banding that voids the pigeonhole guarantee raises."""
+    import pytest
+
+    from database_convertor_spark.operators.dedup import simhash_pairs
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents").filter(
+        "doc_id < 200")
+    new = {tuple(r) for r in simhash_pairs(docs).collect()}
+    old = {tuple(r) for r in simhash_pairs(
+        docs, n_blocks=4, key_blocks=1).collect()}
+    assert new == old and new
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(docs, max_hamming=3, n_blocks=4, key_blocks=2)
