@@ -700,7 +700,9 @@ def embedding_srp_pairs(embeddings: DataFrame,
 def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
                    block_splits: int = 1,
                    relabel_clusters: int | None = None,
-                   auto_relabel_label_size: int | None = 250) -> DataFrame:
+                   auto_relabel_label_size: int | None = 250,
+                   max_relabel_clusters: int = 4096,
+                   relabel_fit_rows: int | None = 200_000) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication of an embedded corpus. Within each coarse cluster
     (the ``label`` column — precomputed or from
@@ -756,14 +758,27 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
     used as-is; pass ``None`` to trust any incoming label column
     unconditionally.
 
-    Third-decade note (measured at the r7 sf10 probe, SCALE.md):
+    Third-decade regime (measured at the r7 sf10 probe, SCALE.md):
     auto-relabel holds pair mass flat but moves cost into the k-means
     fit, whose distance pass grows n x k = n^2/target — linear per
     decade today (sf1 17.6 s → sf10 176 s on 10x data), supra-linear
-    eventually. Remedies at that scale: cap ``relabel_clusters`` and
-    absorb the larger labels with ``block_splits`` (pair mass grows
-    only as the cap ratio), or fit the codebook on a fixed-size
-    sample and assign the full corpus in one linear pass.
+    eventually. BOTH remedies are therefore DEFAULT-ENGAGED past
+    their thresholds (the same discipline as the auto-relabel gate
+    itself — no advice-only regimes):
+
+    - ``max_relabel_clusters`` (default 4096) caps the auto-sized k;
+      past the cap, labels grow beyond the target and ``block_splits``
+      is the documented straggler lever (pair mass grows only as the
+      cap ratio, bounded, never quadratic in n);
+    - ``relabel_fit_rows`` (default 200k, ``None`` disables) fits the
+      codebook on a deterministic md5-gated SAMPLE of that expected
+      size when the corpus exceeds it — Lloyd's converges to the same
+      codebook shape on a large sample at a fraction of the distance
+      work — and assigns the FULL corpus in one linear Arrow pass.
+      Sampling changes the learned codebook, hence blocking, hence
+      possibly which near-dup pairs become candidates — the standard
+      LSH-style recall trade, and the codebook was already
+      self-chosen on the relabel path. Both engagements warn.
 
     Returns the surviving rows of ``embeddings`` (all columns).
     Reference has no analog (beyond-reference training-data operator).
@@ -775,26 +790,51 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
 
     from .similarity_search import label_centroids
 
+    n_vectors: int | None = None
     if relabel_clusters is None and auto_relabel_label_size is not None:
         sizes = embeddings.agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("label").alias("k")).collect()[0]
+        n_vectors = sizes["n"]
         if (sizes["k"]
                 and sizes["n"] / sizes["k"] > 4 * auto_relabel_label_size):
-            relabel_clusters = max(
-                2, math.ceil(sizes["n"] / auto_relabel_label_size))
+            wanted = max(2, math.ceil(sizes["n"] / auto_relabel_label_size))
+            relabel_clusters = min(wanted, max_relabel_clusters)
+            capped = (" (CAPPED from k={} by max_relabel_clusters — "
+                      "labels will exceed the target; use block_splits "
+                      "for the stragglers)".format(wanted)
+                      if wanted > max_relabel_clusters else "")
             warnings.warn(
                 f"semantic_dedup: incoming label cardinality "
                 f"{sizes['k']} leaves {sizes['n'] / sizes['k']:.0f} "
                 f"vectors per label (> {4 * auto_relabel_label_size}); "
                 f"within-label pair mass grows quadratically, so "
                 f"re-blocking on a learned k-means codebook with "
-                f"k={relabel_clusters} (pass relabel_clusters or "
-                f"auto_relabel_label_size=None to override)",
+                f"k={relabel_clusters}{capped} (pass relabel_clusters "
+                f"or auto_relabel_label_size=None to override)",
                 stacklevel=2)
     if relabel_clusters is not None:
+        from ..functions.text import md5_long
         from .similarity_search import kmeans_assign, kmeans_fit
-        cents, _ = kmeans_fit(embeddings, k=relabel_clusters,
+
+        fit_input = embeddings
+        if relabel_fit_rows is not None:
+            if n_vectors is None:
+                n_vectors = embeddings.count()
+            if n_vectors > relabel_fit_rows:
+                gate = F.pmod(
+                    md5_long(F.col("vec_id").cast("string")),
+                    F.lit(1_000_000))
+                cut = int(1_000_000 * relabel_fit_rows / n_vectors)
+                fit_input = embeddings.filter(gate < cut)
+                warnings.warn(
+                    f"semantic_dedup: fitting the relabel codebook on "
+                    f"a deterministic md5-gated sample (~"
+                    f"{relabel_fit_rows:,} of {n_vectors:,} rows) — "
+                    f"the full corpus is still assigned and deduped; "
+                    f"pass relabel_fit_rows=None to fit on everything",
+                    stacklevel=2)
+        cents, _ = kmeans_fit(fit_input, k=relabel_clusters,
                               normalize=True)
         assigned = kmeans_assign(embeddings, cents, normalize=True)
         embeddings = (embeddings.drop("label")

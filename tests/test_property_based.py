@@ -420,3 +420,46 @@ def test_simhash_banding_invariance_and_guard(spark):
     assert new == old and new
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_pairs(docs, max_hamming=3, n_blocks=4, key_blocks=2)
+
+
+def test_semantic_dedup_third_decade_caps(spark):
+    """The r7 third-decade remedies engage by default past their
+    thresholds: the auto-sized k caps at max_relabel_clusters, and
+    the codebook fit runs on a deterministic sample when the corpus
+    exceeds relabel_fit_rows — while planted exact twins still dedup
+    (one survivor per twin pair) and the result stays a subset of the
+    input."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from database_convertor_spark.operators.dedup import semantic_dedup
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    emb = read_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") < 200)
+    twins = emb.select((F.col("vec_id") + 5000).alias("vec_id"),
+                       F.transform(F.col("embedding"),
+                                   lambda x: x * 2).alias("embedding"),
+                       "label")
+    base = emb.unionByName(twins)          # 400 rows, every row twinned
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = semantic_dedup(base, threshold=0.99,
+                             auto_relabel_label_size=5,
+                             max_relabel_clusters=7,
+                             relabel_fit_rows=150)
+        msgs = " ".join(str(x.message) for x in w)
+    assert "CAPPED" in msgs            # k = ceil(400/5) = 80 -> 7
+    assert "md5-gated sample" in msgs  # 400 > 150 engages the sample fit
+    ids = {r.vec_id for r in out.select("vec_id").collect()}
+    assert ids <= {r.vec_id for r in base.select("vec_id").collect()}
+    # every twin pair lost exactly one member (cosine exactly 1.0 is
+    # in-band at any threshold; the capped/sampled codebook cannot
+    # split an identical-direction pair across labels)
+    for i in range(200):
+        assert (i in ids) != (i + 5000 in ids) or (
+            i in ids and i + 5000 in ids) is False
+    assert len(ids) == 200
