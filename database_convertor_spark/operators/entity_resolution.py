@@ -70,7 +70,9 @@ def _block_on_tokens(left: DataFrame, right: DataFrame,
                      n_right: int | None = None,
                      df_frac: float = 0.05,
                      df_floor: int = 100,
-                     cap_mega_tokens: bool = True) -> DataFrame:
+                     cap_mega_tokens: bool = True,
+                     max_token_pairs: float | None = 1_000_000
+                     ) -> DataFrame:
     """Token-blocking candidate join: pair rows sharing any non-stopword,
     non-MEGA name token (expects precomputed _ltoks/_rtoks arrays).
     Returns the deduped (left x right) candidate pairs.
@@ -93,6 +95,22 @@ def _block_on_tokens(left: DataFrame, right: DataFrame,
     NO rescue rung downstream (fuzzy_join with lev_rescue=False) must
     pass False, otherwise a left whose every token is capped would
     silently lose all candidates instead of falling through.
+
+    Per-token PAIR budget (the r7 sf10 probe finding): the df cap is
+    PROPORTIONAL to the dimension (``n_right * df_frac``), so the
+    worst token's candidate mass DF_left(t) x DF_right(t) grows as
+    0.05 * n_left * n_right — quadratic BY CONSTRUCTION once both
+    sides scale together (measured: every certified scale tops out at
+    100 pairs/token, sf10 reached 15M pairs on one token and 1.5B
+    total, 26x on 10x data). ``max_token_pairs`` bounds the actual
+    product: both sides' token DF tables (small, map-side-combining
+    aggregates, broadcast) join once, and a token whose DF product
+    exceeds the budget is excluded from blocking exactly like a mega
+    token — its lefts either pair through their rarer tokens or fall
+    through to the rescue rung. Total candidate mass is then bounded
+    by n_tokens x budget — linear in vocabulary, never quadratic in
+    rows. ``None`` disables (same contract as the other pair-budget
+    gates).
 
     Plan shape (also learned at the sf1 probe): Catalyst pushes the
     caller's ladder filter below the dedup into the join condition.
@@ -134,7 +152,14 @@ def _block_on_tokens(left: DataFrame, right: DataFrame,
         # capped token can be dropped from the left too — it can never
         # produce a candidate)
         tok_ok = (rt.groupBy("_tok").agg(F.count(F.lit(1)).alias("_tdf"))
-                  .filter(F.col("_tdf") <= cap).select("_tok"))
+                  .filter(F.col("_tdf") <= cap))
+        if max_token_pairs is not None:
+            ldf = lt.groupBy("_tok").agg(F.count(F.lit(1)).alias("_ldf"))
+            tok_ok = (tok_ok.join(ldf, "_tok", "left")
+                      .filter(F.coalesce(F.col("_ldf"), F.lit(0))
+                              .cast("double") * F.col("_tdf")
+                              <= max_token_pairs))
+        tok_ok = tok_ok.select("_tok")
         lt = lt.join(F.broadcast(tok_ok), "_tok")
         rt = rt.join(F.broadcast(tok_ok), "_tok")
     if few_splits:
@@ -158,7 +183,9 @@ def _block_on_qgrams(left: DataFrame, right: DataFrame,
                      df_frac: float = 0.2, df_floor: int = 20,
                      dedup_pairs: bool = True,
                      broadcast_limit: int = 2_000_000,
-                     n_right: int | None = None) -> DataFrame:
+                     n_right: int | None = None,
+                     max_df_cap: int | None = None,
+                     right_fallback: bool = True) -> DataFrame:
     """Rarest-q-gram candidate blocking for the levenshtein rescue rung
     (the de-quadratic fix for the round-2 scale-killer).
 
@@ -186,6 +213,19 @@ def _block_on_qgrams(left: DataFrame, right: DataFrame,
 
     Cost: |left| x rare_k x avg_gram_df candidate rows through a hash
     equi-join -- never a nested loop, never |left| x |right|.
+
+    ``max_df_cap`` (the r7 sf10 finding): the proportional cap
+    (``n_right * df_frac``) lets per-left candidate mass grow linearly
+    with the dimension — |L| x rare_k x 0.2|R| is quadratic once both
+    sides scale together (the sf10 probe spilled out of memory on
+    exactly this). The caller passes an ABSOLUTE cap sized to its pair
+    budget; grams above it are excluded from ranks 2..k (rank 1 stays
+    exempt for left-reachability — its mass is sum of per-left rarest
+    DFs, similarity-structure-bounded). ``right_fallback=False``
+    additionally drops the unreachable-right rung, whose mass is
+    unbounded under a tight cap (a right reachable only through
+    above-budget grams is indistinguishable from noise at that scale —
+    the documented recall trade of the budgeted regime).
     """
     # The right side of the rescue is a dimension by this operator's
     # contract (the big side is always the left); its row count is an
@@ -223,6 +263,8 @@ def _block_on_qgrams(left: DataFrame, right: DataFrame,
     #     bounds its candidates by that gram's frequency.
     # Worst-case per-left candidates: rare_k * cap + (degenerate rows).
     cap = max(int(n_right * df_frac), df_floor)
+    if max_df_cap is not None:
+        cap = min(cap, max(1, max_df_cap))
     wr = Window.partitionBy(left_key).orderBy(F.asc("_gdf"), F.asc("_g"))
     rare = (lg.withColumn("_grn", F.row_number().over(wr))
             .filter((F.col("_grn") == 1)
@@ -238,16 +280,18 @@ def _block_on_qgrams(left: DataFrame, right: DataFrame,
     # gram is invisible to the capped join above — pair it with every
     # left sharing its rarest gram (rank-1 row with _gdf > cap is
     # exactly "rarest gram of an unreachable right")
-    wrr = Window.partitionBy(right_key).orderBy(F.asc("_gdf"), F.asc("_g"))
-    r_unreach = (rg.join(maybe_broadcast(gdf), "_g")
-                 .withColumn("_rrn", F.row_number().over(wrr))
-                 .filter((F.col("_rrn") == 1) & (F.col("_gdf") > cap))
-                 .select(right_key, "_rnorm", "_g"))
-    cand_fallback = (lg.select(left_key, "_lnorm", "_g")
-                     .repartition(par)
-                     .join(maybe_broadcast(r_unreach), "_g")
-                     .drop("_g"))
-    cand = cand.unionByName(cand_fallback)
+    if right_fallback:
+        wrr = Window.partitionBy(right_key).orderBy(F.asc("_gdf"),
+                                                    F.asc("_g"))
+        r_unreach = (rg.join(maybe_broadcast(gdf), "_g")
+                     .withColumn("_rrn", F.row_number().over(wrr))
+                     .filter((F.col("_rrn") == 1) & (F.col("_gdf") > cap))
+                     .select(right_key, "_rnorm", "_g"))
+        cand_fallback = (lg.select(left_key, "_lnorm", "_g")
+                         .repartition(par)
+                         .join(maybe_broadcast(r_unreach), "_g")
+                         .drop("_g"))
+        cand = cand.unionByName(cand_fallback)
     # a pair sharing several rare grams appears once per shared gram;
     # callers whose downstream is a max()-style aggregate (top-1 path)
     # are duplicate-insensitive and skip this shuffle
@@ -498,11 +542,40 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
                 # never a nested loop, never |left| x |right|. The lev
                 # rung never touches token arrays, so candidate rows
                 # carry two strings, not two strings + two arrays.
+                #
+                # Budget-adaptive gram cap (the r7 sf10 finding): the
+                # rung's upper-bound mass |residual| x rare_k x cap is
+                # quadratic when the gram cap rides n_right; bound
+                # |residual| by the already-counted n_left (no extra
+                # job) and when the bound exceeds max_rescue_pairs,
+                # shrink the cap to fit and drop the unreachable-right
+                # fallback (its mass is cap-inverse). The sf10 probe
+                # measured the unbudgeted rung spilling out of memory
+                # at 1.5M x 6 x 20k; certified scales sit far under
+                # the budget and are untouched.
+                natural_cap = max(int(n_right * 0.2), 20)
+                rung_ub = n_left * rescue_rare_grams * natural_cap
+                budget_cap = None
+                if rung_ub > max_rescue_pairs:
+                    budget_cap = max(1, int(
+                        max_rescue_pairs / (n_left * rescue_rare_grams)))
+                    import warnings
+                    warnings.warn(
+                        f"fuzzy_join: gram-rescue upper bound "
+                        f"{rung_ub:,.0f} pairs exceeds max_rescue_pairs="
+                        f"{max_rescue_pairs:,}; capping blocking-gram "
+                        f"document frequency at {budget_cap} (from "
+                        f"{natural_cap}) and dropping the unreachable-"
+                        f"right fallback — recall-bounded regime, "
+                        f"raise max_rescue_pairs to loosen",
+                        stacklevel=2)
                 rescue = _block_on_qgrams(
                     residual.select(left_key, "_lnorm"),
                     rnorm.select(right_key, "_rnorm"),
                     left_key, right_key, rare_k=rescue_rare_grams,
-                    dedup_pairs=not agg_top1, n_right=n_right)
+                    dedup_pairs=not agg_top1, n_right=n_right,
+                    max_df_cap=budget_cap,
+                    right_fallback=budget_cap is None)
                 lev = levenshtein_similarity(F.col("_lnorm"),
                                              F.col("_rnorm"))
                 r_exact = F.col("_lnorm") == F.col("_rnorm")

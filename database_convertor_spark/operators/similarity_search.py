@@ -436,6 +436,13 @@ def hard_negatives(queries: DataFrame, corpus: DataFrame, k: int = 5,
     band members ranked below the near-dup zone the shortlist
     necessarily surfaces first.
 
+    Gate cost note: the pair-mass estimate needs one count() of each
+    input. On a landed parquet corpus that is metadata-cheap; on a
+    COMPUTED corpus frame it materializes the subplan once — still
+    ~dim x cheaper than the exact scan it guards against, but callers
+    in that shape should persist the corpus first (or pass
+    ``max_pair_mass=None`` when the scale is known-safe).
+
     Output: (query_id, neighbor_id, rank, cosine). Inputs need only
     (vec_id, embedding) — no label column (shortlist-produced anchor
     frames don't carry one).

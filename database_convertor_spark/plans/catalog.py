@@ -4147,7 +4147,12 @@ _add(
 #     because its banding changed in-round (Manku 3-of-6 multi-block
 #     keys after the sf10 probe caught the 22x regime — results
 #     banding-invariant, property-tested), displacing
-#     url_keyval_cleaning (hard-green r5, untouched); doc_hybrid_search (NEW late in the round: RRF
+#     url_keyval_cleaning (hard-green r5, untouched);
+#     fuzzy_match_customers RETURNS late in the round (its blocking
+#     gained the per-token pair budget + budget-adaptive gram cap
+#     after the sf10 probe spilled — oracle re-verified at sf0.01 AND
+#     sf0.1), displacing linkedin_profile_pick (hard-green r5,
+#     untouched); doc_hybrid_search (NEW late in the round: RRF
 #     hybrid retrieval) windows per the convention, displacing
 #     fuzzy_match_customers (hard-green r5+r6, entity_resolution.py
 #     untouched this round).
@@ -4186,7 +4191,7 @@ _WINDOW_R7 = [
     "open_orders", "shipments_by_month", "customers_without_orders",
     "active_customer_keys", "nation_customer_rollup",
     "shared_supplier_pairs", "dedup_simhash",
-    "linkedin_profile_pick", "officer_email_matches",
+    "fuzzy_match_customers", "officer_email_matches",
     "provider_enrichment_merge", "doc_boilerplate_removed",
     "doc_pii_redacted", "refresh_edges_incremental",
     # new late in the round (must window) + sf10-probed heavyweight

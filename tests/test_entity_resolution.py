@@ -120,3 +120,36 @@ def test_name_match_email_join_empty_names_no_false_positives(spark):
     got = {r.email: r.name_match_confidence
            for r in name_match_email_join(officers, emails).collect()}
     assert got == {"john.smith@acme.com": 0.9}
+
+
+def test_fuzzy_gram_rescue_budget_engages(spark):
+    """The r7 sf10 regime: when the gram-rescue upper bound exceeds
+    max_rescue_pairs, the blocking-gram DF cap shrinks to fit (warning
+    fired), the plan stays nested-loop-free, and the rung still
+    produces scored matches for token-less lefts."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from database_convertor_spark.operators.entity_resolution import (
+        fuzzy_join,
+    )
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    customer = read_table(spark, SF_SMALL, "customer")
+    supplier = read_table(spark, SF_SMALL, "supplier")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        df = fuzzy_join(customer, supplier, "c_name", "s_name",
+                        "c_custkey", "s_suppkey", threshold=0.3,
+                        top_k=1, exact_rescue_limit=0,
+                        max_rescue_pairs=1_000)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        rows = df.collect()
+    msgs = " ".join(str(x.message) for x in w)
+    assert "gram-rescue upper bound" in msgs
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert rows                                  # still matches
