@@ -599,6 +599,13 @@ class Engine:
         from .operators.search import compact_text_index
         return compact_text_index(self.spark, path)
 
+    def dedup_agreement_report(self, documents: DataFrame) -> DataFrame:
+        """Cross-family near-dup agreement audit: MinHash-LSH vs
+        SimHash vs winnowing pair-set overlap — the corpus-QA report
+        for choosing a dedup family before the full-scale run."""
+        from .operators.dedup import dedup_family_agreement
+        return dedup_family_agreement(documents)
+
     def hybrid_search(self, documents: DataFrame, embeddings: DataFrame,
                       query: str, query_vec: list[float],
                       top_k: int = 25) -> DataFrame:

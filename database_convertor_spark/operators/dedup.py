@@ -537,6 +537,62 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
             .filter(F.col("hamming") <= max_hamming))
 
 
+def dedup_family_agreement(documents: DataFrame) -> DataFrame:
+    """Cross-family near-dup AGREEMENT AUDIT — the corpus-QA report
+    for choosing a dedup family: run the three text near-dup families
+    at their default regimes over the same corpus (MinHash-LSH at 0.5
+    shingle Jaccard; SimHash at Hamming <= 3; winnowing at 0.5
+    fingerprint overlap) and report, for each family pair, how far
+    their emitted pair sets agree. Families measure DIFFERENT
+    similarity notions (set, bit, local-substring), so disagreement
+    is signal, not error: a corpus where simhash finds pairs the
+    others miss is template-heavy; one where winnowing dominates is
+    copy-paste-heavy — that diagnosis picks the family (and the
+    threshold) for the real 100 TB run on a sample.
+
+    Distributed shape: the three pair generators keep their own
+    banded/blocked plans; their (doc_a, doc_b) outputs (pair-mass-
+    sized, orders below the corpus at sane thresholds) union into ONE
+    groupBy(pair) presence-flag frame and ONE global aggregate — no
+    new quadratic stage anywhere.
+
+    Output, 3 rows: (family_a, family_b, n_a, n_b, n_both,
+    agreement = n_both / min(n_a, n_b) rounded 4dp, NULL when a side
+    is empty) — the overlap coefficient of the pair SETS, families
+    lexically ordered. Reference has no analog (beyond-reference
+    corpus-QA operator).
+    """
+    mh = minhash_lsh_pairs(documents).select(
+        "doc_a", "doc_b", F.lit("minhash").alias("_fam"))
+    sh = simhash_pairs(documents).select(
+        "doc_a", "doc_b", F.lit("simhash").alias("_fam"))
+    wn = winnow_pairs(documents).select(
+        "doc_a", "doc_b", F.lit("winnowing").alias("_fam"))
+    flags = (mh.unionByName(sh).unionByName(wn)
+             .groupBy("doc_a", "doc_b")
+             .agg(*[F.max((F.col("_fam") == f).cast("long")).alias(c)
+                    for f, c in [("minhash", "_mh"), ("simhash", "_sh"),
+                                 ("winnowing", "_wn")]]))
+    one = flags.agg(
+        F.sum("_mh").alias("n_mh"), F.sum("_sh").alias("n_sh"),
+        F.sum("_wn").alias("n_wn"),
+        F.sum(F.col("_mh") * F.col("_sh")).alias("b_mh_sh"),
+        F.sum(F.col("_mh") * F.col("_wn")).alias("b_mh_wn"),
+        F.sum(F.col("_sh") * F.col("_wn")).alias("b_sh_wn"))
+    out = one.selectExpr(
+        "stack(3, "
+        "'minhash', 'simhash', n_mh, n_sh, b_mh_sh, "
+        "'minhash', 'winnowing', n_mh, n_wn, b_mh_wn, "
+        "'simhash', 'winnowing', n_sh, n_wn, b_sh_wn) "
+        "AS (family_a, family_b, n_a, n_b, n_both)")
+    least = F.least("n_a", "n_b").cast("double")
+    return out.select(
+        "family_a", "family_b", "n_a", "n_b", "n_both",
+        F.when(least > 0,
+               F.round(F.col("n_both").cast("double") / least, 4))
+        .alias("agreement"))
+
+
 # ------------------------------------------------------ embedding near-dup
 def embedding_neardup_pairs(embeddings: DataFrame,
                             threshold: float = 0.95,

@@ -4107,6 +4107,75 @@ _add(
     "partial copy-paste overlap scores high",
 )
 
+# ============================================ cross-family agreement audit
+# the three family oracles compose as parenthesized subqueries (each
+# is a self-contained WITH...SELECT); the audit arithmetic mirrors
+# dedup.dedup_family_agreement exactly
+_WINNOW_PAIRS_ORACLE = f"""
+    WITH {_WINNOW_FPS_CTE},
+    rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50),
+    pruned AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r ON f.fp = r.fp),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM pruned GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b
+    FROM shared JOIN sizes sa ON doc_a = sa.doc_id
+                JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE round(CAST(n_shared AS DOUBLE) / least(sa.sz, sb.sz), 4) >= 0.5
+"""
+
+_add(
+    "dedup_family_agreement",
+    lambda spark, sf: dedup.dedup_family_agreement(
+        *_t(spark, sf, "documents")),
+    f"""
+    WITH mh AS (SELECT doc_a, doc_b FROM ({_MINHASH_ORACLE})),
+    sh2 AS (SELECT doc_a, doc_b FROM ({_SIMHASH_ORACLE})),
+    wn AS (SELECT doc_a, doc_b FROM ({_WINNOW_PAIRS_ORACLE})),
+    flags AS (
+      SELECT doc_a, doc_b,
+             max(fam = 'mh') AS f_mh, max(fam = 'sh') AS f_sh,
+             max(fam = 'wn') AS f_wn
+      FROM (SELECT doc_a, doc_b, 'mh' AS fam FROM mh
+            UNION ALL SELECT doc_a, doc_b, 'sh' FROM sh2
+            UNION ALL SELECT doc_a, doc_b, 'wn' FROM wn)
+      GROUP BY doc_a, doc_b),
+    tot AS (
+      SELECT CAST(sum(CASE WHEN f_mh THEN 1 ELSE 0 END) AS BIGINT) AS n_mh,
+             CAST(sum(CASE WHEN f_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_sh,
+             CAST(sum(CASE WHEN f_wn THEN 1 ELSE 0 END) AS BIGINT) AS n_wn,
+             CAST(sum(CASE WHEN f_mh AND f_sh THEN 1 ELSE 0 END) AS BIGINT)
+               AS b_mh_sh,
+             CAST(sum(CASE WHEN f_mh AND f_wn THEN 1 ELSE 0 END) AS BIGINT)
+               AS b_mh_wn,
+             CAST(sum(CASE WHEN f_sh AND f_wn THEN 1 ELSE 0 END) AS BIGINT)
+               AS b_sh_wn
+      FROM flags),
+    rows3 AS (
+      SELECT 'minhash' AS family_a, 'simhash' AS family_b,
+             n_mh AS n_a, n_sh AS n_b, b_mh_sh AS n_both FROM tot
+      UNION ALL
+      SELECT 'minhash', 'winnowing', n_mh, n_wn, b_mh_wn FROM tot
+      UNION ALL
+      SELECT 'simhash', 'winnowing', n_sh, n_wn, b_sh_wn FROM tot)
+    SELECT family_a, family_b, n_a, n_b, n_both,
+           CASE WHEN least(n_a, n_b) > 0
+                THEN round(CAST(n_both AS DOUBLE) / least(n_a, n_b), 4)
+           END AS agreement
+    FROM rows3
+    """,
+    "dedup,pipeline",
+    "cross-family near-dup agreement audit (corpus QA for choosing a "
+    "dedup family): MinHash-LSH vs SimHash vs winnowing pair-set "
+    "overlap coefficients — disagreement is diagnosis (template-heavy "
+    "vs copy-paste-heavy corpora); one presence-flag groupBy over the "
+    "unioned pair frames, one global aggregate, no new quadratic "
+    "stage",
+)
+
 
 # --------------------------------------------------- driver-window rotation
 # The correctness driver samples the FIRST 50 catalog entries in
@@ -4148,6 +4217,9 @@ _add(
 #     keys after the sf10 probe caught the 22x regime — results
 #     banding-invariant, property-tested), displacing
 #     url_keyval_cleaning (hard-green r5, untouched);
+#     dedup_family_agreement (NEW: cross-family audit) windows per
+#     the convention, displacing provider_enrichment_merge
+#     (hard-green r5+r6, untouched);
 #     fuzzy_match_customers RETURNS late in the round (its blocking
 #     gained the per-token pair budget + budget-adaptive gram cap
 #     after the sf10 probe spilled — oracle re-verified at sf0.01 AND
@@ -4192,7 +4264,7 @@ _WINDOW_R7 = [
     "active_customer_keys", "nation_customer_rollup",
     "shared_supplier_pairs", "dedup_simhash",
     "fuzzy_match_customers", "officer_email_matches",
-    "provider_enrichment_merge", "doc_boilerplate_removed",
+    "dedup_family_agreement", "doc_boilerplate_removed",
     "doc_pii_redacted", "refresh_edges_incremental",
     # new late in the round (must window) + sf10-probed heavyweight
     "doc_hybrid_search", "dedup_semantic",

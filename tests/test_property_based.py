@@ -463,3 +463,39 @@ def test_semantic_dedup_third_decade_caps(spark):
         assert (i in ids) != (i + 5000 in ids) or (
             i in ids and i + 5000 in ids) is False
     assert len(ids) == 200
+
+
+def test_dedup_family_agreement_recomputes_from_families(spark):
+    """The agreement report's counts must equal set arithmetic over
+    the three families' own pair outputs — no independent similarity
+    logic hides in the audit."""
+    from database_convertor_spark.operators.dedup import (
+        dedup_family_agreement,
+        minhash_lsh_pairs,
+        simhash_pairs,
+        winnow_pairs,
+    )
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    sets = {
+        "minhash": {(r.doc_a, r.doc_b)
+                    for r in minhash_lsh_pairs(docs).collect()},
+        "simhash": {(r.doc_a, r.doc_b)
+                    for r in simhash_pairs(docs).collect()},
+        "winnowing": {(r.doc_a, r.doc_b)
+                      for r in winnow_pairs(docs).collect()},
+    }
+    got = {(r.family_a, r.family_b): r
+           for r in dedup_family_agreement(docs).collect()}
+    assert set(got) == {("minhash", "simhash"), ("minhash", "winnowing"),
+                        ("simhash", "winnowing")}
+    for (fa, fb), r in got.items():
+        assert r.n_a == len(sets[fa]) and r.n_b == len(sets[fb])
+        both = len(sets[fa] & sets[fb])
+        assert r.n_both == both
+        low = min(r.n_a, r.n_b)
+        want = round(both / low, 4) if low else None
+        assert r.agreement == want
