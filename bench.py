@@ -56,6 +56,7 @@ HEADLINE = [
     "doc_bm25_search",
     "doc_text_index_search",
     "doc_hybrid_search",
+    "doc_hybrid_search_indexed",
     "doc_tfidf_keywords",
     "doc_bigram_logprob",
     "user_sessions",

@@ -599,22 +599,45 @@ class Engine:
         from .operators.search import compact_text_index
         return compact_text_index(self.spark, path)
 
-    def dedup_agreement_report(self, documents: DataFrame) -> DataFrame:
+    def dedup_agreement_report(self, documents: DataFrame,
+                               minhash: DataFrame | None = None,
+                               simhash: DataFrame | None = None,
+                               winnowing: DataFrame | None = None,
+                               ) -> DataFrame:
         """Cross-family near-dup agreement audit: MinHash-LSH vs
         SimHash vs winnowing pair-set overlap — the corpus-QA report
-        for choosing a dedup family before the full-scale run."""
+        for choosing a dedup family before the full-scale run. Pass
+        the landed pair tables to audit WITHOUT recomputing; absent
+        families recompute from the corpus."""
         from .operators.dedup import dedup_family_agreement
-        return dedup_family_agreement(documents)
+        return dedup_family_agreement(documents, minhash=minhash,
+                                      simhash=simhash,
+                                      winnowing=winnowing)
 
     def hybrid_search(self, documents: DataFrame, embeddings: DataFrame,
                       query: str, query_vec: list[float],
                       top_k: int = 25) -> DataFrame:
         """Hybrid retrieval: BM25 lexical leg + cosine semantic leg
         fused by Reciprocal Rank Fusion (the ES/OpenSearch hybrid
-        rule)."""
+        rule). Per-query corpus scans — for the many-queries shape use
+        ``hybrid_search_indexed`` over the landed indexes."""
         from .operators.search import hybrid_search_rrf
         return hybrid_search_rrf(documents, embeddings, query,
                                  query_vec, top_k=top_k)
+
+    def hybrid_search_indexed(self, text_index_path: str,
+                              ann_index_path: str, query: str,
+                              query_vec: list[float],
+                              embeddings: DataFrame,
+                              top_k: int = 25) -> DataFrame:
+        """Hybrid retrieval served from the LANDED text + IVFPQ
+        indexes (both legs partition-prune; the semantic leg
+        point-fetches raw floats for the exact re-rank) — per-query
+        cost tracks posting/cell mass, not corpus size."""
+        from .operators.search import hybrid_search_rrf_indexed
+        return hybrid_search_rrf_indexed(
+            self.spark, text_index_path, ann_index_path, query,
+            query_vec, embeddings, top_k=top_k)
 
     # ----------------------------------------------------------- automation
     def run_health(self, runs: DataFrame) -> DataFrame:

@@ -100,7 +100,11 @@ _PAIR_MASS_CACHE_MAX = 64
 def _block_pair_mass_cached(docs: DataFrame,
                             adjacent_bands: bool) -> float:
     try:
-        key = (id(docs.sparkSession),
+        # stable session identity (applicationId + startTime), NOT
+        # id(session): a GC'd session's id() can be reused by a new
+        # one, silently serving a stale estimate across sessions
+        sc = docs.sparkSession.sparkContext
+        key = (sc.applicationId, sc.startTime,
                docs._jdf.queryExecution().analyzed().semanticHash(),
                adjacent_bands)
     except Exception:                      # connect / API drift: no cache
@@ -537,7 +541,11 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
             .filter(F.col("hamming") <= max_hamming))
 
 
-def dedup_family_agreement(documents: DataFrame) -> DataFrame:
+def dedup_family_agreement(documents: DataFrame,
+                           minhash: DataFrame | None = None,
+                           simhash: DataFrame | None = None,
+                           winnowing: DataFrame | None = None,
+                           ) -> DataFrame:
     """Cross-family near-dup AGREEMENT AUDIT — the corpus-QA report
     for choosing a dedup family: run the three text near-dup families
     at their default regimes over the same corpus (MinHash-LSH at 0.5
@@ -561,12 +569,24 @@ def dedup_family_agreement(documents: DataFrame) -> DataFrame:
     is empty) — the overlap coefficient of the pair SETS, families
     lexically ordered. Reference has no analog (beyond-reference
     corpus-QA operator).
+
+    ``minhash`` / ``simhash`` / ``winnowing`` accept PRE-COMPUTED pair
+    frames (any frame with doc_a, doc_b columns — the landed/persisted
+    pair tables a real dedup audit already has on disk); only absent
+    families recompute from the corpus. With all three supplied the
+    audit is a cheap flag-join over existing pairs — the cost profile
+    a 100 TB audit needs, since recomputing all three families just to
+    compare them is the audit's only expensive regime (measured: the
+    sf10 probe's 201 s was exactly the sum of the three families).
     """
-    mh = minhash_lsh_pairs(documents).select(
+    mh = (minhash_lsh_pairs(documents) if minhash is None
+          else minhash).select(
         "doc_a", "doc_b", F.lit("minhash").alias("_fam"))
-    sh = simhash_pairs(documents).select(
+    sh = (simhash_pairs(documents) if simhash is None
+          else simhash).select(
         "doc_a", "doc_b", F.lit("simhash").alias("_fam"))
-    wn = winnow_pairs(documents).select(
+    wn = (winnow_pairs(documents) if winnowing is None
+          else winnowing).select(
         "doc_a", "doc_b", F.lit("winnowing").alias("_fam"))
     flags = (mh.unionByName(sh).unionByName(wn)
              .groupBy("doc_a", "doc_b")
@@ -878,10 +898,16 @@ def semantic_dedup(embeddings: DataFrame, threshold: float = 0.95,
             if n_vectors is None:
                 n_vectors = embeddings.count()
             if n_vectors > relabel_fit_rows:
+                # 1e9 modulus + max(1, ...): at the extreme corpus
+                # sizes this path targets (n > 1e9 * fit_rows would be
+                # needed to truncate now), the cut must never round to
+                # 0 — an empty fit frame would surface as a confusing
+                # "empty corpus" error from kmeans_fit
                 gate = F.pmod(
                     md5_long(F.col("vec_id").cast("string")),
-                    F.lit(1_000_000))
-                cut = int(1_000_000 * relabel_fit_rows / n_vectors)
+                    F.lit(1_000_000_000))
+                cut = max(1, int(1_000_000_000 * relabel_fit_rows
+                                 / n_vectors))
                 fit_input = embeddings.filter(gate < cut)
                 warnings.warn(
                     f"semantic_dedup: fitting the relabel codebook on "

@@ -6,12 +6,15 @@ Decode kernels sit behind ``DecodeBackend``:
 ``StdlibDecodeBackend`` REALLY decodes the formats this image can
 parse without external codecs — PCM WAV audio (stdlib ``wave`` +
 numpy: duration/RMS/peak/zero-crossing features), binary PPM images
-(numpy: dimensions/channel means/luma), and PNG (stdlib ``zlib`` +
-numpy scanline unfiltering, all five filter types) — and raises for
-codecs that need Pillow/av (JPEG/MP4). ``FakeDecodeBackend`` remains
-the deterministic stand-in for plumbing tests; ``encode_wav`` /
-``encode_ppm`` / ``encode_png`` + ``synthesize_real_media`` generate
-real encoded bytes executor-side for the end-to-end path.
+(numpy: dimensions/channel means/luma), PNG (stdlib ``zlib`` + numpy
+scanline unfiltering, all five filter types), and baseline JPEG
+(``jpeg_codec``: Huffman + DCT, gray/4:4:4/4:2:2/4:2:0, restart
+markers) — and raises for the codecs that genuinely need a library
+(progressive JPEG, MP4/video containers). ``FakeDecodeBackend``
+remains the deterministic stand-in for plumbing tests; ``encode_wav``
+/ ``encode_ppm`` / ``encode_png`` / ``jpeg_codec.encode_baseline_jpeg``
++ ``synthesize_real_media`` generate real encoded bytes executor-side
+for the end-to-end path.
 
 Scale notes: binary payloads ride the normal columnar path (parquet
 binary + Arrow batches); `spark.sql.files.maxPartitionBytes` bounds
@@ -89,19 +92,22 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 class StdlibDecodeBackend(DecodeBackend):
     """REAL decode for the formats the standard library + numpy can
     parse without external codecs: PCM WAV audio (``wave`` + numpy),
-    binary PPM (P6) images (pure numpy), and PNG (stdlib ``zlib``
-    inflate + numpy scanline unfiltering — all five PNG filter types,
-    8-bit gray / gray+alpha / RGB / RGBA, non-interlaced). Formats
-    needing Pillow/av (JPEG/MP4...) still raise — the honest boundary
-    of this image.
+    binary PPM (P6) images (pure numpy), PNG (stdlib ``zlib`` inflate
+    + numpy scanline unfiltering — all five PNG filter types, 8-bit
+    gray / gray+alpha / RGB / RGBA, non-interlaced), and baseline JPEG
+    (``jpeg_codec`` — Huffman + DCT per ITU-T T.81, grayscale/YCbCr,
+    4:4:4 / 4:2:2 / 4:2:0, restart markers; progressive/arithmetic
+    streams raise from the codec itself). Formats needing a real
+    media library (MP4/video containers...) still raise — the honest
+    boundary of this image.
 
     Feature layout (8-dim, matches FEATURE_SCHEMA):
       WAV: [duration_ms, n_channels, sample_rate, rms, peak,
             zero_crossings_per_sec, dc_mean, 0.0]   (samples in [-1,1])
       PPM: [width, height, mean_r, mean_g, mean_b, luma_mean,
             luma_std, 1.0]
-      PNG: same layout as PPM (gray images repeat the gray channel as
-           r = g = b; alpha is ignored for the color means)
+      PNG/JPEG: same layout as PPM (gray images repeat the gray
+           channel as r = g = b; alpha is ignored for the color means)
     """
 
     def features(self, payload: bytes, kind: str) -> list[float]:
@@ -111,9 +117,12 @@ class StdlibDecodeBackend(DecodeBackend):
             return self._ppm_features(payload)
         if payload[:8] == PNG_SIGNATURE:
             return self._png_features(payload)
+        if payload[:3] == b"\xff\xd8\xff":
+            return self._jpeg_features(payload)
         raise NotImplementedError(
-            "StdlibDecodeBackend handles PCM WAV, binary PPM and PNG; "
-            "other codecs need Pillow/av (not in this image)")
+            "StdlibDecodeBackend handles PCM WAV, binary PPM, PNG and "
+            "baseline JPEG; other codecs (MP4/video...) need Pillow/av "
+            "(not in this image)")
 
     @staticmethod
     def _wav_features(payload: bytes) -> list[float]:
@@ -263,6 +272,21 @@ class StdlibDecodeBackend(DecodeBackend):
                 float(means[0]), float(means[1]), float(means[2]),
                 float(luma.mean()), float(luma.std()), 1.0]
 
+    @staticmethod
+    def _jpeg_features(payload: bytes) -> list[float]:
+        import numpy as np
+
+        from .jpeg_codec import decode_baseline_jpeg
+
+        px = decode_baseline_jpeg(payload).astype(np.float64) / 255.0
+        h, w, _ = px.shape
+        means = px.mean(axis=(0, 1))
+        luma = (0.2126 * px[..., 0] + 0.7152 * px[..., 1]
+                + 0.0722 * px[..., 2])
+        return [float(w), float(h),
+                float(means[0]), float(means[1]), float(means[2]),
+                float(luma.mean()), float(luma.std()), 1.0]
+
     def frames(self, payload: bytes, n: int) -> list[bytes]:
         # frame extraction needs a container/codec parser (av) — the
         # byte-slice fallback is the deterministic stand-in
@@ -358,14 +382,18 @@ def encode_png(pixels, filter_type: int = 0) -> bytes:
 def synthesize_real_media(ids: DataFrame) -> DataFrame:
     """Deterministically synthesize REAL encoded media from an id
     frame (column ``media_id``): id % 3 picks WAV (sine whose
-    frequency derives from the id), PPM (gradient), or PNG (gradient,
-    id-rotated filter type so every unfilter path runs). Encoding
-    happens on the EXECUTORS inside a mapInPandas stage — the driver
-    never holds a payload — which is also the plumbing shape a real
-    ingest uses (bytes arrive inside Arrow batches).
+    frequency derives from the id) or an image — PPM (gradient), PNG
+    (gradient, id-rotated filter type so every unfilter path runs) or
+    baseline JPEG (id-rotated 4:4:4 / 4:2:0 subsampling so both MCU
+    layouts decode). Encoding happens on the EXECUTORS inside a
+    mapInPandas stage — the driver never holds a payload — which is
+    also the plumbing shape a real ingest uses (bytes arrive inside
+    Arrow batches).
 
     Output matches MEDIA_SCHEMA."""
     import numpy as np
+
+    from .jpeg_codec import encode_baseline_jpeg
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -390,8 +418,13 @@ def synthesize_real_media(ids: DataFrame) -> DataFrame:
                               axis=2).astype(np.uint8)
                 if mid % 3 == 1:
                     payload, fmt = encode_ppm(px), "ppm"
-                else:
+                elif (mid // 3) % 2 == 0:
                     payload, fmt = encode_png(px, filter_type=mid % 5), "png"
+                else:
+                    payload = encode_baseline_jpeg(
+                        px, quality=90,
+                        subsampling="4:2:0" if (mid // 6) % 2 else "4:4:4")
+                    fmt = "jpeg"
                 rows.append((mid, "image", payload,
                              {"width": w, "height": h,
                               "duration_ms": None, "format": fmt}))

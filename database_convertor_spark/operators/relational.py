@@ -418,15 +418,35 @@ def top_event_types(events: DataFrame, k: int = 3) -> DataFrame:
 # ---------------------------------------------------------------------- W5
 def orders_page(orders: DataFrame, page: int = 3, page_size: int = 20) -> DataFrame:
     """Keyless pagination via row_number (SURVEY W5: UI page slices).
-    At scale prefer keyset pagination (WHERE key > last_seen LIMIT n) —
-    row_number pagination is O(offset); kept here because it is the
-    reference's exact semantics."""
+    At scale prefer ``orders_page_keyset`` (WHERE key > last_seen
+    LIMIT n) — row_number pagination is O(offset) and plans a
+    single-partition global window; kept because it is the reference's
+    exact offset semantics (arbitrary page jumps)."""
     w = Window.orderBy("o_orderkey")
     lo, hi = (page - 1) * page_size, page * page_size
     return (orders.withColumn("rn", F.row_number().over(w))
             .filter((F.col("rn") > lo) & (F.col("rn") <= hi))
             .select("o_orderkey", "o_custkey", "o_totalprice",
                     F.col("rn").cast("int").alias("rn")))
+
+
+def orders_page_keyset(orders: DataFrame, after_key: int,
+                       page_size: int = 20) -> DataFrame:
+    """Keyset (seek) pagination — the scale twin of ``orders_page``:
+    the page AFTER boundary ``after_key`` is the ``page_size`` lowest
+    keys above it. For the same boundary (= last key of the previous
+    page) it returns the identical page CONTENTS as the row_number
+    version, but the plan is a pushed-down range filter on the sort
+    key + TakeOrderedAndProject — per-page cost tracks the page, not
+    the offset, and nothing ever funnels through one partition. The
+    trade is sequential access only (next/prev, no arbitrary page
+    jumps) — exactly the cursor-pagination contract the reference's
+    own paged REST sources expose (startIndex cursors,
+    api_clients.py:231-280)."""
+    return (orders.filter(F.col("o_orderkey") > after_key)
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .orderBy("o_orderkey")
+            .limit(page_size))
 
 
 # ---------------------------------------------------------------------- A13

@@ -133,8 +133,17 @@ def _bm25_score(m: int, k1: float, b: float):
     norm = F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / avgdl)
     parts = []
     for i in range(m):
-        idf = F.log(F.lit(1.0) + (F.col("_n") - F.col(f"_df{i}") + 0.5)
-                    / (F.col(f"_df{i}") + 0.5))
+        # clamped at 0: with df <= N (always true when stats and df
+        # come from the same corpus pass) the argument exceeds 1 and
+        # the clamp is a no-op, but on a landed index AFTER streaming
+        # appends the live postings df can exceed the frozen sidecar N
+        # — without the clamp that mixed regime would score a term
+        # NEGATIVELY, which neither the batch nor a rebuilt index
+        # would ever produce
+        idf = F.greatest(
+            F.log(F.lit(1.0) + (F.col("_n") - F.col(f"_df{i}") + 0.5)
+                  / (F.col(f"_df{i}") + 0.5)),
+            F.lit(0.0))
         tf = F.col(f"_tf{i}").cast("double")
         parts.append(idf * tf * F.lit(k1 + 1.0) / (tf + norm))
     return reduce(lambda a, c: a + c, parts)
@@ -340,10 +349,15 @@ def search_text_index(spark, path: str, query: str,
     sidecar as literals.
 
     Staleness contract: streaming appends
-    (``run_text_index_ingest_stream``) add new documents' postings
-    under FROZEN global stats — appended docs are immediately
-    searchable, but N/avgdl/df stay at build-time values until the
-    next ``land_text_index`` rebuild (the ES refresh-vs-merge trade)."""
+    (``run_text_index_ingest_stream``) add new documents' postings, so
+    per-term df is LIVE (it counts the current postings, appended docs
+    included), while N and sumdl stay FROZEN at the sidecar's
+    build-time values until ``compact_text_index`` or a
+    ``land_text_index`` rebuild un-freezes them (the ES
+    refresh-vs-merge trade). Appended docs are immediately searchable;
+    in the mixed regime a live df can approach or exceed the frozen N,
+    which is why ``_bm25_score`` clamps idf at 0 — a heavily-appended
+    term degrades to no-signal instead of scoring negatively."""
     import json
     import os
 
@@ -380,16 +394,27 @@ def search_text_index(spark, path: str, query: str,
 def compact_text_index(spark, path: str) -> dict:
     """Compact a landed text index after streaming appends — the ES
     merge: rewrite each bucket's accumulated small append files into
-    one pass's worth of fresh parquet AND un-freeze the global stats
-    (N, sumdl recomputed from the current postings), so scores stop
+    one pass's worth of fresh parquet, COLLAPSE any duplicate
+    (term, doc_id) postings a re-ingested document left behind (the
+    stream's anti-join guard prevents these within its own lifetime,
+    but a doc re-landed across streams/builds would otherwise double
+    its tf and inflate df permanently — after this pass an
+    identically-re-ingested doc is indistinguishable from a fresh
+    rebuild; a doc re-ingested with CHANGED text collapses to the
+    max tf/dl per term, a documented approximation since postings
+    carry no version), AND un-freeze the global stats (N, sumdl
+    recomputed from the deduplicated postings), so scores stop
     drifting. n_docs counts distinct indexed doc_ids plus the
     build-time token-less residual carried in the sidecar (a streamed
     EMPTY document leaves no postings, so it cannot be recounted here
     — the one documented drift this pass cannot repair).
 
-    Stage-and-swap (the merge_upsert discipline): parquet cannot
-    overwrite a path it is reading, so the rewrite lands in a staging
-    dir and renames over. Returns the refreshed stats."""
+    Stage-and-swap, crash-safe ordering: the rewrite (stats sidecar
+    included) lands COMPLETE in a staging dir, the old index is
+    renamed aside, staging renames into place, and the old copy is
+    deleted LAST — at every intermediate point a full, searchable
+    index exists on disk under either the final or the aside name.
+    Returns the refreshed stats."""
     import json
     import os
     import shutil
@@ -398,7 +423,10 @@ def compact_text_index(spark, path: str) -> dict:
     _require_local_text_index_path(path)
     with open(os.path.join(path, "_stats.json")) as fh:
         old = json.load(fh)
-    post = spark.read.parquet(path)
+    post = (spark.read.parquet(path)
+            .groupBy("bucket", "term", "doc_id")
+            .agg(F.max("tf").alias("tf"), F.max("dl").alias("dl"))
+            .select("doc_id", "term", "tf", "dl", "bucket"))
     agg = post.agg(
         F.countDistinct("doc_id").alias("nd"),
         F.coalesce(F.sum("tf"), F.lit(0)).alias("sumdl")).head()
@@ -410,10 +438,13 @@ def compact_text_index(spark, path: str) -> dict:
     parent = os.path.dirname(path) or "."
     staging = tempfile.mkdtemp(prefix="text_index_compact_", dir=parent)
     post.write.mode("overwrite").partitionBy("bucket").parquet(staging)
-    shutil.rmtree(path)
-    os.rename(staging, path)
-    with open(os.path.join(path, "_stats.json"), "w") as fh:
+    with open(os.path.join(staging, "_stats.json"), "w") as fh:
         json.dump(stats, fh)
+    aside = tempfile.mkdtemp(prefix="text_index_old_", dir=parent)
+    os.rmdir(aside)
+    os.rename(path, aside)
+    os.rename(staging, path)
+    shutil.rmtree(aside)
     spark.catalog.refreshByPath(path)
     return stats
 
@@ -451,14 +482,39 @@ def hybrid_search_rrf(documents: DataFrame, embeddings: DataFrame,
     ``embeddings`` rows join to documents by vec_id == doc_id;
     ``query_vec`` is the literal query embedding (an external query,
     so corpus self-matches are NOT excluded).
-    """
-    from ..functions.similarity import cosine_similarity
 
-    text_leg = bm25_search(documents, query, k1=k1, b=b,
-                           top_k=candidates)
+    Both legs re-scan their table per query — fine for one-off
+    queries; for the many-queries-over-one-landed-corpus shape (the
+    reference's actual ES usage) use ``hybrid_search_rrf_indexed``,
+    which serves BOTH legs from the landed, partition-pruned indexes.
+    """
+    text_leg = _bm25_rank_leg(
+        bm25_search(documents, query, k1=k1, b=b, top_k=candidates))
+    vec_leg = _cosine_rank_leg(
+        embeddings.select("vec_id", "embedding"), query_vec, candidates)
+    return _rrf_fuse(text_leg, vec_leg, rrf_k=rrf_k, top_k=top_k)
+
+
+def _bm25_rank_leg(hits: DataFrame) -> DataFrame:
+    """(doc_id, bm25_rank) from a BM25 hit page — the lexical leg's
+    rank assignment shared by the in-memory and the index-backed
+    hybrid entry points (same ordering key: rounded bm25 desc,
+    doc_id)."""
     tw = Window.orderBy(F.desc("bm25"), "doc_id")
-    text_leg = text_leg.select(
+    return hits.select(
         "doc_id", F.row_number().over(tw).cast("int").alias("bm25_rank"))
+
+
+def _cosine_rank_leg(embeddings: DataFrame, query_vec: list[float],
+                     candidates: int) -> DataFrame:
+    """(doc_id, vec_rank): exact-cosine top-``candidates`` of the
+    given (vec_id, embedding) frame against the literal query vector —
+    the semantic leg's rank assignment shared by the in-memory path
+    (frame = the whole embeddings table) and the index-backed path
+    (frame = the point-fetched ADC shortlist). Same determinism
+    contract in both: sim rounded 4dp IN the ordering key, ties on
+    doc_id."""
+    from ..functions.similarity import cosine_similarity
 
     qv = F.array(*[F.lit(float(x)) for x in query_vec])
     sim = F.round(cosine_similarity(
@@ -469,9 +525,17 @@ def hybrid_search_rrf(documents: DataFrame, embeddings: DataFrame,
                .orderBy(F.desc("_sim"), "doc_id")
                .limit(candidates))
     vw = Window.orderBy(F.desc("_sim"), "doc_id")
-    vec_leg = vec_leg.select(
+    return vec_leg.select(
         "doc_id", F.row_number().over(vw).cast("int").alias("vec_rank"))
 
+
+def _rrf_fuse(text_leg: DataFrame, vec_leg: DataFrame, rrf_k: int,
+              top_k: int) -> DataFrame:
+    """Reciprocal Rank Fusion of the two rank legs — candidate-sized
+    full-outer join, absent legs contribute 0, rrf rounded 6dp in the
+    ordering key, ties on doc_id. Shared verbatim by
+    ``hybrid_search_rrf`` and ``hybrid_search_rrf_indexed`` so the two
+    entry points cannot drift."""
     rrf = (F.coalesce(1.0 / (F.lit(rrf_k) + F.col("bm25_rank")),
                       F.lit(0.0))
            + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("vec_rank")),
@@ -481,3 +545,63 @@ def hybrid_search_rrf(documents: DataFrame, embeddings: DataFrame,
                     "bm25_rank", "vec_rank")
             .orderBy(F.desc("rrf"), "doc_id")
             .limit(top_k))
+
+
+def hybrid_search_rrf_indexed(spark, text_index_path: str,
+                              ann_index_path: str, query: str,
+                              query_vec: list[float],
+                              embeddings: DataFrame,
+                              top_k: int = 25, candidates: int = 50,
+                              rrf_k: int = 60, k1: float = 1.2,
+                              b: float = 0.75, nprobe: int = 2,
+                              shortlist: int = 200) -> DataFrame:
+    """Hybrid retrieval served from the LANDED indexes — the scale
+    path of ``hybrid_search_rrf`` for the reference's actual usage
+    shape (an interactive search endpoint: MANY queries over ONE
+    landed corpus, where per-query corpus scans are the scale-killer):
+
+    - lexical leg: ``search_text_index`` — the query's term buckets
+      arrive as a PartitionFilter on the postings scan, so the leg
+      reads <= m of n_buckets directories, never the corpus; scores
+      are bit-identical to ``bm25_search`` on the indexed corpus by
+      construction (shared ``_bm25_score`` expression).
+    - semantic leg: ``search_ivfpq_index`` shortlists ``shortlist``
+      candidates by ADC distance (the probed cells arrive as a
+      PartitionFilter on the codes scan — nprobe of n_cells
+      directories), then ONLY those ids fetch raw floats from
+      ``embeddings`` (a pushed-down ``vec_id IN (...)`` point fetch —
+      the faiss refine step, same recipe as ``ann_pq_rerank``) for the
+      exact-cosine re-rank to the leg's top-``candidates``. The leg
+      equals the in-memory exact leg whenever the ADC shortlist covers
+      the true top-``candidates`` — the standard, documented ANN
+      recall trade, tunable via ``shortlist``/``nprobe``.
+    - fusion: ``_rrf_fuse``, shared verbatim with the in-memory path.
+
+    The query vector enters the index search under query_id = -1 (no
+    corpus vec_id is negative), so corpus self-matches are NOT
+    excluded — same externality contract as ``hybrid_search_rrf``.
+
+    Per-query cost therefore tracks posting mass + probed-cell mass +
+    shortlist size — independent of corpus size once the indexes are
+    landed. Output schema and determinism contract identical to
+    ``hybrid_search_rrf``.
+    """
+    from ..operators.similarity_search import search_ivfpq_index
+
+    text_leg = _bm25_rank_leg(
+        search_text_index(spark, text_index_path, query,
+                          k1=k1, b=b, top_k=candidates))
+
+    qdf = spark.createDataFrame(
+        [(-1, [float(x) for x in query_vec])],
+        "vec_id long, embedding array<double>")
+    short = search_ivfpq_index(spark, ann_index_path, qdf,
+                               k=shortlist, nprobe=nprobe)
+    # bounded driver scalar: <= shortlist ids — becomes the pushed-down
+    # In() point fetch on the raw-embedding store
+    ids = [r.neighbor_id for r in short.select("neighbor_id").collect()]
+    fetched = embeddings.select("vec_id", "embedding").filter(
+        F.col("vec_id").isin(ids) if ids else F.lit(False))
+    vec_leg = _cosine_rank_leg(fetched, query_vec, candidates)
+
+    return _rrf_fuse(text_leg, vec_leg, rrf_k=rrf_k, top_k=top_k)

@@ -1362,9 +1362,18 @@ _add(
 # =================================================== end-to-end dedup contract
 _add(
     "corpus_deduped",
+    # on_budget_exceeded="route": the catalog entry is a PRODUCT
+    # ("corpus minus non-canonical members"), so past the pair-mass
+    # budget it must still PRODUCE — auto-route to MinHash-LSH pairs
+    # with a warning, the same default its pipeline callers use (the
+    # r7 verdict's raise-vs-route resolution). The oracle is
+    # pair-source-agnostic through CC and unaffected at driver scales
+    # (the exact plan runs there); the raw ngram_jaccard_pairs
+    # operator keeps its explicit-choice raise default.
     lambda spark, sf: components.drop_near_duplicates(
         _t(spark, sf, "documents")[0].select("doc_id", "lang", "n_chars"),
-        dedup.ngram_jaccard_pairs(*_t(spark, sf, "documents"))),
+        dedup.ngram_jaccard_pairs(*_t(spark, sf, "documents"),
+                                  on_budget_exceeded="route")),
     f"""
     WITH RECURSIVE
     d AS (
@@ -1392,7 +1401,10 @@ _add(
     """,
     "dedup",
     "the consumable dedup product: corpus minus every non-canonical "
-    "near-dup cluster member (pairs -> components -> anti-join)",
+    "near-dup cluster member (pairs -> components -> anti-join); "
+    "past the pair-mass budget the pair stage auto-routes to "
+    "MinHash-LSH with a warning (a product query must produce its "
+    "product), matching its pipeline callers",
 )
 
 # ================================================================ MinHash LSH
@@ -2242,6 +2254,22 @@ _add(
     "row_number pagination (page 3, size 20)",
 )
 
+_add(
+    "orders_page_keyset",
+    lambda spark, sf: relational.orders_page_keyset(
+        *_t(spark, sf, "orders"), after_key=200, page_size=20),
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderkey > 200
+    ORDER BY o_orderkey LIMIT 20
+    """,
+    "W5",
+    "keyset (seek) pagination — the scale twin of orders_page: "
+    "pushed-down range filter on the sort key + "
+    "TakeOrderedAndProject, per-page cost tracks the page (not the "
+    "offset) and never funnels through one partition",
+)
+
 # ======================================================================= A13
 _add(
     "daily_spend",
@@ -3015,20 +3043,25 @@ def _ann_ivfpq_demo(spark: SparkSession, sf: str) -> DataFrame:
                                             m=4, ks=8, n_iter=3, nprobe=2)
 
 
-def _ivfpq_oracle(n_cells: int, m: int, ks: int, n_iter: int, dim: int,
-                  k: int, nprobe: int) -> str:
-    """DuckDB twin of ann_ivfpq_topk: unrolled coarse Lloyd's chain
-    (suffix _c), coarse codebook rounded to 9dp, cell assignment under
-    the ROUNDED codebook, 9dp-rounded residuals, one unrolled residual
-    sub-chain per subspace, residual codes under the rounded
-    sub-codebooks, probe ranking by 6dp-rounded L2, per-(query, cell)
-    ADC tables rounded to 6dp, fixed-order adist fold over probed
-    cells only."""
+def _ivfpq_pairs_sql(n_cells: int, m: int, ks: int, n_iter: int,
+                     dim: int, nprobe: int, q_sql: str | None = None,
+                     leading_with: bool = True) -> str:
+    """The IVFADC CTE chain shared by the ann_ivfpq and indexed-hybrid
+    oracles: unrolled coarse Lloyd's chain (suffix _c), coarse
+    codebook rounded to 9dp, cell assignment under the ROUNDED
+    codebook, 9dp-rounded residuals, one unrolled residual sub-chain
+    per subspace, residual codes under the rounded sub-codebooks,
+    probe ranking by 6dp-rounded L2, per-(query, cell) ADC tables
+    rounded to 6dp, fixed-order adist fold over probed cells only —
+    ending at the ``pairs`` CTE (query_id, neighbor_id, adist).
+    ``q_sql`` overrides the query-source CTE body (default: the ANN
+    demo's vec_id < 5 self-query); ``leading_with=False`` splices the
+    chain into a caller's existing WITH."""
     sub = dim // m
     d2 = ("list_dot_product(p.v, p.v) - 2 * list_dot_product(p.v, c.v)"
           " + list_dot_product(c.v, c.v)")
     parts = [_kmeans_cte_sql(n_cells, n_iter, dim, normalize=False,
-                             suffix="_c", leading_with=True)]
+                             suffix="_c", leading_with=leading_with)]
     parts.append(f"""
     cbc AS MATERIALIZED (
       SELECT c, list_transform(v, x -> round(x, 9)) AS v
@@ -3063,9 +3096,12 @@ def _ivfpq_oracle(n_cells: int, m: int, ks: int, n_iter: int, dim: int,
                row_number() OVER (PARTITION BY p.vec_id
                                   ORDER BY {d2}, c.c) AS rn
         FROM pts_s{j} p CROSS JOIN cb_s{j} c) WHERE rn = 1)""")
-    parts.append("""
-    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
-          FROM embeddings WHERE vec_id < 5)""")
+    if q_sql is None:
+        q_sql = ("SELECT vec_id AS query_id, CAST(embedding AS "
+                 "DOUBLE[]) AS q_emb\n          FROM embeddings "
+                 "WHERE vec_id < 5")
+    parts.append(f"""
+    q AS ({q_sql})""")
     l2q = ("list_sum(list_transform(range(1, %d), i -> "
            "pow(q.q_emb[CAST(i AS INTEGER)]"
            " - cb.v[CAST(i AS INTEGER)], 2)))" % (dim + 1))
@@ -3102,7 +3138,14 @@ def _ivfpq_oracle(n_cells: int, m: int, ks: int, n_iter: int, dim: int,
       FROM probes p
       JOIN assignc a ON a.cell = p.cell AND a.vec_id <> p.query_id
       {code_joins}
-      {table_joins})
+      {table_joins})"""
+
+
+def _ivfpq_oracle(n_cells: int, m: int, ks: int, n_iter: int, dim: int,
+                  k: int, nprobe: int) -> str:
+    """DuckDB twin of ann_ivfpq_topk: the shared IVFADC chain
+    (``_ivfpq_pairs_sql``) plus the per-query top-k tail."""
+    return _ivfpq_pairs_sql(n_cells, m, ks, n_iter, dim, nprobe) + f"""
     SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank,
            round(adist, 4) AS adist FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
@@ -4004,6 +4047,105 @@ _add(
     "by construction (same scoring expression); the streaming append "
     "twin (run_text_index_ingest_stream) adds documents under frozen "
     "stats",
+)
+
+
+def _hybrid_indexed_oracle(query: str, k1: float, b: float,
+                           candidates: int, top_k: int, rrf_k: int,
+                           n_cells: int, m: int, ks: int, n_iter: int,
+                           dim: int, nprobe: int,
+                           shortlist: int) -> str:
+    """DuckDB twin of search.hybrid_search_rrf_indexed — the whole
+    index-backed semantics expressed exactly, so the entry is
+    oracle-green REGARDLESS of the ADC shortlist's recall: the bm25
+    oracle's core CTEs produce the lexical leg (the landed text index
+    is score-identical to bm25_search by construction), the shared
+    IVFADC chain (``_ivfpq_pairs_sql``, query_id = -1 so no corpus
+    self-match is excluded) produces the ADC shortlist, an
+    exact-cosine re-rank over ONLY the shortlist produces the semantic
+    leg, and the same RRF arithmetic fuses — rank for rank what the
+    Spark path computes."""
+    bm25 = _bm25_oracle(query, k1=k1, b=b, top_k=candidates)
+    body = bm25.strip()
+    assert body.startswith("WITH ")
+    core, select = body.split("SELECT doc_id, CAST(dl AS BIGINT)", 1)
+    hits_sql = "SELECT doc_id, CAST(dl AS BIGINT)" + select
+    q_sql = ("SELECT CAST(-1 AS BIGINT) AS query_id, "
+             "CAST(embedding AS DOUBLE[]) AS q_emb "
+             "FROM embeddings WHERE vec_id = 0")
+    ivf = _ivfpq_pairs_sql(n_cells, m, ks, n_iter, dim, nprobe,
+                           q_sql=q_sql, leading_with=False)
+    return f"""
+    {core.rstrip().rstrip(',')},
+    {ivf},
+    short AS (
+      SELECT neighbor_id FROM (
+        SELECT neighbor_id,
+               row_number() OVER (ORDER BY adist, neighbor_id) AS srn
+        FROM pairs) WHERE srn <= {shortlist}),
+    qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    vs AS (SELECT e.vec_id AS doc_id,
+                  round({_COS.format(a='e.embedding',
+                                     b='qv.embedding')}, 4) AS sim
+           FROM embeddings e
+           JOIN short s ON e.vec_id = s.neighbor_id
+           CROSS JOIN qv
+           ORDER BY sim DESC, doc_id LIMIT {candidates}),
+    v AS (SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY sim DESC, doc_id)
+                      AS INTEGER) AS vec_rank
+          FROM vs),
+    hits AS ({hits_sql}),
+    t AS (SELECT doc_id,
+                 CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                      AS INTEGER) AS bm25_rank
+          FROM hits)
+    SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+           round(coalesce(1.0 / ({rrf_k} + t.bm25_rank), 0)
+                 + coalesce(1.0 / ({rrf_k} + v.vec_rank), 0), 6) AS rrf,
+           t.bm25_rank, v.vec_rank
+    FROM t FULL OUTER JOIN v ON t.doc_id = v.doc_id
+    ORDER BY rrf DESC, doc_id LIMIT {top_k}
+    """
+
+
+def _hybrid_indexed_demo(spark: SparkSession, sf: str) -> DataFrame:
+    """Land BOTH indexes to scratch paths (stable per sf, overwritten
+    per run), then serve the hybrid page entirely from them — the
+    many-queries-over-one-landed-corpus shape. Query vector =
+    embeddings row 0, as the in-memory demo passes."""
+    import re as _re
+
+    from ..operators import search as search_ops
+    from ..operators import similarity_search as ss_ops
+
+    docs, emb = _t(spark, sf, "documents", "embeddings")
+    slug = _re.sub(r"[^A-Za-z0-9._-]", "_", sf)
+    tpath = f"/tmp/dcs_hybrid_text_index/{slug}"
+    apath = f"/tmp/dcs_hybrid_ivfpq_index/{slug}"
+    search_ops.land_text_index(docs, tpath)
+    ss_ops.land_ivfpq_index(emb, apath, n_cells=8, m=4, ks=8, n_iter=3)
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+    return search_ops.hybrid_search_rrf_indexed(
+        spark, tpath, apath, "dup join scan", qv, emb,
+        top_k=25, candidates=50, nprobe=4, shortlist=200)
+
+
+_add(
+    "doc_hybrid_search_indexed",
+    _hybrid_indexed_demo,
+    _hybrid_indexed_oracle("dup join scan", k1=1.2, b=0.75,
+                           candidates=50, top_k=25, rrf_k=60,
+                           n_cells=8, m=4, ks=8, n_iter=3, dim=64,
+                           nprobe=4, shortlist=200),
+    "S5,S7,similarity-search,text-analysis,T2",
+    "hybrid retrieval served from the LANDED indexes (the r7 "
+    "verdict's last advice-only scale regime, closed): the lexical "
+    "leg reads the term-bucket-pruned text index, the semantic leg "
+    "ADC-shortlists from the cell-pruned IVFPQ index then "
+    "exact-reranks ONLY the point-fetched shortlist, RRF fusion "
+    "shared verbatim with the in-memory path — per-query cost tracks "
+    "posting + probed-cell mass, not corpus size",
 )
 
 _add(

@@ -345,9 +345,21 @@ def run_text_index_ingest_stream(spark: SparkSession, landing_dir: str,
     FROZEN-STATS contract (the ES refresh-vs-merge trade, documented
     on ``search_text_index``): the _stats.json sidecar is NOT
     touched — appended documents become searchable immediately (their
-    postings carry their own tf/dl), but global N/avgdl/df stay at
-    build-time values until the next ``land_text_index`` rebuild, so
-    scores drift slowly as the appended fraction grows.
+    postings carry their own tf/dl), but global N/avgdl stay at
+    build-time values (per-term df is live) until the next
+    ``compact_text_index`` / ``land_text_index``, so scores drift
+    slowly as the appended fraction grows.
+
+    RE-INGESTION guard: ``dropDuplicates`` dedups doc_id only within
+    this stream's own batches — a doc already IN the index (batch
+    build, earlier stream, or a re-landed file) would append duplicate
+    (term, doc_id) postings, permanently doubling its tf and inflating
+    df. Each micro-batch therefore ANTI-JOINS against the index's
+    current doc_ids before encoding (one distinct-projection scan of
+    the postings per batch — acceptable for availableNow maintenance
+    drains; a continuous production deployment would keep a doc-id
+    manifest/bloom sidecar instead). ``compact_text_index`` is the
+    backstop repair for duplicates landed around this guard.
     Trigger.AvailableNow drains the backlog; the checkpoint makes
     re-runs resume, not re-encode. Returns the postings table after
     the drain."""
@@ -370,7 +382,12 @@ def run_text_index_ingest_stream(spark: SparkSession, landing_dir: str,
               .dropDuplicates(["doc_id"]))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        (_postings(batch_df, n_buckets)
+        # fresh snapshot per batch: earlier batches' appends count
+        spark.catalog.refreshByPath(index_path)
+        indexed = (spark.read.parquet(index_path)
+                   .select("doc_id").distinct())
+        fresh = batch_df.join(indexed, "doc_id", "left_anti")
+        (_postings(fresh, n_buckets)
          .write.mode("append").partitionBy("bucket").parquet(index_path))
 
     q = (stream.writeStream.foreachBatch(sink)

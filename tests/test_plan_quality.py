@@ -238,3 +238,31 @@ def test_swap_persisted_survives_same_plan_reinvocation(spark):
             out._jdf.queryExecution().optimizedPlan()))
         assert not any("LogicalRelation" in n for n in names)
         assert any("InMemoryRelation" in n for n in names)
+
+
+def test_orders_page_keyset_plan_and_contents(spark):
+    """W5's scale twin: for the boundary = last key of the previous
+    row_number page, keyset pagination returns the IDENTICAL page
+    contents, and its plan is a pushed-down range filter +
+    TakeOrderedAndProject — no global window, no single-partition
+    funnel, per-page cost tracks the page rather than the offset."""
+    from database_convertor_spark.operators.relational import (
+        orders_page,
+        orders_page_keyset,
+    )
+    from database_convertor_spark.sources.readers import read_table
+
+    orders = read_table(spark, SF_SMALL, "orders")
+    prev = orders_page(orders, page=3, page_size=20).collect()
+    boundary = prev[-1].o_orderkey
+    nxt = orders_page(orders, page=4, page_size=20).collect()
+    got = orders_page_keyset(orders, after_key=boundary,
+                             page_size=20).collect()
+    assert [(r.o_orderkey, r.o_custkey, r.o_totalprice) for r in got] \
+        == [(r.o_orderkey, r.o_custkey, r.o_totalprice) for r in nxt]
+
+    plan = orders_page_keyset(orders, after_key=boundary) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "GreaterThan(o_orderkey" in plan      # range filter pushed
+    assert "Window" not in plan                  # no O(offset) window

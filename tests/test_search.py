@@ -334,3 +334,150 @@ def test_compact_text_index_unfreezes_stats(spark, tmp_path):
     want = search_text_index(spark, fresh_path, "dup join scan").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     assert os.path.exists(os.path.join(path, "_stats.json"))
+
+
+def test_hybrid_indexed_matches_in_memory_at_full_recall(spark, tmp_path):
+    """The index-backed hybrid entry point equals the in-memory one
+    whenever the ADC shortlist covers the exact top-candidates — here
+    forced outright (nprobe = all cells, shortlist = corpus size), so
+    the comparison is exact equality, not recall."""
+    from database_convertor_spark.operators.search import (
+        hybrid_search_rrf,
+        hybrid_search_rrf_indexed,
+        land_text_index,
+    )
+    from database_convertor_spark.operators.similarity_search import (
+        land_ivfpq_index,
+    )
+    from database_convertor_spark.sources.readers import read_table
+    from .conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    tpath, apath = str(tmp_path / "ti"), str(tmp_path / "ai")
+    land_text_index(docs, tpath, n_buckets=16)
+    land_ivfpq_index(emb, apath, n_cells=8, m=4, ks=8, n_iter=2)
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+
+    got = hybrid_search_rrf_indexed(
+        spark, tpath, apath, "dup join scan", qv, emb,
+        top_k=25, candidates=50, nprobe=8,
+        shortlist=emb.count()).collect()
+    want = hybrid_search_rrf(docs, emb, "dup join scan", qv,
+                             top_k=25, candidates=50).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_hybrid_indexed_prunes_both_legs(spark, tmp_path):
+    """The 100 TB contract of the indexed path: the text leg's
+    postings scan carries a bucket PartitionFilter, the semantic leg's
+    codes scan carries a cell PartitionFilter, and the raw-float
+    re-rank fetch arrives as a pushed-down In(vec_id, ...) point
+    fetch — per-query cost tracks posting + probed-cell mass, never
+    the corpus."""
+    from database_convertor_spark.operators.search import (
+        hybrid_search_rrf_indexed,
+        land_text_index,
+    )
+    from database_convertor_spark.operators.similarity_search import (
+        land_ivfpq_index,
+    )
+    from database_convertor_spark.sources.readers import read_table
+    from .conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    tpath, apath = str(tmp_path / "ti"), str(tmp_path / "ai")
+    land_text_index(docs, tpath, n_buckets=16)
+    land_ivfpq_index(emb, apath, n_cells=8, m=4, ks=8, n_iter=2)
+    qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+
+    fused = hybrid_search_rrf_indexed(
+        spark, tpath, apath, "dup join scan", qv, emb,
+        top_k=25, candidates=50, nprobe=2, shortlist=50)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    part_lines = [ln for ln in plan.splitlines()
+                  if "PartitionFilters: [" in ln]
+    assert any("bucket" in ln for ln in part_lines)   # text leg prunes
+    assert "In(vec_id" in plan                        # point fetch pushed
+
+    # the ADC leg's codes scan runs inside the entry point (its ids
+    # are the collected shortlist, a bounded driver scalar), so its
+    # plan is asserted on the same search the entry point issues
+    from database_convertor_spark.operators.similarity_search import (
+        search_ivfpq_index,
+    )
+    qdf = spark.createDataFrame([(-1, qv)],
+                                "vec_id long, embedding array<double>")
+    leg = search_ivfpq_index(spark, apath, qdf, k=50, nprobe=2)
+    leg_plan = leg._jdf.queryExecution().executedPlan().toString()
+    leg_lines = [ln for ln in leg_plan.splitlines()
+                 if "PartitionFilters: [" in ln]
+    assert any("cell" in ln for ln in leg_lines)      # codes leg prunes
+
+
+def test_compact_text_index_collapses_reingested_postings(spark, tmp_path):
+    """ADVICE r7 closure: a document re-landed AROUND the stream's
+    anti-join guard (e.g. across two independent builds) leaves
+    duplicate (term, doc_id) postings that double its tf and inflate
+    df; compaction must collapse them so the result is
+    indistinguishable from a fresh rebuild — stats, scores and order
+    all equal."""
+    from database_convertor_spark.operators.search import (
+        _postings,
+        compact_text_index,
+        land_text_index,
+        search_text_index,
+    )
+    from database_convertor_spark.sources.readers import read_table
+    from .conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents").filter("doc_id < 300")
+    path = str(tmp_path / "ti")
+    land_text_index(docs, path, n_buckets=8)
+    # re-ingest 50 ALREADY-INDEXED docs verbatim (duplicate postings)
+    _postings(docs.filter("doc_id < 50"), 8).write.mode("append") \
+        .partitionBy("bucket").parquet(path)
+    spark.catalog.refreshByPath(path)
+
+    stats = compact_text_index(spark, path)
+    fresh = str(tmp_path / "ti_fresh")
+    assert stats == land_text_index(docs, fresh, n_buckets=8)
+    got = search_text_index(spark, path, "dup join scan").collect()
+    want = search_text_index(spark, fresh, "dup join scan").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # the duplicate rows themselves are gone, not just the stats
+    from pyspark.sql import functions as F
+    dupes = (spark.read.parquet(path).groupBy("term", "doc_id")
+             .count().filter(F.col("count") > 1))
+    assert dupes.count() == 0
+
+
+def test_search_text_index_clamps_idf_nonnegative(spark, tmp_path):
+    """ADVICE r7 closure: after heavy streaming appends, a term's LIVE
+    postings df can exceed the FROZEN sidecar N; unclamped, its idf
+    goes negative — a regime neither the batch path nor a rebuilt
+    index would produce. The clamp degrades the term to no-signal
+    (score contribution 0) instead."""
+    from database_convertor_spark.operators.search import (
+        _postings,
+        land_text_index,
+        search_text_index,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "zzterm alpha"), (2, "beta gamma")], ["doc_id", "text"])
+    path = str(tmp_path / "ti")
+    land_text_index(base, path, n_buckets=4)          # frozen N = 2
+    extra = spark.createDataFrame(
+        [(i, "zzterm filler") for i in range(10, 16)],
+        ["doc_id", "text"])                            # live df -> 7 > 2
+    _postings(extra, 4).write.mode("append") \
+        .partitionBy("bucket").parquet(path)
+    spark.catalog.refreshByPath(path)
+
+    rows = search_text_index(spark, path, "zzterm", top_k=25).collect()
+    assert rows                                        # still searchable
+    assert all(r.bm25 >= 0.0 for r in rows)            # never negative
+    # the saturated term carries no signal: every matching doc ties at 0
+    assert {r.bm25 for r in rows} == {0.0}

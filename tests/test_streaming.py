@@ -221,3 +221,37 @@ def test_text_index_ingest_stream_appends_frozen_stats(spark, tmp_path):
     # ...but the global stats are frozen at build time
     with open(os.path.join(path, "_stats.json")) as fh:
         assert json.load(fh) == stats0
+
+
+def test_text_index_stream_skips_already_indexed_docs(spark, tmp_path):
+    """ADVICE r7 closure: dropDuplicates only dedups WITHIN the
+    stream — a doc already in the batch-built index would append
+    duplicate postings (doubling tf, inflating df). The sink
+    anti-joins each micro-batch against the index's current doc_ids,
+    so re-landing indexed docs is a no-op and the final postings equal
+    a fresh batch build over the union."""
+    from database_convertor_spark.operators.search import (
+        _postings,
+        land_text_index,
+    )
+    from database_convertor_spark.streaming.pipeline import (
+        run_text_index_ingest_stream,
+    )
+
+    base = read_table(spark, SF_SMALL, "documents")
+    path = os.path.join(tmp_path, "tindex")
+    land_text_index(base.filter("doc_id < 300"), path, n_buckets=16)
+
+    # landing overlaps the indexed range: 250-299 are already indexed
+    landing = os.path.join(tmp_path, "landing")
+    base.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 350)) \
+        .write.parquet(landing)
+    after = run_text_index_ingest_stream(spark, landing, path,
+                                         os.path.join(tmp_path, "ckpt"))
+
+    got = sorted(tuple(r) for r in after
+                 .select("bucket", "term", "doc_id", "tf", "dl").collect())
+    want = sorted(tuple(r) for r in
+                  _postings(base.filter("doc_id < 350"), 16)
+                  .select("bucket", "term", "doc_id", "tf", "dl").collect())
+    assert got == want
