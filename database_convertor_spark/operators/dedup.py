@@ -476,7 +476,9 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
-                  n_blocks: int = 6, key_blocks: int = 3) -> DataFrame:
+                  n_blocks: int = 6, key_blocks: int = 3,
+                  max_candidate_pairs: float | None = 200_000_000,
+                  on_budget_exceeded: str = "raise") -> DataFrame:
     """SimHash near-dup pairs with MULTI-BLOCK banding (Manku et al.
     WWW'07, "Detecting Near-Duplicates for Web Crawling" §3 — the
     production simhash dedup design): split the 60-bit hash into
@@ -498,9 +500,33 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
     random collisions) — the same linear-for-quadratic trade as the
     SRP 128-bit redesign. At petabyte corpora raise ``n_blocks``
     further (Manku's tables) — the guarantee only needs
-    n_blocks - key_blocks >= max_hamming."""
+    n_blocks - key_blocks >= max_hamming.
+
+    Candidate-mass gate (same discipline as ``ngram_jaccard_pairs``,
+    added after the r8 sf100 probe FILLED 77 GB of shuffle on a corpus
+    with dense true-dup clusters): before building the self-join, one
+    map-side-combining histogram over the banding keys estimates the
+    candidate-row mass (sum over keys of c*(c-1)/2 — an upper WORK
+    bound: pairs meeting in several subsets count once per subset,
+    exactly like the join's pre-dedup intermediate). Past
+    ``max_candidate_pairs`` the operator raises naming the remedies —
+    a dense key means either dense TRUE near-dup mass (collapse exact
+    duplicates first: any exact-dup cluster of k docs contributes
+    C(k,2) candidates in EVERY subset) or a too-small key space
+    (raise ``n_blocks`` per Manku's tables). ``'ignore'`` /
+    ``max_candidate_pairs=None`` runs regardless. The banding keys are
+    computed once (persisted slot) — the gate's histogram and the join
+    share the signature work."""
     from itertools import combinations
 
+    from pyspark.storagelevel import StorageLevel
+
+    from ..plans.persist_slots import swap_persisted
+
+    if on_budget_exceeded not in ("raise", "ignore"):
+        raise ValueError(
+            f"on_budget_exceeded must be 'raise' or 'ignore', got "
+            f"{on_budget_exceeded!r}")
     if n_blocks - key_blocks < max_hamming:
         raise ValueError(
             f"simhash_pairs: need n_blocks - key_blocks >= max_hamming "
@@ -527,6 +553,26 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
     chunked = sh.select(
         "doc_id", "sh",
         F.posexplode(F.array(*keys)).alias("chunk_id", "chunk_val"))
+    chunked = swap_persisted(
+        "simhash_chunked", chunked.persist(StorageLevel.MEMORY_AND_DISK))
+    if max_candidate_pairs is not None and on_budget_exceeded != "ignore":
+        mass = (chunked.groupBy("chunk_id", "chunk_val")
+                .agg(F.count(F.lit(1)).cast("double").alias("c"))
+                .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("m"))
+                .collect()[0]["m"]) or 0.0
+        if mass > max_candidate_pairs:
+            raise ValueError(
+                f"simhash_pairs: estimated candidate-row mass "
+                f"{mass:,.0f} exceeds max_candidate_pairs="
+                f"{max_candidate_pairs:,.0f} — the banding keys are "
+                f"dense. Either the corpus has dense TRUE near-dup "
+                f"clusters (collapse exact duplicates first — an "
+                f"exact-dup cluster of k docs costs C(k,2) candidates "
+                f"in every subset), or the key space is too small for "
+                f"this corpus (raise n_blocks per Manku WWW'07). Pass "
+                f"on_budget_exceeded='ignore' or raise "
+                f"max_candidate_pairs if the quadratic cost is "
+                f"intended")
     a, b = spread(chunked).alias("a"), chunked.alias("b")
     cands = (a.join(b, (F.col("a.chunk_id") == F.col("b.chunk_id"))
                     & (F.col("a.chunk_val") == F.col("b.chunk_val"))

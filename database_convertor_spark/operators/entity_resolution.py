@@ -185,7 +185,8 @@ def _block_on_qgrams(left: DataFrame, right: DataFrame,
                      broadcast_limit: int = 2_000_000,
                      n_right: int | None = None,
                      max_df_cap: int | None = None,
-                     right_fallback: bool = True) -> DataFrame:
+                     right_fallback: bool = True,
+                     max_rank1_pairs: int | None = None) -> DataFrame:
     """Rarest-q-gram candidate blocking for the levenshtein rescue rung
     (the de-quadratic fix for the round-2 scale-killer).
 
@@ -213,6 +214,21 @@ def _block_on_qgrams(left: DataFrame, right: DataFrame,
 
     Cost: |left| x rare_k x avg_gram_df candidate rows through a hash
     equi-join -- never a nested loop, never |left| x |right|.
+
+    ``max_rank1_pairs`` (the r8 sf100 finding): rank 1's cap EXEMPTION
+    is the one remaining unbudgeted mass — its cost is the sum of
+    per-left rarest PRESENT gram DFs, which the docstring below calls
+    "similarity-structure-bounded", and usually is; but on a corpus
+    where every gram is frequent (the sf100 fixture: every supplier
+    digit pattern repeats per copy, so min present DF ~10^3-10^5) that
+    sum hit ~15M x 10^3+ pairs CONCENTRATED ON A FEW GRAM KEYS — a
+    single-task straggler that ran >20 min and filled 77 GB of shuffle.
+    When set, one aggregate (sum over lefts of min _gdf — the exact
+    rank-1 join mass) checks the exemption against the budget; past it,
+    rank 1 loses its exemption (lefts whose EVERY present gram is
+    over-cap become rescue-unreachable at this scale — the same
+    documented recall trade as the capped ranks and the dropped
+    unreachable-right fallback), with a warning.
 
     ``max_df_cap`` (the r7 sf10 finding): the proportional cap
     (``n_right * df_frac``) lets per-left candidate mass grow linearly
@@ -265,10 +281,31 @@ def _block_on_qgrams(left: DataFrame, right: DataFrame,
     cap = max(int(n_right * df_frac), df_floor)
     if max_df_cap is not None:
         cap = min(cap, max(1, max_df_cap))
+    rank1_exempt = True
+    if max_rank1_pairs is not None:
+        # EXACT mass of the rank-1 exemption's join: each left's rank-1
+        # gram meets exactly min(_gdf) right rows. One aggregate over
+        # the gram frame (map-side combining min, then a one-row sum).
+        r1mass = (lg.groupBy(left_key).agg(F.min("_gdf").alias("_m"))
+                  .agg(F.sum("_m").alias("s")).collect()[0]["s"]) or 0
+        if r1mass > max_rank1_pairs:
+            import warnings
+
+            rank1_exempt = False
+            warnings.warn(
+                f"fuzzy_join gram rescue: rank-1 cap-exemption mass "
+                f"{r1mass:,.0f} pairs exceeds the {max_rank1_pairs:,} "
+                f"budget (every gram is frequent on this corpus) — "
+                f"dropping the exemption; lefts whose every present "
+                f"gram is over-cap become rescue-unreachable at this "
+                f"scale (raise max_rescue_pairs to loosen)",
+                stacklevel=3)
     wr = Window.partitionBy(left_key).orderBy(F.asc("_gdf"), F.asc("_g"))
+    keep = (F.col("_grn") <= rare_k) & (F.col("_gdf") <= cap)
+    if rank1_exempt:
+        keep = (F.col("_grn") == 1) | keep
     rare = (lg.withColumn("_grn", F.row_number().over(wr))
-            .filter((F.col("_grn") == 1)
-                    | ((F.col("_grn") <= rare_k) & (F.col("_gdf") <= cap)))
+            .filter(keep)
             .select(left_key, "_lnorm", "_g"))
     par = left.sparkSession.sparkContext.defaultParallelism
     # single-file dimension inputs arrive as one partition; spread the
@@ -575,7 +612,15 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
                     left_key, right_key, rare_k=rescue_rare_grams,
                     dedup_pairs=not agg_top1, n_right=n_right,
                     max_df_cap=budget_cap,
-                    right_fallback=budget_cap is None)
+                    right_fallback=budget_cap is None,
+                    # the r8 sf100 finding: once the budget regime is
+                    # live, rank 1's cap exemption must answer to the
+                    # same budget — on an all-grams-frequent corpus its
+                    # mass (sum of per-left min DF) is the last
+                    # unbounded term, and it lands on few gram keys
+                    # (single-task straggler + disk fill, measured)
+                    max_rank1_pairs=(max_rescue_pairs
+                                     if budget_cap is not None else None))
                 lev = levenshtein_similarity(F.col("_lnorm"),
                                              F.col("_rnorm"))
                 r_exact = F.col("_lnorm") == F.col("_rnorm")

@@ -4335,7 +4335,59 @@ _add(
 # reads as a failure it is not (the r6 verdict flagged exactly this);
 # (4) remaining slots rotate hard-green veterans on normal cadence.
 #
-# This round:
+# Round 8:
+#   - NEW: doc_hybrid_search_indexed (index-backed hybrid retrieval —
+#     the r7 verdict's #1 item: both legs partition-pruned, exact
+#     oracle composed from the bm25 + IVFADC chains) and
+#     orders_page_keyset (W5's seek-pagination scale twin);
+#   - CHANGED: the shared _bm25_score gained the idf>=0 clamp
+#     (engages only in the frozen-N append regime, batch values
+#     untouched) -> doc_bm25_search, doc_bm25_snippets,
+#     doc_text_index_search, doc_hybrid_search window; doc_tfidf_keywords
+#     windows on the same-file convention; the n-gram pair-mass gate
+#     cache is re-keyed on (applicationId, startTime) -> every gated
+#     query windows: dedup_ngram_jaccard, dedup_ngram_adjacent,
+#     dedup_incremental_pairs, corpus_train_val_split, corpus_deduped
+#     (ALSO auto-routes past budget now), corpus_curation_stats,
+#     training_corpus_pipeline, dedup_clusters_ngram;
+#     dedup_family_agreement gained precomputed-pair params (default
+#     path identical); dedup_semantic's sample gate moved to a 1e9
+#     modulus (engages only past 200k rows — driver scales unaffected,
+#     sf10 probe measures it); ann_ivfpq_topk windows because its
+#     oracle generator was refactored into the shared chain (output
+#     proven byte-identical, re-verified anyway);
+#   - remaining slots: the r7-pushed veterans return on rotation
+#     (ann_pq_topk, ann_pq_rerank, doc_bigram_logprob,
+#     benchmark_contamination_fraction, corpus_source_cap,
+#     corpus_vocab_stats, doc_cross_dup_spans, top_terms_two_pass,
+#     pricing_summary, market_segment_revenue, ann_ivf_topk,
+#     ann_ivf_multiprobe, embedding_kmeans_clusters, ann_ivf_kmeans,
+#     doc_dup_spans, doc_span_removal, doc_line_dedup, doc_lm_logprob,
+#     corpus_temperature_sample, doc_dsir_weights, corpus_unimax_sample,
+#     doc_perplexity_buckets, doc_chunks, corpus_unimax_allocation,
+#     corpus_mixture_sample, doc_token_counts, doc_winnow_fingerprints,
+#     dedup_embedding_cosine, dedup_winnowing, training_shard_packing);
+#     dedup_simhash RE-ENTERS late in the round (it gained the
+#     candidate-mass gate + persisted banding keys after the sf100
+#     probe filled the disk — default pair set unchanged,
+#     property-tested), displacing url_keyval_cleaning (hard-green
+#     r5+r7, untouched). Pushed out vs r7 (all
+#     hard-green in CORRECTNESS_r07, code untouched this round):
+#     corpus_snapshot_diff, ann_hard_negatives, doc_nb_quality,
+#     dedup_embedding_srp, supplier_neighborhood, event_props_extract,
+#     customer_tiering, order_date_dimensions, scalar_cleaning,
+#     hourly_event_rollup, automation_run_health, user_sessions,
+#     event_funnel, distinct_customer_priorities, order_stats_summary,
+#     top_orders_per_customer, top_orders, customer_order_stats,
+#     part_search_ilike, event_type_counts, orders_union_dedup,
+#     priority_order_pick, open_orders, shipments_by_month,
+#     customers_without_orders, active_customer_keys,
+#     nation_customer_rollup, shared_supplier_pairs, dedup_simhash,
+#     fuzzy_match_customers, officer_email_matches,
+#     doc_boilerplate_removed, doc_pii_redacted,
+#     refresh_edges_incremental.
+#
+# Round 7 (history):
 #   - NEW: doc_text_index_search (landed BM25 index lifecycle);
 #   - CHANGED: corpus_snapshot_diff (NULL-safe presence flags +
 #     sentinel fp, oracle updated), doc_bm25_search/_snippets (shared
@@ -4383,41 +4435,42 @@ _add(
 # doc_winnow_fingerprints, dedup_embedding_cosine, dedup_winnowing,
 # training_shard_packing, multimodal_features_real (rows-only — the
 # convention above now keeps it out permanently).
-_WINDOW_R7 = [
-    # new + changed-first
-    "doc_text_index_search", "corpus_snapshot_diff",
-    "doc_bm25_search", "doc_bm25_snippets", "doc_tfidf_keywords",
-    "ann_hard_negatives", "doc_nb_quality", "dedup_embedding_srp",
+_WINDOW_R8 = [
+    # new this round (must window)
+    "doc_hybrid_search_indexed", "orders_page_keyset",
+    # changed code paths (the _bm25_score clamp + same-file rule)
+    "doc_bm25_search", "doc_bm25_snippets", "doc_text_index_search",
+    "doc_hybrid_search", "doc_tfidf_keywords",
+    # changed: re-keyed pair-mass gate cache (every gated query)
     "dedup_ngram_jaccard", "dedup_ngram_adjacent",
     "dedup_incremental_pairs", "corpus_train_val_split",
     "corpus_deduped", "corpus_curation_stats",
     "training_corpus_pipeline", "dedup_clusters_ngram",
-    "dedup_minhash_lsh",
-    # returning veterans promised in the r6 comment
-    "supplier_neighborhood", "event_props_extract", "customer_tiering",
-    "order_date_dimensions", "scalar_cleaning", "hourly_event_rollup",
-    "automation_run_health", "user_sessions", "event_funnel",
-    "distinct_customer_priorities", "order_stats_summary",
-    "top_orders_per_customer",
-    # r5-pushed veterans on rotation
-    "top_orders", "customer_order_stats", "part_search_ilike",
-    "event_type_counts", "orders_union_dedup", "priority_order_pick",
-    "open_orders", "shipments_by_month", "customers_without_orders",
-    "active_customer_keys", "nation_customer_rollup",
-    "shared_supplier_pairs", "dedup_simhash",
-    "fuzzy_match_customers", "officer_email_matches",
-    "dedup_family_agreement", "doc_boilerplate_removed",
-    "doc_pii_redacted", "refresh_edges_incremental",
-    # new late in the round (must window) + sf10-probed heavyweight
-    "doc_hybrid_search", "dedup_semantic",
+    # changed: signature / sample gate / shared oracle chain; simhash
+    # gained the candidate-mass gate + persisted banding keys
+    "dedup_family_agreement", "dedup_semantic", "ann_ivfpq_topk",
+    "dedup_minhash_lsh", "dedup_simhash",
+    # r7-pushed veterans returning on rotation
+    "ann_pq_topk", "ann_pq_rerank", "doc_bigram_logprob",
+    "benchmark_contamination_fraction", "corpus_source_cap",
+    "corpus_vocab_stats", "doc_cross_dup_spans", "top_terms_two_pass",
+    "pricing_summary", "market_segment_revenue", "ann_ivf_topk",
+    "ann_ivf_multiprobe", "embedding_kmeans_clusters", "ann_ivf_kmeans",
+    "doc_dup_spans", "doc_span_removal", "doc_line_dedup",
+    "doc_lm_logprob", "corpus_temperature_sample", "doc_dsir_weights",
+    "corpus_unimax_sample", "doc_perplexity_buckets", "doc_chunks",
+    "corpus_unimax_allocation", "corpus_mixture_sample",
+    "doc_token_counts", "doc_winnow_fingerprints",
+    "dedup_embedding_cosine", "dedup_winnowing",
+    "training_shard_packing",
 ]
 
 _by_name = {s.name: s for s in _SPECS}
 assert len(_by_name) == len(_SPECS), "duplicate catalog names"
-assert len(_WINDOW_R7) == 50 == len(set(_WINDOW_R7)), len(_WINDOW_R7)
-assert set(_WINDOW_R7) <= set(_by_name), set(_WINDOW_R7) - set(_by_name)
-_window = set(_WINDOW_R7)
+assert len(_WINDOW_R8) == 50 == len(set(_WINDOW_R8)), len(_WINDOW_R8)
+assert set(_WINDOW_R8) <= set(_by_name), set(_WINDOW_R8) - set(_by_name)
+_window = set(_WINDOW_R8)
 _rest = [s.name for s in _SPECS if s.name not in _window]
 
 CATALOG: dict[str, QuerySpec] = {
-    n: _by_name[n] for n in [*_WINDOW_R7, *_rest]}
+    n: _by_name[n] for n in [*_WINDOW_R8, *_rest]}

@@ -153,3 +153,43 @@ def test_fuzzy_gram_rescue_budget_engages(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert rows                                  # still matches
+
+
+def test_fuzzy_rank1_exemption_answers_to_budget(spark):
+    """r8 sf100 finding: once the budget regime is live, rank 1's gram
+    cap exemption is the last unbounded mass (sum of per-left min gram
+    DF — on an all-grams-frequent corpus it concentrated ~15M x 10^3+
+    pairs on a few gram keys: a measured single-task straggler + disk
+    fill). With a budget tiny enough that even rank 1's mass exceeds
+    it, the exemption must drop WITH a warning and the join must still
+    complete; the default budget keeps the exemption (no warning)."""
+    import warnings
+
+    from database_convertor_spark.operators.entity_resolution import (
+        fuzzy_join,
+    )
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    customer = read_table(spark, SF_SMALL, "customer")
+    supplier = read_table(spark, SF_SMALL, "supplier")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        df = fuzzy_join(customer, supplier, "c_name", "s_name",
+                        "c_custkey", "s_suppkey", threshold=0.3,
+                        top_k=1, exact_rescue_limit=0,
+                        max_rescue_pairs=10)   # below even rank-1 mass
+        rows = df.collect()
+    msgs = " ".join(str(x.message) for x in w)
+    assert "rank-1 cap-exemption mass" in msgs
+    assert "rescue-unreachable" in msgs
+    assert rows is not None                    # completes (maybe fewer)
+
+    with warnings.catch_warnings(record=True) as w2:
+        warnings.simplefilter("always")
+        fuzzy_join(customer, supplier, "c_name", "s_name",
+                   "c_custkey", "s_suppkey", threshold=0.3,
+                   top_k=1, exact_rescue_limit=0,
+                   max_rescue_pairs=50_000_000).collect()
+    assert "rank-1" not in " ".join(str(x.message) for x in w2)

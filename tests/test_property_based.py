@@ -528,3 +528,24 @@ def test_dedup_family_agreement_accepts_precomputed_pairs(spark):
     partial = sorted(tuple(r) for r in dedup_family_agreement(
         docs, simhash=sh).collect())
     assert supplied == recomputed == partial
+
+
+def test_simhash_candidate_mass_gate(spark):
+    """r8 gate (added after the sf100 probe filled 77 GB of shuffle
+    on a dense-dup corpus): a tiny budget must raise naming the
+    remedies BEFORE the quadratic join runs; 'ignore' and the default
+    budget produce the identical pair set."""
+    from database_convertor_spark.operators.dedup import simhash_pairs
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    import pytest
+
+    docs = read_table(spark, SF_SMALL, "documents").filter("doc_id < 200")
+    with pytest.raises(ValueError, match="max_candidate_pairs"):
+        simhash_pairs(docs, max_candidate_pairs=1).collect()
+    gated = {tuple(r) for r in simhash_pairs(docs).collect()}
+    forced = {tuple(r) for r in simhash_pairs(
+        docs, on_budget_exceeded="ignore").collect()}
+    assert gated == forced and gated

@@ -46,6 +46,10 @@ import pyarrow.parquet as pq
 
 OFF = 10_000_000
 
+# set by main() before the copy loop; the documents near-dup decade
+# gate needs the total multiplier
+_copy_mult = 10
+
 KEY_OFFSETS = {
     "customer": ["c_custkey"],
     "supplier": ["s_suppkey"],
@@ -81,11 +85,22 @@ def _copy_table(name: str, tbl: pa.Table, i: int) -> pa.Table:
         texts = cols["text"].to_pylist()
         ids = tbl.column("doc_id").to_pylist()
         suf = f"q{i}"
+        # bound near-dup CLUSTER SIZE at ~10 regardless of mult: with
+        # the bare `did % 10 == i % 10` rule, mult=1000 put 100
+        # near-identical copies of each slice doc in the corpus —
+        # quadratic TRUE pair mass (C(100,2) x 500 base docs) that
+        # measures the fixture, not the engine (it filled 77 GB of
+        # simhash shuffle at the r8 sf100 probe). The decade gate
+        # keeps one 10-copy decade per base doc; identical behavior
+        # for mult <= 100 (gate factor 1), so sf1/sf10 numbers stay
+        # comparable across rounds.
+        decades = max(1, _copy_mult // 100)
         out = []
         for did, t in zip(ids, texts):
             if t is None:
                 out.append(t)
-            elif did % 10 == i % 10:
+            elif (did % 10 == i % 10
+                  and (i // 10) % decades == did % decades):
                 # the near-dup slice: original text + one extra token
                 out.append(t + f" extracopy{i}")
             else:
@@ -108,11 +123,20 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default=".scratch/sf1")
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset (default: all) — a "
+                         "third-decade spot-probe only needs its own "
+                         "tables, not 21 GB of lineitem")
     args = ap.parse_args()
     os.makedirs(args.dst, exist_ok=True)
-    for name in ["region", "nation", "customer", "supplier", "part",
-                 "orders", "lineitem", "events", "documents",
-                 "embeddings"]:
+    global _copy_mult
+    _copy_mult = args.mult
+    names = ["region", "nation", "customer", "supplier", "part",
+             "orders", "lineitem", "events", "documents",
+             "embeddings"]
+    if args.tables:
+        names = [n for n in names if n in args.tables.split(",")]
+    for name in names:
         src = pq.read_table(os.path.join(args.src, f"{name}.parquet"))
         if name in ("region", "nation"):
             out = src
