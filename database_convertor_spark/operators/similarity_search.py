@@ -915,6 +915,49 @@ def land_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 8,
     return coarse, books
 
 
+def compact_ivfpq_index(spark, path: str) -> int:
+    """Compact a landed IVFADC index after streaming appends — the
+    codes-table twin of ``search.compact_text_index``: rewrite each
+    cell's accumulated small append files into one pass's worth of
+    fresh parquet and COLLAPSE any duplicate vec_id a re-landed vector
+    left behind (the stream's anti-join guard prevents these within
+    its own lifetime, but a vector re-landed across streams/builds
+    would otherwise appear twice in every probed page — duplicate
+    neighbor rows with inflated ranks). An identically-re-ingested
+    vector encodes to identical (cell, codes) under the frozen
+    codebooks, so the collapse reproduces a fresh build; divergent
+    re-ingests collapse to the array-max codes per (vec_id, cell) — a
+    deterministic, documented approximation (codes carry no version).
+    The codebook sidecar is untouched (frozen by design).
+
+    Crash-safe stage-and-swap, same ordering as the text twin: staging
+    lands COMPLETE (sidecar copied in), the old index renames aside,
+    staging renames into place, old copy deleted LAST. Returns the
+    compacted row count."""
+    import os
+    import shutil
+    import tempfile
+
+    _require_local_index_path(path)
+    codes = (spark.read.parquet(path)
+             .groupBy("vec_id", "cell")
+             .agg(F.max("codes").alias("codes"))
+             .select("vec_id", "codes", "cell"))
+    n = codes.count()
+    parent = os.path.dirname(path) or "."
+    staging = tempfile.mkdtemp(prefix="ivfpq_index_compact_", dir=parent)
+    codes.write.mode("overwrite").partitionBy("cell").parquet(staging)
+    shutil.copyfile(os.path.join(path, "_codebooks.json"),
+                    os.path.join(staging, "_codebooks.json"))
+    aside = tempfile.mkdtemp(prefix="ivfpq_index_old_", dir=parent)
+    os.rmdir(aside)
+    os.rename(path, aside)
+    os.rename(staging, path)
+    shutil.rmtree(aside)
+    spark.catalog.refreshByPath(path)
+    return int(n)
+
+
 def _require_local_index_path(path: str) -> None:
     """The codebook sidecar is read/written with local-file I/O; a
     URI-scheme path (hdfs://, s3a://, ...) would land the parquet

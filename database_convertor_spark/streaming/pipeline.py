@@ -318,7 +318,17 @@ def run_index_ingest_stream(spark: SparkSession, landing_dir: str,
               .dropDuplicates(["vec_id"]))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        (ivfpq_encode_under(batch_df, coarse, books)
+        # RE-INGESTION guard (the text twin's discipline):
+        # dropDuplicates dedups only within this stream — a vec_id
+        # already IN the index would append a duplicate code row that
+        # surfaces as a duplicate neighbor in every probed page.
+        # Anti-join each batch against the index's current vec_ids;
+        # compact_ivfpq_index is the backstop repair.
+        spark.catalog.refreshByPath(index_path)
+        indexed = (spark.read.parquet(index_path)
+                   .select("vec_id").distinct())
+        fresh = batch_df.join(indexed, "vec_id", "left_anti")
+        (ivfpq_encode_under(fresh, coarse, books)
          .write.mode("append").partitionBy("cell").parquet(index_path))
 
     q = (stream.writeStream.foreachBatch(sink)

@@ -481,3 +481,37 @@ def test_search_text_index_clamps_idf_nonnegative(spark, tmp_path):
     assert all(r.bm25 >= 0.0 for r in rows)            # never negative
     # the saturated term carries no signal: every matching doc ties at 0
     assert {r.bm25 for r in rows} == {0.0}
+
+
+def test_search_text_index_many_matches_single(spark, tmp_path):
+    """The batched landed-index search serves N queries from ONE
+    pruned scan with pages IDENTICAL per query to the single-query
+    path (same live-df regime, same sorted-term-order score fold) —
+    and the scan still carries the bucket PartitionFilter."""
+    from database_convertor_spark.operators.search import (
+        land_text_index,
+        search_text_index,
+        search_text_index_many,
+    )
+    from database_convertor_spark.sources.readers import read_table
+    from .conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    path = str(tmp_path / "ti")
+    land_text_index(docs, path, n_buckets=16)
+    queries = ["dup join scan", "quick brown", "scan filter join",
+               "zzz_no_such_term"]
+    batched = search_text_index_many(spark, path, queries, top_k=25)
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r.query_id, []).append(
+            (r.doc_id, r.n_tokens, r.bm25))
+    for qi, q in enumerate(queries):
+        want = [(r.doc_id, r.n_tokens, r.bm25) for r in
+                search_text_index(spark, path, q, top_k=25).collect()]
+        assert got.get(qi, []) == want, q
+    assert 3 not in got                       # no-hit query yields no rows
+
+    plan = batched._jdf.queryExecution().executedPlan().toString()
+    lines = [ln for ln in plan.splitlines() if "PartitionFilters: [" in ln]
+    assert any("bucket" in ln for ln in lines)

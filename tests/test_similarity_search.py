@@ -493,3 +493,51 @@ def test_srp_pairs_dim_mismatch_fails_fast(spark):
         raise AssertionError("dim mismatch did not raise")
     except ValueError as e:
         assert "dim=32" in str(e)
+
+
+def test_compact_ivfpq_index_collapses_reingested_codes(spark, tmp_path):
+    """The ANN twin of the text-index compaction: a vector re-landed
+    around the stream guard leaves duplicate code rows that surface as
+    duplicate neighbors; compaction collapses them so a search equals
+    one against a fresh build, and the swap is crash-safe (sidecar
+    present in the final layout)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from database_convertor_spark.operators.similarity_search import (
+        compact_ivfpq_index,
+        ivfpq_encode_under,
+        land_ivfpq_index,
+        search_ivfpq_index,
+    )
+    from database_convertor_spark.sources.readers import read_table
+    from .conftest import SF_SMALL
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "ai")
+    coarse, books = land_ivfpq_index(emb, path, n_cells=4, m=4, ks=8,
+                                     n_iter=2)
+    # re-ingest 50 ALREADY-INDEXED vectors verbatim (duplicate codes)
+    ivfpq_encode_under(emb.filter("vec_id < 50"), coarse, books) \
+        .write.mode("append").partitionBy("cell").parquet(path)
+    spark.catalog.refreshByPath(path)
+    dup = (spark.read.parquet(path).groupBy("vec_id").count()
+           .filter(F.col("count") > 1))
+    assert dup.count() > 0                    # corruption is real
+
+    n = compact_ivfpq_index(spark, path)
+    assert n == emb.count()
+    assert os.path.exists(os.path.join(path, "_codebooks.json"))
+    dup2 = (spark.read.parquet(path).groupBy("vec_id").count()
+            .filter(F.col("count") > 1))
+    assert dup2.count() == 0
+
+    fresh = str(tmp_path / "ai_fresh")
+    land_ivfpq_index(emb, fresh, n_cells=4, m=4, ks=8, n_iter=2)
+    q = emb.filter("vec_id < 3")
+    got = [tuple(r) for r in
+           search_ivfpq_index(spark, path, q, k=5, nprobe=2).collect()]
+    want = [tuple(r) for r in
+            search_ivfpq_index(spark, fresh, q, k=5, nprobe=2).collect()]
+    assert got == want

@@ -255,3 +255,34 @@ def test_text_index_stream_skips_already_indexed_docs(spark, tmp_path):
                   _postings(base.filter("doc_id < 350"), 16)
                   .select("bucket", "term", "doc_id", "tf", "dl").collect())
     assert got == want
+
+
+def test_ann_index_stream_skips_already_indexed_vecs(spark, tmp_path):
+    """ANN twin of the text-index re-ingestion guard: a vec_id already
+    in the landed codes table must not append a duplicate code row —
+    the final codes equal a fresh encode of the union."""
+    from database_convertor_spark.operators.similarity_search import (
+        ivfpq_encode_under,
+        land_ivfpq_index,
+    )
+    from database_convertor_spark.streaming.pipeline import (
+        run_index_ingest_stream,
+    )
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    path = os.path.join(tmp_path, "aindex")
+    coarse, books = land_ivfpq_index(emb.filter("vec_id < 300"), path,
+                                     n_cells=4, m=4, ks=8, n_iter=2)
+
+    landing = os.path.join(tmp_path, "landing")
+    emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 350)) \
+        .write.parquet(landing)          # 250-299 already indexed
+    after = run_index_ingest_stream(spark, landing, path,
+                                    os.path.join(tmp_path, "ckpt"))
+
+    got = sorted((r.vec_id, r.cell, tuple(r.codes))
+                 for r in after.collect())
+    want = sorted((r.vec_id, r.cell, tuple(r.codes)) for r in
+                  ivfpq_encode_under(emb.filter("vec_id < 350"),
+                                     coarse, books).collect())
+    assert got == want
