@@ -4108,6 +4108,113 @@ _add(
 )
 
 
+def _hybrid_indexed_many_oracle(queries: list[str], k1: float, b: float,
+                                candidates: int, top_k: int, rrf_k: int,
+                                n_cells: int, m: int, ks: int,
+                                n_iter: int, dim: int, nprobe: int,
+                                shortlist: int) -> str:
+    """DuckDB twin of search.hybrid_search_rrf_indexed_many: one
+    suffixed bm25 core per query (lexical legs), ONE shared IVFADC
+    chain whose query CTE carries all N vectors (query_id = -(i+1)),
+    per-query ADC shortlists + exact-cosine re-ranks, per-query RRF
+    fusion — the batched server path is oracle-exact regardless of ADC
+    recall, same as the single-query entry."""
+    nq = len(queries)
+    cores, t_selects = [], []
+    for i, q in enumerate(queries):
+        body = _bm25_oracle(q, k1=k1, b=b, top_k=candidates,
+                            suffix=f"_q{i}").strip()
+        assert body.startswith("WITH ")
+        core, select = body.split("SELECT doc_id, CAST(dl AS BIGINT)", 1)
+        cores.append(core[len("WITH "):].rstrip().rstrip(","))
+        t_selects.append(
+            f"SELECT CAST({i} AS INTEGER) AS query_id, doc_id, "
+            f"CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) "
+            f"AS INTEGER) AS bm25_rank FROM (SELECT doc_id, "
+            f"CAST(dl AS BIGINT){select})")
+    q_sql = (f"SELECT CAST(-(vec_id + 1) AS BIGINT) AS query_id, "
+             f"CAST(embedding AS DOUBLE[]) AS q_emb "
+             f"FROM embeddings WHERE vec_id < {nq}")
+    ivf = _ivfpq_pairs_sql(n_cells, m, ks, n_iter, dim, nprobe,
+                           q_sql=q_sql, leading_with=False)
+    return f"""
+    WITH {",".join(cores)},
+    {ivf},
+    short AS (
+      SELECT CAST(-query_id - 1 AS INTEGER) AS query_id, neighbor_id
+      FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adist, neighbor_id) AS srn
+        FROM pairs) WHERE srn <= {shortlist}),
+    qvm AS (SELECT CAST(vec_id AS INTEGER) AS query_id, embedding
+            FROM embeddings WHERE vec_id < {nq}),
+    vs0 AS (SELECT s.query_id, e.vec_id AS doc_id,
+                   round({_COS.format(a='e.embedding',
+                                      b='qq.embedding')}, 4) AS sim
+            FROM embeddings e
+            JOIN short s ON e.vec_id = s.neighbor_id
+            JOIN qvm qq ON qq.query_id = s.query_id),
+    v AS (SELECT query_id, doc_id, CAST(vrn AS INTEGER) AS vec_rank
+          FROM (SELECT *, row_number() OVER (
+                    PARTITION BY query_id
+                    ORDER BY sim DESC, doc_id) AS vrn
+                FROM vs0) WHERE vrn <= {candidates}),
+    t AS ({" UNION ALL ".join(t_selects)})
+    SELECT query_id, doc_id, rrf, bm25_rank, vec_rank FROM (
+      SELECT coalesce(t.query_id, v.query_id) AS query_id,
+             coalesce(t.doc_id, v.doc_id) AS doc_id,
+             round(coalesce(1.0 / ({rrf_k} + t.bm25_rank), 0)
+                   + coalesce(1.0 / ({rrf_k} + v.vec_rank), 0), 6)
+               AS rrf,
+             t.bm25_rank, v.vec_rank
+      FROM t FULL OUTER JOIN v
+        ON t.query_id = v.query_id AND t.doc_id = v.doc_id)
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, doc_id) <= {top_k}
+    ORDER BY query_id, rrf DESC, doc_id
+    """
+
+
+def _hybrid_indexed_many_demo(spark: SparkSession, sf: str) -> DataFrame:
+    """Land both indexes once, then serve a BATCH of hybrid pages —
+    lexical legs from one pruned postings scan, semantic legs from one
+    cell-pruned codes scan, one point fetch for every shortlist."""
+    import re as _re
+
+    from ..operators import search as search_ops
+    from ..operators import similarity_search as ss_ops
+
+    docs, emb = _t(spark, sf, "documents", "embeddings")
+    slug = _re.sub(r"[^A-Za-z0-9._-]", "_", sf)
+    tpath = f"/tmp/dcs_hybrid_many_text/{slug}"
+    apath = f"/tmp/dcs_hybrid_many_ivfpq/{slug}"
+    search_ops.land_text_index(docs, tpath)
+    ss_ops.land_ivfpq_index(emb, apath, n_cells=8, m=4, ks=8, n_iter=3)
+    vecs = [[float(x) for x in r["embedding"]] for r in
+            emb.filter("vec_id < 3").orderBy("vec_id").collect()]
+    return search_ops.hybrid_search_rrf_indexed_many(
+        spark, tpath, apath, _MANY_QUERIES, vecs, emb,
+        top_k=25, candidates=50, nprobe=4, shortlist=200)
+
+
+_add(
+    "doc_hybrid_search_indexed_many",
+    _hybrid_indexed_many_demo,
+    _hybrid_indexed_many_oracle(_MANY_QUERIES, k1=1.2, b=0.75,
+                                candidates=50, top_k=25, rrf_k=60,
+                                n_cells=8, m=4, ks=8, n_iter=3, dim=64,
+                                nprobe=4, shortlist=200),
+    "S5,S7,similarity-search,text-analysis,T2",
+    "the BATCHED index-backed hybrid — the full interactive-server "
+    "workload in a constant number of jobs: N queries' lexical legs "
+    "from ONE pruned postings scan, N semantic legs from ONE "
+    "cell-pruned codes probe + one point fetch, per-query RRF fusion "
+    "identical to the single path (tested); oracle composes N "
+    "suffixed bm25 cores with ONE shared IVFADC chain",
+)
+
+
 def _hybrid_indexed_oracle(query: str, k1: float, b: float,
                            candidates: int, top_k: int, rrf_k: int,
                            n_cells: int, m: int, ks: int, n_iter: int,
@@ -4429,9 +4536,11 @@ _add(
 #     candidate-mass gate + persisted banding keys after the sf100
 #     probe filled the disk — default pair set unchanged,
 #     property-tested), displacing url_keyval_cleaning (hard-green
-#     r5+r7, untouched); doc_text_index_search_many (NEW late in the
-#     round: batched landed-index search) windows per the convention,
-#     displacing corpus_unimax_allocation (hard-green, untouched).
+#     r5+r7, untouched); doc_text_index_search_many and
+#     doc_hybrid_search_indexed_many (NEW late in the round: the
+#     batched landed-index server paths) window per the convention,
+#     displacing corpus_unimax_allocation and corpus_mixture_sample
+#     (both hard-green, untouched).
 #     Pushed out vs r7 (all
 #     hard-green in CORRECTNESS_r07, code untouched this round):
 #     corpus_snapshot_diff, ann_hard_negatives, doc_nb_quality,
@@ -4499,7 +4608,7 @@ _add(
 _WINDOW_R8 = [
     # new this round (must window)
     "doc_hybrid_search_indexed", "orders_page_keyset",
-    "doc_text_index_search_many",
+    "doc_text_index_search_many", "doc_hybrid_search_indexed_many",
     # changed code paths (the _bm25_score clamp + same-file rule)
     "doc_bm25_search", "doc_bm25_snippets", "doc_text_index_search",
     "doc_hybrid_search", "doc_tfidf_keywords",
@@ -4521,7 +4630,6 @@ _WINDOW_R8 = [
     "doc_dup_spans", "doc_span_removal", "doc_line_dedup",
     "doc_lm_logprob", "corpus_temperature_sample", "doc_dsir_weights",
     "corpus_unimax_sample", "doc_perplexity_buckets", "doc_chunks",
-    "corpus_mixture_sample",
     "doc_token_counts", "doc_winnow_fingerprints",
     "dedup_embedding_cosine", "dedup_winnowing",
     "training_shard_packing",

@@ -515,3 +515,43 @@ def test_search_text_index_many_matches_single(spark, tmp_path):
     plan = batched._jdf.queryExecution().executedPlan().toString()
     lines = [ln for ln in plan.splitlines() if "PartitionFilters: [" in ln]
     assert any("bucket" in ln for ln in lines)
+
+
+def test_hybrid_indexed_many_matches_single(spark, tmp_path):
+    """The batched index-backed hybrid serves N (query, vector) pairs
+    with per-query results IDENTICAL to hybrid_search_rrf_indexed —
+    same legs, same shortlist semantics, same fusion."""
+    from database_convertor_spark.operators.search import (
+        hybrid_search_rrf_indexed,
+        hybrid_search_rrf_indexed_many,
+        land_text_index,
+    )
+    from database_convertor_spark.operators.similarity_search import (
+        land_ivfpq_index,
+    )
+    from database_convertor_spark.sources.readers import read_table
+    from .conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    tpath, apath = str(tmp_path / "ti"), str(tmp_path / "ai")
+    land_text_index(docs, tpath, n_buckets=16)
+    land_ivfpq_index(emb, apath, n_cells=8, m=4, ks=8, n_iter=2)
+
+    queries = ["dup join scan", "quick brown", "zzz_no_such_term"]
+    vecs = [[float(x) for x in r["embedding"]]
+            for r in emb.filter("vec_id < 3").collect()]
+    batched = hybrid_search_rrf_indexed_many(
+        spark, tpath, apath, queries, vecs, emb,
+        top_k=25, candidates=50, nprobe=2, shortlist=60)
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r.query_id, []).append(
+            (r.doc_id, r.rrf, r.bm25_rank, r.vec_rank))
+    for qi, (q, v) in enumerate(zip(queries, vecs)):
+        want = [(r.doc_id, r.rrf, r.bm25_rank, r.vec_rank) for r in
+                hybrid_search_rrf_indexed(
+                    spark, tpath, apath, q, v, emb,
+                    top_k=25, candidates=50, nprobe=2,
+                    shortlist=60).collect()]
+        assert got.get(qi, []) == want, q
