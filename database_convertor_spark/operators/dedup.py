@@ -119,6 +119,33 @@ def _block_pair_mass_cached(docs: DataFrame,
     return mass
 
 
+def _keyed_candidate_mass_cached(frame: DataFrame, key_cols: list[str],
+                                 tag: str) -> float:
+    """Candidate-row mass of a banding/chunking equi-join — sum over
+    key populations of c*(c-1)/2 from ONE map-side-combining
+    histogram — cached per (session, input plan, tag) exactly like
+    ``_block_pair_mass_cached`` (the r6 lesson: an uncached gate
+    estimate re-pays its job on every invocation, and bench's
+    min-of-2 and the pipelines' repeated calls each pay it again)."""
+    try:
+        sc = frame.sparkSession.sparkContext
+        key = (sc.applicationId, sc.startTime,
+               frame._jdf.queryExecution().analyzed().semanticHash(), tag)
+    except Exception:                      # connect / API drift: no cache
+        key = None
+    if key is not None and key in _PAIR_MASS_CACHE:
+        return _PAIR_MASS_CACHE[key]
+    mass = (frame.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).cast("double").alias("c"))
+            .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("m"))
+            .collect()[0]["m"]) or 0.0
+    if key is not None:
+        while len(_PAIR_MASS_CACHE) >= _PAIR_MASS_CACHE_MAX:
+            _PAIR_MASS_CACHE.pop(next(iter(_PAIR_MASS_CACHE)))
+        _PAIR_MASS_CACHE[key] = mass
+    return mass
+
+
 def _block_pair_mass(docs: DataFrame, adjacent_bands: bool) -> float:
     """Estimated candidate-pair mass of the (lang, band) blocking,
     from ONE cheap histogram aggregate (the scan reads only lang +
@@ -556,10 +583,8 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
     chunked = swap_persisted(
         "simhash_chunked", chunked.persist(StorageLevel.MEMORY_AND_DISK))
     if max_candidate_pairs is not None and on_budget_exceeded != "ignore":
-        mass = (chunked.groupBy("chunk_id", "chunk_val")
-                .agg(F.count(F.lit(1)).cast("double").alias("c"))
-                .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("m"))
-                .collect()[0]["m"]) or 0.0
+        mass = _keyed_candidate_mass_cached(
+            chunked, ["chunk_id", "chunk_val"], "simhash")
         if mass > max_candidate_pairs:
             raise ValueError(
                 f"simhash_pairs: estimated candidate-row mass "
@@ -748,7 +773,11 @@ def srp_band_keys(vec: Column, dim: int, nbits: int = SRP_BITS,
 
 def embedding_srp_pairs(embeddings: DataFrame,
                         threshold: float = 0.95,
-                        dim: int | None = None) -> DataFrame:
+                        dim: int | None = None,
+                        nbits: int = SRP_BITS,
+                        band_bits: int = SRP_BAND_BITS,
+                        max_candidate_pairs: float | None = 50_000_000,
+                        on_budget_exceeded: str = "raise") -> DataFrame:
     """Embedding-cosine near-duplicates WITHOUT a precomputed coarse
     quantizer: sign-random-projection LSH (Charikar 2002) generates
     candidates from a band equi-join over 128-bit signatures (8
@@ -759,6 +788,36 @@ def embedding_srp_pairs(embeddings: DataFrame,
     candidate mass is bounded by similarity structure (band
     collisions ~ bands * n^2 / 2^16 for the orthogonal bulk), not by
     any blocking column's cardinality.
+
+    Candidate-mass gate (the ``simhash_pairs`` discipline, added
+    after the r8 THIRD-decade probe: at 2M vectors the 16-bit bands'
+    random-collision term bands * n^2 / 2^16 reaches ~2.4e8 candidate
+    pairs, and the vector-attach joins spilled the disk full — the
+    n^2/key-space regime the r7 simhash catch hit, one decade later
+    because SRP's key space is 2x wider): one map-side-combining
+    histogram over the (persisted) band keys bounds the candidate-row
+    mass BEFORE the self-join; past ``max_candidate_pairs`` the
+    operator raises naming the remedies. Unlike simhash (whose exact
+    Hamming verify makes the pair set banding-INVARIANT, so the key
+    space could simply be widened), SRP recall DEPENDS on the
+    banding — a re-banding is a recall choice the caller must make:
+
+    - equal-recall re-banding: ``nbits=480, band_bits=24`` holds
+      ~0.80 recall at cosine 0.95 (20 bands of p^24 vs 8 of p^16)
+      while dividing the random-collision term by ~2^8/2.5 ≈ 100 —
+      3.75x the linear signature work buying down the quadratic term
+      (the 100 TB trade, same direction as the r6 16->128-bit
+      redesign);
+    - same-signature re-banding: ``nbits=192, band_bits=24`` (8
+      bands) costs 1.5x signature work and drops recall at 0.95 to
+      ~0.48 — acceptable when the corpus's near-dups sit at
+      cosine >= 0.99 (recall ~0.97 there);
+    - coarse-block first: run SemDeDup/``embedding_neardup_pairs``
+      within k-means labels — candidate mass rides label population,
+      not the random-collision floor;
+    - ``on_budget_exceeded='ignore'`` / ``max_candidate_pairs=None``
+      runs regardless (a 1000-executor cluster absorbs 1e9 candidate
+      rows; this box's disk does not).
 
     Recall contract (LSH-probabilistic, like MinHash banding): a bit
     agrees w.p. 1 - theta/pi, a 16-bit band w.p. p^16, and at least
@@ -780,6 +839,14 @@ def embedding_srp_pairs(embeddings: DataFrame,
     """
     from pyspark.storagelevel import StorageLevel
 
+    if on_budget_exceeded not in ("raise", "ignore"):
+        raise ValueError(
+            f"on_budget_exceeded must be 'raise' or 'ignore', got "
+            f"{on_budget_exceeded!r}")
+    if nbits % band_bits:
+        raise ValueError(
+            f"embedding_srp_pairs: {nbits}-bit signature not "
+            f"divisible into {band_bits}-bit bands")
     actual_row = embeddings.select(
         F.size(F.col("embedding")).alias("d")).head()
     actual = actual_row["d"] if actual_row else 0
@@ -795,12 +862,31 @@ def embedding_srp_pairs(embeddings: DataFrame,
         F.col("embedding").cast("array<double>").alias("_emb"))
     sigs = e.select(
         "vec_id", "_emb",
-        srp_band_keys(F.col("_emb"), dim).alias("_bands"))
+        srp_band_keys(F.col("_emb"), dim, nbits=nbits,
+                      band_bits=band_bits).alias("_bands"))
     sigs = swap_persisted(
         "srp_sigs", sigs.persist(StorageLevel.MEMORY_AND_DISK))
     banded = sigs.select(
         "vec_id",
         F.posexplode(F.col("_bands")).alias("band_id", "band_val"))
+    if max_candidate_pairs is not None and on_budget_exceeded != "ignore":
+        mass = _keyed_candidate_mass_cached(
+            banded, ["band_id", "band_val"],
+            f"srp:{nbits}:{band_bits}")
+        if mass > max_candidate_pairs:
+            raise ValueError(
+                f"embedding_srp_pairs: estimated candidate-row mass "
+                f"{mass:,.0f} exceeds max_candidate_pairs="
+                f"{max_candidate_pairs:,.0f} — the {band_bits}-bit "
+                f"band key space is saturated at this corpus size "
+                f"(random collisions ~ bands*n^2/2^{band_bits}). "
+                f"Re-band longer (nbits=480, band_bits=24 holds ~0.80 "
+                f"recall at cosine 0.95 with ~100x fewer random "
+                f"collisions; nbits=192, band_bits=24 is 2.5x cheaper "
+                f"but ~0.48 recall at 0.95), block on a coarse k-means "
+                f"label first (semantic_dedup), or pass "
+                f"on_budget_exceeded='ignore' if the quadratic cost "
+                f"is intended")
     a, b = banded.alias("a"), banded.alias("b")
     cands = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                     & (F.col("a.band_val") == F.col("b.band_val"))

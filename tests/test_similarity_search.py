@@ -479,6 +479,65 @@ def test_hard_negatives_routed_subset_of_band(spark):
                     for r in brute.collect()})
 
 
+def test_srp_pairs_candidate_mass_gate(spark):
+    """The r8 third-decade catch: at 2M vectors the 16-bit bands'
+    random-collision term (bands*n^2/2^16) filled the disk through
+    the vector-attach joins. The gate bounds candidate-row mass from
+    the band-key histogram BEFORE the self-join: forced-tiny budgets
+    raise naming the re-banding remedies; 'ignore' runs the same plan
+    and emits the same pairs as the default (whose budget sits far
+    above any certified scale's mass)."""
+    from database_convertor_spark.operators.dedup import (
+        embedding_srp_pairs,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings") \
+        .select("vec_id", "embedding").filter(F.col("vec_id") < 60)
+    twins = emb.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 2).alias("embedding"))
+    corpus = emb.unionByName(twins)
+    try:
+        embedding_srp_pairs(corpus, max_candidate_pairs=1)
+        raise AssertionError("forced-tiny budget did not raise")
+    except ValueError as e:
+        assert "candidate-row mass" in str(e)
+        assert "nbits=480" in str(e)        # names the re-banding remedy
+    gated = {(r.vec_a, r.vec_b) for r in embedding_srp_pairs(
+        corpus).collect()}
+    ignored = {(r.vec_a, r.vec_b) for r in embedding_srp_pairs(
+        corpus, max_candidate_pairs=1,
+        on_budget_exceeded="ignore").collect()}
+    assert gated == ignored                 # gate chooses cost, not results
+
+
+def test_srp_pairs_rebanding_knobs(spark):
+    """The scale re-banding the gate recommends is a first-class
+    regime: 24-bit bands keep cosine-1.0 twins (identical signatures
+    collide in EVERY band at any banding) and every emitted pair
+    still passes the exact-cosine verify; an indivisible
+    nbits/band_bits split fails fast."""
+    from database_convertor_spark.operators.dedup import (
+        embedding_srp_pairs,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings") \
+        .select("vec_id", "embedding").filter(F.col("vec_id") < 60)
+    twins = emb.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 2).alias("embedding"))
+    corpus = emb.unionByName(twins)
+    want = {(i, i + 1000) for i in range(60)}
+    rebanded = embedding_srp_pairs(corpus, nbits=192,
+                                   band_bits=24).collect()
+    got = {(r.vec_a, r.vec_b) for r in rebanded}
+    assert want <= got
+    assert all(r.cosine >= 0.95 for r in rebanded)
+    try:
+        embedding_srp_pairs(corpus, nbits=128, band_bits=24)
+        raise AssertionError("indivisible banding did not raise")
+    except ValueError as e:
+        assert "divisible" in str(e)
+
+
 def test_srp_pairs_dim_mismatch_fails_fast(spark):
     """Regression (round-6 ADVICE): a caller-supplied dim that
     disagrees with the data raises instead of silently zeroing every
