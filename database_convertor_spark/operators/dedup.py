@@ -724,6 +724,11 @@ def embedding_neardup_pairs(embeddings: DataFrame,
 
 SRP_BITS = 128
 SRP_BAND_BITS = 16  # 8 bands x 16 bits
+# narrow-attach vs streamed-verify plan switch: the largest candidate
+# mass whose pair x vector sort (~0.5 KB/row, ~13 GB here) is still
+# the cheaper plan — past it the verify streams inside the banding
+# join (see embedding_srp_pairs)
+_SRP_NARROW_ATTACH_MAX = 25_000_000
 
 
 def srp_signs(dim: int, nbits: int = SRP_BITS) -> list[list[float]]:
@@ -790,14 +795,17 @@ def embedding_srp_pairs(embeddings: DataFrame,
     any blocking column's cardinality.
 
     Candidate-mass gate (the ``simhash_pairs`` discipline, added
-    after the r8 THIRD-decade probe: at 2M vectors the 16-bit bands'
-    random-collision term bands * n^2 / 2^16 reaches ~2.4e8 candidate
-    pairs, and the vector-attach joins spilled the disk full — the
-    n^2/key-space regime the r7 simhash catch hit, one decade later
-    because SRP's key space is 2x wider): one map-side-combining
-    histogram over the (persisted) band keys bounds the candidate-row
-    mass BEFORE the self-join; past ``max_candidate_pairs`` the
-    operator raises naming the remedies. Unlike simhash (whose exact
+    after the r8 THIRD-decade probe: at 2M vectors the band-collision
+    mass measured 6.1e8 pairs — partly the random term
+    bands * n^2 / 2^16, mostly the corpus's own within-cluster
+    similarity structure — and the original narrow-pairs-then-attach
+    plan spilled ~300 GB sorting pair x vector rows; the verify is
+    now PLAN-ADAPTIVE on the measured mass, see the in-line note, so
+    past the sort cliff the gate bounds streamed CPU, never disk): one
+    map-side-combining histogram over the (persisted) band keys
+    bounds the candidate-row mass BEFORE the self-join; past
+    ``max_candidate_pairs`` the operator raises naming the remedies.
+    Unlike simhash (whose exact
     Hamming verify makes the pair set banding-INVARIANT, so the key
     space could simply be widened), SRP recall DEPENDS on the
     banding — a re-banding is a recall choice the caller must make:
@@ -867,11 +875,12 @@ def embedding_srp_pairs(embeddings: DataFrame,
     sigs = swap_persisted(
         "srp_sigs", sigs.persist(StorageLevel.MEMORY_AND_DISK))
     banded = sigs.select(
-        "vec_id",
+        "vec_id", "_emb",
         F.posexplode(F.col("_bands")).alias("band_id", "band_val"))
+    mass = None
     if max_candidate_pairs is not None and on_budget_exceeded != "ignore":
         mass = _keyed_candidate_mass_cached(
-            banded, ["band_id", "band_val"],
+            banded.drop("_emb"), ["band_id", "band_val"],
             f"srp:{nbits}:{band_bits}")
         if mass > max_candidate_pairs:
             raise ValueError(
@@ -885,23 +894,67 @@ def embedding_srp_pairs(embeddings: DataFrame,
                 f"collisions; nbits=192, band_bits=24 is 2.5x cheaper "
                 f"but ~0.48 recall at 0.95), block on a coarse k-means "
                 f"label first (semantic_dedup), or pass "
-                f"on_budget_exceeded='ignore' if the quadratic cost "
-                f"is intended")
+                f"on_budget_exceeded='ignore' — the streamed in-join "
+                f"verify is CPU-linear in this mass (nothing "
+                f"pair-sized is materialized), so 'ignore' is a time "
+                f"choice, not a disk gamble")
+    # TWO PHYSICAL PLANS, ONE RESULT (the r8 third-decade redesign,
+    # chosen by the gate's own mass estimate):
+    #
+    # (a) narrow-attach — materialize (vec_a, vec_b) candidate pairs,
+    #     dedup, then attach both vectors by id-joins. Each attach
+    #     SORTS |candidates| wide rows (pair x full vector ~0.5 KB):
+    #     cheapest when the mass is small (every candidate verified
+    #     exactly once), catastrophic when it is not — at 2M vectors /
+    #     6.1e8 candidates that is a ~300 GB spill, which is how the
+    #     sf100 probe filled the disk.
+    # (b) streamed in-join verify — carry the vectors ON the banded
+    #     frames (sorted inputs = n x bands rows, LINEAR in the
+    #     corpus, ~8.5 GB at 2M vectors); candidate pairs merely
+    #     STREAM through the merge join into the cosine filter, never
+    #     sorted, never spilled; only verified survivors reach the
+    #     dedup shuffle (bounded by OUTPUT size). Cost: a pair
+    #     colliding in k bands is verified k times (<= bands) — the
+    #     sf10 probe measured that duplicate-verify tax at ~1.4x wall
+    #     on a mass far below the sort cliff.
+    #
+    # So: take (a) while the measured mass sorts safely
+    # (<= _SRP_NARROW_ATTACH_MAX pairs, ~13 GB of wide sort), (b)
+    # past it — and (b) unconditionally when no estimate exists
+    # (budget disabled/'ignore'), because an unknown mass is exactly
+    # the case that must not gamble the disk. Results are identical
+    # either way (cosine is deterministic; both dedup on the pair
+    # key), property-tested by the gate test's ignore-vs-default
+    # comparison, which crosses the two plans.
+    narrow = mass is not None and mass <= _SRP_NARROW_ATTACH_MAX
+    if narrow:
+        nb = banded.drop("_emb")
+        a, b = nb.alias("a"), nb.alias("b")
+        cands = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                        & (F.col("a.band_val") == F.col("b.band_val"))
+                        & (F.col("a.vec_id") < F.col("b.vec_id")))
+                 .select(F.col("a.vec_id").alias("vec_a"),
+                         F.col("b.vec_id").alias("vec_b"))
+                 .dropDuplicates(["vec_a", "vec_b"]))
+        ea = sigs.select(F.col("vec_id").alias("vec_a"),
+                         F.col("_emb").alias("_ea"))
+        eb = sigs.select(F.col("vec_id").alias("vec_b"),
+                         F.col("_emb").alias("_eb"))
+        sim = cosine_similarity(F.col("_ea"), F.col("_eb"))
+        return (cands.join(ea, "vec_a").join(eb, "vec_b")
+                .select("vec_a", "vec_b",
+                        F.round(sim, 4).alias("cosine"))
+                .filter(F.col("cosine") >= threshold))
     a, b = banded.alias("a"), banded.alias("b")
-    cands = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
-                    & (F.col("a.band_val") == F.col("b.band_val"))
-                    & (F.col("a.vec_id") < F.col("b.vec_id")))
-             .select(F.col("a.vec_id").alias("vec_a"),
-                     F.col("b.vec_id").alias("vec_b"))
-             .dropDuplicates(["vec_a", "vec_b"]))
-    ea = sigs.select(F.col("vec_id").alias("vec_a"),
-                     F.col("_emb").alias("_ea"))
-    eb = sigs.select(F.col("vec_id").alias("vec_b"),
-                     F.col("_emb").alias("_eb"))
-    sim = cosine_similarity(F.col("_ea"), F.col("_eb"))
-    return (cands.join(ea, "vec_a").join(eb, "vec_b")
-            .select("vec_a", "vec_b", F.round(sim, 4).alias("cosine"))
-            .filter(F.col("cosine") >= threshold))
+    sim = cosine_similarity(F.col("a._emb"), F.col("b._emb"))
+    return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+                   & (F.col("a.band_val") == F.col("b.band_val"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.round(sim, 4).alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+            .dropDuplicates(["vec_a", "vec_b"]))
 
 
 # --------------------------------------------------------- semantic dedup
