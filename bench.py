@@ -59,6 +59,7 @@ HEADLINE = [
     "doc_hybrid_search_indexed",
     "doc_tfidf_keywords",
     "doc_bigram_logprob",
+    "doc_bpe_merges",
     "user_sessions",
     "hourly_event_rollup",
     "asof_purchase_last_click",

@@ -947,3 +947,85 @@ def naive_bayes_quality(documents: DataFrame,
         F.coalesce("n_vocab_tokens", F.lit(0).cast("long"))
         .alias("n_vocab_tokens"),
         "nb_score", (F.col("nb_score") > 0).alias("predicted_hq"))
+
+
+def bpe_merges(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Learn a byte-pair-encoding merge table from the corpus — the
+    TRAINING step of the classic subword tokenizer (Sennrich et al.
+    2016, ACL, arXiv:1508.07909 — public methodology; the reference
+    has no tokenizer trainer, beyond-reference training-data
+    operator). Output is the trained artifact itself: one row per
+    merge, (rank, left_sym, right_sym, merged, pair_count), rank 1 =
+    the corpus's most frequent adjacent symbol pair.
+
+    Algorithm (the paper's, re-expressed relationally):
+      1. ONE corpus scan builds the word-frequency table — lowercase
+         whitespace tokens restricted to ^[a-z]+$ (character-level
+         BPE over alphabetic words; byte-level BPE needs per-byte
+         tables this image's SQL twin cannot replicate) — persisted,
+         so the corpus is never touched again;
+      2. each word becomes a symbol sequence (its characters plus a
+         trailing '_' end-of-word marker, the paper's </w>);
+      3. per merge: count adjacent symbol pairs weighted by word
+         frequency (one map-side-combining aggregate over the VOCAB
+         table), take the argmax (count desc, pair asc — a 1-row
+         driver scalar, like the Lloyd's-iteration collects), and
+         rewrite every non-overlapping occurrence left-to-right.
+
+    Distributed shape at 100 TB: the corpus contributes exactly one
+    scan + one groupBy(word); everything after runs on the word-count
+    table, which grows ~Heaps'-law sub-linearly in the corpus and
+    fits executor memory at any realistic scale. Each merge is one
+    vocab-sized aggregate plus a 1-row collect — n_merges small jobs,
+    no corpus re-scan, no shuffle growth with corpus size.
+
+    SQL-parity detail (why symbols are DOUBLE-space delimited):
+    adjacent pair occurrences share a boundary space under single-
+    space padding, so a plain non-overlapping REPLACE would miss
+    every second occurrence ('x a b a b' has two disjoint (a,b)
+    merges but only one match of ' a b '). With two-space gaps the
+    pattern ' a  b ' leaves one space on each side for its
+    neighbours, so left-to-right non-overlapping REPLACE — identical
+    semantics in the JVM and DuckDB — rewrites exactly the paper's
+    greedy merge set, and the invariant (two spaces between symbols)
+    is restored by the replacement itself.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from ..plans.persist_slots import swap_persisted
+    from ..functions.text import tokens
+
+    vocab = (spread(documents)
+             .select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+             .filter(F.col("w").rlike("^[a-z]+$"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+             .select(
+                 "cnt",
+                 F.concat(F.lit("  "),
+                          F.regexp_replace(F.col("w"), "(.)", "$1  "),
+                          F.lit("_  ")).alias("repr")))
+    vocab = swap_persisted(
+        "bpe_vocab", vocab.persist(StorageLevel.MEMORY_AND_DISK))
+    spark = documents.sparkSession
+    repr_col = F.col("repr")
+    rows = []
+    for rank in range(1, n_merges + 1):
+        syms = F.split(F.trim(repr_col), "  ")
+        n = F.size(syms)
+        pair_arr = F.zip_with(
+            F.slice(syms, 1, n - 1), F.slice(syms, 2, n - 1),
+            lambda a, b: F.struct(a.alias("a"), b.alias("b")))
+        best = (vocab.select("cnt", F.explode(pair_arr).alias("p"))
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("cnt").alias("total"))
+                .orderBy(F.desc("total"), F.asc("a"), F.asc("b"))
+                .limit(1).collect())
+        if not best:
+            break
+        a, b, total = best[0]["a"], best[0]["b"], int(best[0]["total"])
+        rows.append((rank, a, b, a + b, total))
+        repr_col = F.replace(repr_col, F.lit(f" {a}  {b} "),
+                             F.lit(f" {a}{b} "))
+    return spark.createDataFrame(
+        rows, "rank int, left_sym string, right_sym string, "
+              "merged string, pair_count bigint")

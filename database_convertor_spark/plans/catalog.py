@@ -3861,6 +3861,67 @@ _add(
 )
 
 
+# ================================================ BPE merge-table learning
+def _bpe_cte_sql(n_merges: int) -> str:
+    """DuckDB twin of text_analysis.bpe_merges: the word-count table,
+    then ``n_merges`` UNROLLED merge stages (the k-means-chain oracle
+    technique) — pair counts from list_zip over the double-space
+    symbol representation, argmax by (count desc, pair asc), REPLACE
+    rewrite with the same left-to-right non-overlapping semantics as
+    the JVM (the double-space delimiter makes adjacent occurrences
+    disjoint in both engines)."""
+    parts = [r"""
+    WITH w0 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  t -> t <> '')) AS w
+        FROM documents)
+      WHERE regexp_full_match(w, '[a-z]+')
+      GROUP BY w),
+    v0 AS (
+      SELECT cnt,
+             '  ' || regexp_replace(w, '(.)', '\1  ', 'g') || '_  ' AS repr
+      FROM w0)"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""
+    p{i} AS (
+      SELECT z[1] AS a, z[2] AS b, CAST(SUM(cnt) AS BIGINT) AS total
+      FROM (SELECT cnt,
+                   unnest(list_zip(s[1:len(s) - 1], s[2:len(s)])) AS z
+            FROM (SELECT cnt, string_split(trim(repr), '  ') AS s
+                  FROM v{i - 1}))
+      GROUP BY a, b),
+    b{i} AS (SELECT a, b, total FROM p{i}
+             ORDER BY total DESC, a ASC, b ASC LIMIT 1),
+    v{i} AS (
+      SELECT cnt, REPLACE(repr, ' ' || a || '  ' || b || ' ',
+                          ' ' || a || b || ' ') AS repr
+      FROM v{i - 1}, b{i}),
+    r{i} AS (SELECT {i} AS rank, a AS left_sym, b AS right_sym,
+                    a || b AS merged, total AS pair_count FROM b{i})""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM r{i}" for i in range(1, n_merges + 1))
+    return ",".join(parts) + f"""
+    SELECT CAST(rank AS INTEGER) AS rank, left_sym, right_sym, merged,
+           pair_count
+    FROM ({union}) ORDER BY rank
+    """
+
+
+_add(
+    "doc_bpe_merges",
+    lambda spark, sf: text_analysis.bpe_merges(
+        *_t(spark, sf, "documents"), n_merges=8),
+    _bpe_cte_sql(8),
+    "text-analysis,pipeline",
+    "BPE tokenizer TRAINING (Sennrich 2016): learn the first 8 merge "
+    "rules from corpus word frequencies — one corpus scan builds the "
+    "persisted word-count table, each merge is one vocab-sized pair "
+    "aggregate + a 1-row argmax collect; oracle = 8 merge stages "
+    "unrolled in SQL (the Lloyd-chain technique)",
+)
+
+
 # ===================================================== BM25 full-text search
 def _bm25_oracle(query: str, k1: float, b: float, top_k: int,
                  snippet_window: int | None = None,
@@ -4609,6 +4670,7 @@ _WINDOW_R8 = [
     # new this round (must window)
     "doc_hybrid_search_indexed", "orders_page_keyset",
     "doc_text_index_search_many", "doc_hybrid_search_indexed_many",
+    "doc_bpe_merges",
     # changed code paths (the _bm25_score clamp + same-file rule)
     "doc_bm25_search", "doc_bm25_snippets", "doc_text_index_search",
     "doc_hybrid_search", "doc_tfidf_keywords",
@@ -4628,7 +4690,7 @@ _WINDOW_R8 = [
     "pricing_summary", "market_segment_revenue", "ann_ivf_topk",
     "ann_ivf_multiprobe", "embedding_kmeans_clusters", "ann_ivf_kmeans",
     "doc_dup_spans", "doc_span_removal", "doc_line_dedup",
-    "doc_lm_logprob", "corpus_temperature_sample", "doc_dsir_weights",
+    "doc_lm_logprob", "doc_dsir_weights",
     "corpus_unimax_sample", "doc_perplexity_buckets", "doc_chunks",
     "doc_token_counts", "doc_winnow_fingerprints",
     "dedup_embedding_cosine", "dedup_winnowing",

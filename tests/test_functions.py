@@ -592,3 +592,42 @@ def test_vocab_stats_golden(spark):
     assert got["en"] == (7, 4, round(4 / 7, 4), 0.75, round(4 / 7, 4))
     # fr: x x -> 2 occ, 1 type, 0 hapax, top 1.0
     assert got["fr"] == (2, 1, 0.5, 0.0, 1.0)
+
+
+def test_bpe_merges_golden(spark):
+    """Hand-computed BPE chain (Sennrich 2016 semantics): word freqs
+    the*3 cat*1 hat*1; ties break (count desc, pair asc) with the
+    end-of-word marker '_' sorting before letters; the loop stops
+    early when no adjacent pair remains (every word fully merged)."""
+    from database_convertor_spark.operators.text_analysis import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "the the cat"), (2, "the hat")], "doc_id int, text string")
+    got = [tuple(r) for r in bpe_merges(docs, n_merges=8).collect()]
+    assert got == [
+        (1, "e", "_", "e_", 3), (2, "h", "e_", "he_", 3),
+        (3, "t", "he_", "the_", 3), (4, "a", "t", "at", 2),
+        (5, "at", "_", "at_", 2), (6, "c", "at_", "cat_", 1),
+        (7, "h", "at_", "hat_", 1)]
+
+
+def test_bpe_merges_all_nonoverlapping_occurrences(spark):
+    """The double-space REPLACE detail: 'x a b a b' holds TWO disjoint
+    (a, b) occurrences sharing a boundary space under single-space
+    padding — both must merge in one pass (the classic greedy rule),
+    and the overlapping triple 'z z z' merges left-to-right into
+    (zz, z), never (z, zz)."""
+    from database_convertor_spark.operators.text_analysis import bpe_merges
+
+    # one word 'ababab': pairs (a,b)x3, (b,a)x2 -> rank 1 = (a,b);
+    # all three occurrences merge in the same pass, so rank 2 sees
+    # 'ab ab ab _' and counts (ab,ab)x2
+    docs = spark.createDataFrame([(1, "ababab")], "doc_id int, text string")
+    got = [tuple(r)[:4] for r in bpe_merges(docs, n_merges=2).collect()]
+    assert got == [(1, "a", "b", "ab"), (2, "ab", "ab", "abab")]
+    # 'zzz': pairs (z,z)x2 overlapping -> ONE merge left-to-right
+    # ('zz z _', never 'z zz _'); round 2 ties (zz,z) with (z,_) at
+    # count 1 and 'z' < 'zz' picks (z,_)
+    docs2 = spark.createDataFrame([(1, "zzz")], "doc_id int, text string")
+    got2 = [tuple(r)[:4] for r in bpe_merges(docs2, n_merges=2).collect()]
+    assert got2 == [(1, "z", "z", "zz"), (2, "z", "_", "z_")]
