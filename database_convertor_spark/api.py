@@ -398,6 +398,14 @@ class Engine:
         from .operators.text_analysis import doc_token_counts
         return doc_token_counts(documents)
 
+    def train_bpe(self, documents: DataFrame,
+                  n_merges: int = 8) -> DataFrame:
+        """Learn a BPE merge table (tokenizer training, Sennrich
+        2016) from corpus word frequencies: one corpus scan, then
+        vocab-sized merge iterations."""
+        from .operators.text_analysis import bpe_merges
+        return bpe_merges(documents, n_merges)
+
     def dsir_weights(self, documents: DataFrame, target,
                      num_buckets: int = 65536) -> DataFrame:
         """DSIR-style importance weights of each doc vs a target slice."""

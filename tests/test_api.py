@@ -231,3 +231,13 @@ def test_engine_search_and_keywords(engine, spark):
     by_doc = {r.doc_id: r.term for r in kws}
     assert by_doc[3] in {"and", "functions", "ranking", "window"}
     assert len(kws) == 3
+
+
+def test_engine_train_bpe(engine, spark):
+    """The facade surfaces BPE tokenizer training: the learned merge
+    table starts from the corpus's most frequent adjacent pair."""
+    docs = spark.createDataFrame(
+        [(1, "the the cat"), (2, "the hat")], ["doc_id", "text"])
+    merges = engine.train_bpe(docs, n_merges=3).collect()
+    assert [(r["rank"], r.merged) for r in merges] == [
+        (1, "e_"), (2, "he_"), (3, "the_")]
