@@ -406,6 +406,13 @@ class Engine:
         from .operators.text_analysis import bpe_merges
         return bpe_merges(documents, n_merges)
 
+    def bpe_token_budget(self, documents: DataFrame,
+                         n_merges: int = 8) -> DataFrame:
+        """Per-doc token counts under the vocabulary ``train_bpe``
+        learns from this corpus (train + apply in one call)."""
+        from .operators.text_analysis import bpe_token_counts
+        return bpe_token_counts(documents, n_merges)
+
     def dsir_weights(self, documents: DataFrame, target,
                      num_buckets: int = 65536) -> DataFrame:
         """DSIR-style importance weights of each doc vs a target slice."""

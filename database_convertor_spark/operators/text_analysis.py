@@ -1029,3 +1029,58 @@ def bpe_merges(documents: DataFrame, n_merges: int = 8) -> DataFrame:
     return spark.createDataFrame(
         rows, "rank int, left_sym string, right_sym string, "
               "merged string, pair_count bigint")
+
+
+def bpe_token_counts(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Per-document token counts under the TRAINED BPE vocabulary —
+    the apply step completing ``bpe_merges``'s train step, and the
+    honest version of ``doc_token_counts``'s regex proxy: learn the
+    merge table from this corpus, then segment every document's
+    alphabetic words with it and report the real token budget.
+
+    Output: (doc_id, n_words, n_bpe_tokens, bpe_fertility) where
+    n_words counts the ^[a-z]+$ words the tokenizer covers,
+    n_bpe_tokens is their total subword count after applying all
+    learned merges (each word = characters + '_' end marker, merges
+    applied in rank order, same greedy left-to-right semantics as
+    training), and bpe_fertility = tokens/word rounded 4dp (NULL for
+    documents with no covered words).
+
+    Distributed shape: ``bpe_merges`` collects the n_merges-row merge
+    table to the driver (the codebook pattern — PQ/IVF do the same),
+    so the apply step embeds the merges as PLAN LITERALS: one corpus
+    scan explodes words, applies n_merges chained REPLACEs (pure
+    column expressions, WholeStageCodegen), and one groupBy(doc_id)
+    re-aggregates. Two corpus scans total (train + apply), both
+    word-count-shaped; nothing pair-sized anywhere.
+    """
+    from ..functions.text import tokens
+
+    merges = bpe_merges(documents, n_merges).collect()
+    words = (spread(documents)
+             .select("doc_id",
+                     F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+             .filter(F.col("w").rlike("^[a-z]+$")))
+    repr_col = F.concat(F.lit("  "),
+                        F.regexp_replace(F.col("w"), "(.)", "$1  "),
+                        F.lit("_  "))
+    for m in merges:
+        repr_col = F.replace(
+            repr_col, F.lit(f" {m['left_sym']}  {m['right_sym']} "),
+            F.lit(f" {m['merged']} "))
+    per_word = words.select(
+        "doc_id", F.size(F.split(F.trim(repr_col), "  ")).alias("_nt"))
+    agg = (per_word.groupBy("doc_id")
+           .agg(F.count(F.lit(1)).alias("n_words"),
+                F.sum("_nt").alias("n_bpe_tokens")))
+    return (documents.select("doc_id").join(agg, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce(F.col("n_words"), F.lit(0)).cast("bigint")
+                .alias("n_words"),
+                F.coalesce(F.col("n_bpe_tokens"), F.lit(0)).cast("bigint")
+                .alias("n_bpe_tokens"),
+                F.when(F.col("n_words") > 0,
+                       F.round(F.col("n_bpe_tokens")
+                               / F.col("n_words"), 4))
+                .alias("bpe_fertility")))

@@ -3908,6 +3908,47 @@ def _bpe_cte_sql(n_merges: int) -> str:
     """
 
 
+def _bpe_apply_sql(n_merges: int) -> str:
+    """DuckDB twin of text_analysis.bpe_token_counts: the same merge
+    CTE chain, then every document's covered words run through the
+    nested REPLACE chain. A merge stage the corpus exhausted (empty
+    b{i}) degrades to a chr(1) sentinel whose pattern can never match
+    a [a-z_] symbol — a no-op, mirroring the engine's early break."""
+    chain = _bpe_cte_sql(n_merges)
+    ctes = chain[:chain.rindex("SELECT CAST(rank")]
+    ctes = ctes.rstrip().rstrip(",")
+    expr = r"'  ' || regexp_replace(w, '(.)', '\1  ', 'g') || '_  '"
+    for i in range(1, n_merges + 1):
+        ai = f"coalesce((SELECT a FROM b{i}), chr(1))"
+        bi = f"coalesce((SELECT b FROM b{i}), chr(1))"
+        expr = (f"REPLACE({expr}, ' ' || {ai} || '  ' || {bi} || ' ', "
+                f"' ' || {ai} || {bi} || ' ')")
+    return ctes + f""",
+    dw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')) AS w
+        FROM documents)
+      WHERE regexp_full_match(w, '[a-z]+')),
+    applied AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim({expr}), '  ')) AS BIGINT) AS nt
+      FROM dw),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens
+      FROM applied GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(n_words, 0) AS n_words,
+           coalesce(n_bpe_tokens, 0) AS n_bpe_tokens,
+           CASE WHEN n_words > 0
+                THEN round(n_bpe_tokens / n_words, 4)
+           END AS bpe_fertility
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """
+
+
 _add(
     "doc_bpe_merges",
     lambda spark, sf: text_analysis.bpe_merges(
@@ -3919,6 +3960,19 @@ _add(
     "persisted word-count table, each merge is one vocab-sized pair "
     "aggregate + a 1-row argmax collect; oracle = 8 merge stages "
     "unrolled in SQL (the Lloyd-chain technique)",
+)
+
+_add(
+    "doc_bpe_token_counts",
+    lambda spark, sf: text_analysis.bpe_token_counts(
+        *_t(spark, sf, "documents"), n_merges=8),
+    _bpe_apply_sql(8),
+    "text-analysis,pipeline",
+    "BPE APPLY: per-doc token budget under the vocabulary trained by "
+    "doc_bpe_merges — the learned merges land as plan literals (the "
+    "codebook pattern) and segment every covered word in one chained-"
+    "REPLACE corpus pass; oracle = the merge chain + the same nested "
+    "REPLACE, empty merge stages degrading to sentinel no-ops",
 )
 
 
@@ -4670,7 +4724,7 @@ _WINDOW_R8 = [
     # new this round (must window)
     "doc_hybrid_search_indexed", "orders_page_keyset",
     "doc_text_index_search_many", "doc_hybrid_search_indexed_many",
-    "doc_bpe_merges",
+    "doc_bpe_merges", "doc_bpe_token_counts",
     # changed code paths (the _bm25_score clamp + same-file rule)
     "doc_bm25_search", "doc_bm25_snippets", "doc_text_index_search",
     "doc_hybrid_search", "doc_tfidf_keywords",
@@ -4691,7 +4745,7 @@ _WINDOW_R8 = [
     "ann_ivf_multiprobe", "embedding_kmeans_clusters", "ann_ivf_kmeans",
     "doc_dup_spans", "doc_span_removal", "doc_line_dedup",
     "doc_lm_logprob", "doc_dsir_weights",
-    "corpus_unimax_sample", "doc_perplexity_buckets", "doc_chunks",
+    "doc_perplexity_buckets", "doc_chunks",
     "doc_token_counts", "doc_winnow_fingerprints",
     "dedup_embedding_cosine", "dedup_winnowing",
     "training_shard_packing",

@@ -241,3 +241,13 @@ def test_engine_train_bpe(engine, spark):
     merges = engine.train_bpe(docs, n_merges=3).collect()
     assert [(r["rank"], r.merged) for r in merges] == [
         (1, "e_"), (2, "he_"), (3, "the_")]
+
+
+def test_engine_bpe_token_budget(engine, spark):
+    """Train + apply in one facade call: the fixture's words each
+    collapse to one learned token."""
+    docs = spark.createDataFrame(
+        [(1, "the the cat"), (2, "the hat")], ["doc_id", "text"])
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens)
+           for r in engine.bpe_token_budget(docs).collect()}
+    assert got == {1: (3, 3), 2: (2, 2)}

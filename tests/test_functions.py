@@ -631,3 +631,21 @@ def test_bpe_merges_all_nonoverlapping_occurrences(spark):
     docs2 = spark.createDataFrame([(1, "zzz")], "doc_id int, text string")
     got2 = [tuple(r)[:4] for r in bpe_merges(docs2, n_merges=2).collect()]
     assert got2 == [(1, "z", "z", "zz"), (2, "z", "_", "z_")]
+
+
+def test_bpe_token_counts_apply(spark):
+    """Train-then-apply round trip: after the fixture's 7 learnable
+    merges every covered word collapses to ONE token (fertility 1.0);
+    a document with no ^[a-z]+$ words reports 0 with NULL fertility
+    (the n_merges=8 request past the 7th merge is a no-op, mirroring
+    the oracle's sentinel stages)."""
+    from database_convertor_spark.operators.text_analysis import (
+        bpe_token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the the cat"), (2, "the hat"), (3, "123 456!")],
+        "doc_id int, text string")
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens, r.bpe_fertility)
+           for r in bpe_token_counts(docs, n_merges=8).collect()}
+    assert got == {1: (3, 3, 1.0), 2: (2, 2, 1.0), 3: (0, 0, None)}
