@@ -616,6 +616,7 @@ def dedup_family_agreement(documents: DataFrame,
                            minhash: DataFrame | None = None,
                            simhash: DataFrame | None = None,
                            winnowing: DataFrame | None = None,
+                           on_budget_exceeded: str = "raise",
                            ) -> DataFrame:
     """Cross-family near-dup AGREEMENT AUDIT — the corpus-QA report
     for choosing a dedup family: run the three text near-dup families
@@ -649,12 +650,19 @@ def dedup_family_agreement(documents: DataFrame,
     a 100 TB audit needs, since recomputing all three families just to
     compare them is the audit's only expensive regime (measured: the
     sf10 probe's 201 s was exactly the sum of the three families).
+
+    ``on_budget_exceeded`` forwards to the recomputing families'
+    candidate-mass gates (simhash's today): a recomputing audit on a
+    dense-key corpus otherwise refuses mid-plan with the family's own
+    remedy message — pass ``'ignore'`` to accept the family's
+    documented quadratic cost for the audit, or land the pair frames
+    once and pass them in (the scale path).
     """
     mh = (minhash_lsh_pairs(documents) if minhash is None
           else minhash).select(
         "doc_a", "doc_b", F.lit("minhash").alias("_fam"))
-    sh = (simhash_pairs(documents) if simhash is None
-          else simhash).select(
+    sh = (simhash_pairs(documents, on_budget_exceeded=on_budget_exceeded)
+          if simhash is None else simhash).select(
         "doc_a", "doc_b", F.lit("simhash").alias("_fam"))
     wn = (winnow_pairs(documents) if winnowing is None
           else winnowing).select(
