@@ -266,3 +266,33 @@ def test_orders_page_keyset_plan_and_contents(spark):
     assert "TakeOrderedAndProject" in plan
     assert "GreaterThan(o_orderkey" in plan      # range filter pushed
     assert "Window" not in plan                  # no O(offset) window
+
+
+def test_srp_verify_plan_is_mass_adaptive(spark):
+    """The r8 third-decade redesign, structurally pinned: with a
+    known-small measured mass the SRP verify takes the narrow-attach
+    plan (3 joins: banding self-join + two vector attaches); with no
+    estimate (budget disabled) it MUST take the streamed in-join
+    verify — exactly ONE join, so nothing pair-sized is ever sorted
+    (the plan that completed sf100 where narrow-attach filled the
+    disk)."""
+    from pyspark.sql import functions as F
+
+    from database_convertor_spark.operators.dedup import (
+        embedding_srp_pairs,
+    )
+    from database_convertor_spark.sources.readers import read_table
+
+    emb = read_table(spark, SF_SMALL, "embeddings") \
+        .select("vec_id", "embedding").filter(F.col("vec_id") < 80)
+
+    def njoins(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return sum(plan.count(j) for j in
+                   ("SortMergeJoin", "ShuffledHashJoin",
+                    "BroadcastHashJoin"))
+
+    narrow = embedding_srp_pairs(emb)                 # mass measured, tiny
+    assert njoins(narrow) == 3
+    streamed = embedding_srp_pairs(emb, max_candidate_pairs=None)
+    assert njoins(streamed) == 1
