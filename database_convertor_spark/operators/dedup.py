@@ -97,36 +97,13 @@ _PAIR_MASS_CACHE: dict[tuple, float] = {}
 _PAIR_MASS_CACHE_MAX = 64
 
 
-def _block_pair_mass_cached(docs: DataFrame,
-                            adjacent_bands: bool) -> float:
-    try:
-        # stable session identity (applicationId + startTime), NOT
-        # id(session): a GC'd session's id() can be reused by a new
-        # one, silently serving a stale estimate across sessions
-        sc = docs.sparkSession.sparkContext
-        key = (sc.applicationId, sc.startTime,
-               docs._jdf.queryExecution().analyzed().semanticHash(),
-               adjacent_bands)
-    except Exception:                      # connect / API drift: no cache
-        key = None
-    if key is not None and key in _PAIR_MASS_CACHE:
-        return _PAIR_MASS_CACHE[key]
-    mass = _block_pair_mass(docs, adjacent_bands)
-    if key is not None:
-        while len(_PAIR_MASS_CACHE) >= _PAIR_MASS_CACHE_MAX:
-            _PAIR_MASS_CACHE.pop(next(iter(_PAIR_MASS_CACHE)))
-        _PAIR_MASS_CACHE[key] = mass
-    return mass
-
-
-def _keyed_candidate_mass_cached(frame: DataFrame, key_cols: list[str],
-                                 tag: str) -> float:
-    """Candidate-row mass of a banding/chunking equi-join — sum over
-    key populations of c*(c-1)/2 from ONE map-side-combining
-    histogram — cached per (session, input plan, tag) exactly like
-    ``_block_pair_mass_cached`` (the r6 lesson: an uncached gate
-    estimate re-pays its job on every invocation, and bench's
-    min-of-2 and the pipelines' repeated calls each pay it again)."""
+def _session_plan_cached(frame: DataFrame, tag, compute) -> float:
+    """Shared cache policy for gate estimates: key = stable session
+    identity (applicationId + startTime — NOT id(session): a GC'd
+    session's id() can be reused by a new one, silently serving a
+    stale estimate across sessions) + the input's analyzed-plan
+    semanticHash + a caller tag; bounded FIFO eviction. ``compute``
+    is the thunk that runs the (one) histogram job on a miss."""
     try:
         sc = frame.sparkSession.sparkContext
         key = (sc.applicationId, sc.startTime,
@@ -135,15 +112,35 @@ def _keyed_candidate_mass_cached(frame: DataFrame, key_cols: list[str],
         key = None
     if key is not None and key in _PAIR_MASS_CACHE:
         return _PAIR_MASS_CACHE[key]
-    mass = (frame.groupBy(*key_cols)
-            .agg(F.count(F.lit(1)).cast("double").alias("c"))
-            .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("m"))
-            .collect()[0]["m"]) or 0.0
+    mass = compute()
     if key is not None:
         while len(_PAIR_MASS_CACHE) >= _PAIR_MASS_CACHE_MAX:
             _PAIR_MASS_CACHE.pop(next(iter(_PAIR_MASS_CACHE)))
         _PAIR_MASS_CACHE[key] = mass
     return mass
+
+
+def _block_pair_mass_cached(docs: DataFrame,
+                            adjacent_bands: bool) -> float:
+    return _session_plan_cached(
+        docs, ("block", adjacent_bands),
+        lambda: _block_pair_mass(docs, adjacent_bands))
+
+
+def _keyed_candidate_mass_cached(frame: DataFrame, key_cols: list[str],
+                                 tag: str) -> float:
+    """Candidate-row mass of a banding/chunking equi-join — sum over
+    key populations of c*(c-1)/2 from ONE map-side-combining
+    histogram — cached per (session, input plan, tag) via
+    ``_session_plan_cached`` (the r6 lesson: an uncached gate
+    estimate re-pays its job on every invocation, and bench's
+    min-of-2 and the pipelines' repeated calls each pay it again)."""
+    def compute() -> float:
+        return (frame.groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).cast("double").alias("c"))
+                .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("m"))
+                .collect()[0]["m"]) or 0.0
+    return _session_plan_cached(frame, tag, compute)
 
 
 def _block_pair_mass(docs: DataFrame, adjacent_bands: bool) -> float:
@@ -658,6 +655,13 @@ def dedup_family_agreement(documents: DataFrame,
     documented quadratic cost for the audit, or land the pair frames
     once and pass them in (the scale path).
     """
+    # validated HERE, not only inside simhash_pairs' recompute path:
+    # with a precomputed simhash frame an invalid value would
+    # otherwise be silently accepted (round-8 advice)
+    if on_budget_exceeded not in ("raise", "ignore"):
+        raise ValueError(
+            f"on_budget_exceeded must be 'raise' or 'ignore', got "
+            f"{on_budget_exceeded!r}")
     mh = (minhash_lsh_pairs(documents) if minhash is None
           else minhash).select(
         "doc_a", "doc_b", F.lit("minhash").alias("_fam"))
@@ -899,7 +903,11 @@ def embedding_srp_pairs(embeddings: DataFrame,
                 f"(random collisions ~ bands*n^2/2^{band_bits}). "
                 f"Re-band longer (nbits=480, band_bits=24 holds ~0.80 "
                 f"recall at cosine 0.95 with ~100x fewer random "
-                f"collisions; nbits=192, band_bits=24 is 2.5x cheaper "
+                f"collisions — note the hyperplane signs are embedded "
+                f"as nbits*dim plan literals, ~{480 * (dim or 1000):,} "
+                f"doubles at nbits=480/dim={dim or 1000}: expect "
+                f"plan-build/codegen cost in the tens of seconds at "
+                f"that size; nbits=192, band_bits=24 is 2.5x cheaper "
                 f"but ~0.48 recall at 0.95), block on a coarse k-means "
                 f"label first (semantic_dedup), or pass "
                 f"on_budget_exceeded='ignore' — the streamed in-join "

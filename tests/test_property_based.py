@@ -529,6 +529,15 @@ def test_dedup_family_agreement_accepts_precomputed_pairs(spark):
         docs, simhash=sh).collect())
     assert supplied == recomputed == partial
 
+    # r8 advice: an invalid on_budget_exceeded must be rejected even
+    # when every family is supplied precomputed (previously only the
+    # simhash RECOMPUTE path validated it, so 'route' slipped through
+    # silently with a precomputed frame)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="on_budget_exceeded"):
+        dedup_family_agreement(docs, minhash=mh, simhash=sh,
+                               winnowing=wn, on_budget_exceeded="route")
+
 
 def test_simhash_candidate_mass_gate(spark):
     """r8 gate (added after the sf100 probe filled 77 GB of shuffle
