@@ -50,6 +50,18 @@ def _sweep_auto_ckpt_dirs() -> None:
 atexit.register(_sweep_auto_ckpt_dirs)
 
 
+def ensure_checkpoint_dir(sc) -> None:
+    """Give the context a checkpoint dir if it has none — temp-dir
+    fallback for local/dev runs (swept at exit); a cluster job should
+    ``setCheckpointDir`` to durable storage first. Shared by every
+    iterative operator that truncates lineage per round (connected
+    components' star rounds, BPE's merge passes)."""
+    if sc.getCheckpointDir() is None:
+        ckpt = tempfile.mkdtemp(prefix="dcs-iter-ckpt-")
+        _AUTO_CKPT_DIRS.append(ckpt)
+        sc.setCheckpointDir(ckpt)
+
+
 def _large_star(e: DataFrame, symmetric_safe: bool = False) -> DataFrame:
     """Connect every larger neighbor of u to min(Γ(u) ∪ {u}).
 
@@ -111,10 +123,7 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     """Edge list (undirected) -> (node, component) where component is
     the minimum node id reachable. Output one row per distinct node."""
     sc = edges.sparkSession.sparkContext
-    if sc.getCheckpointDir() is None:
-        ckpt = tempfile.mkdtemp(prefix="dcs-components-ckpt-")
-        _AUTO_CKPT_DIRS.append(ckpt)
-        sc.setCheckpointDir(ckpt)
+    ensure_checkpoint_dir(sc)
     # materialize the input ONCE: the edge list is usually the output
     # of an expensive pairwise operator (blocked near-dup join), and
     # the first star round references it four times — without this

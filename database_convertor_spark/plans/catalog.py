@@ -3957,9 +3957,11 @@ _add(
     "text-analysis,pipeline",
     "BPE tokenizer TRAINING (Sennrich 2016): learn the first 8 merge "
     "rules from corpus word frequencies — one corpus scan builds the "
-    "persisted word-count table, each merge is one vocab-sized pair "
-    "aggregate + a 1-row argmax collect; oracle = 8 merge stages "
-    "unrolled in SQL (the Lloyd-chain technique)",
+    "persisted Heaps-bounded word-count table; the gated driver-side "
+    "fast trainer (incremental pair deltas + lazy max-heap, the "
+    "production formulation) commits the merges with zero further "
+    "cluster jobs; oracle = 8 merge stages unrolled in SQL (the "
+    "Lloyd-chain technique)",
 )
 
 _add(
@@ -3969,10 +3971,12 @@ _add(
     _bpe_apply_sql(8),
     "text-analysis,pipeline",
     "BPE APPLY: per-doc token budget under the vocabulary trained by "
-    "doc_bpe_merges — the learned merges land as plan literals (the "
-    "codebook pattern) and segment every covered word in one chained-"
-    "REPLACE corpus pass; oracle = the merge chain + the same nested "
-    "REPLACE, empty merge stages degrading to sentinel no-ops",
+    "doc_bpe_merges — the broadcast merge table segments each "
+    "DISTINCT word once (Arrow mapInPandas over the persisted word-"
+    "count table, rank-order-exact, no plan literals), then one "
+    "corpus pass joins the word->subwords map and re-aggregates; "
+    "oracle = the merge chain + the equivalent nested REPLACE, empty "
+    "merge stages degrading to sentinel no-ops",
 )
 
 
