@@ -391,47 +391,50 @@ def synthesize_real_media(ids: DataFrame) -> DataFrame:
     Arrow batches).
 
     Output matches MEDIA_SCHEMA."""
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                [synthesize_payload(int(mid)) for mid in pdf["media_id"]],
+                columns=["media_id", "kind", "payload", "meta"])
+
+    return ids.select("media_id").mapInPandas(op, schema=MEDIA_SCHEMA)
+
+
+def synthesize_payload(mid: int) -> tuple:
+    """The pure per-id synthesis kernel behind
+    ``synthesize_real_media`` — also runs WITHOUT Spark (the
+    multimodal oracle-fixture generator, tools/
+    make_multimodal_fixture.py, replays it driver-free so the landed
+    expected frame is produced by a non-DataFrame path). Returns
+    (media_id, kind, payload_bytes, meta_dict)."""
     import numpy as np
 
     from .jpeg_codec import encode_baseline_jpeg
 
-    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for mid in pdf["media_id"]:
-                mid = int(mid)
-                if mid % 3 == 0:
-                    n, rate = 160 + (mid % 5) * 40, 8000
-                    t = np.arange(n) / rate
-                    freq = 200.0 + (mid % 17) * 25.0
-                    payload = encode_wav(
-                        0.5 * np.sin(2 * np.pi * freq * t), rate)
-                    rows.append((mid, "audio", payload,
-                                 {"width": None, "height": None,
-                                  "duration_ms": int(1000 * n / rate),
-                                  "format": "wav"}))
-                    continue
-                w, h = 8 + mid % 5, 6 + mid % 3
-                grad = ((np.arange(h)[:, None] * 31 + np.arange(w) * 17
-                         + mid) % 256).astype(np.uint8)
-                px = np.stack([grad, grad[::-1], (grad * 3 + 7) % 256],
-                              axis=2).astype(np.uint8)
-                if mid % 3 == 1:
-                    payload, fmt = encode_ppm(px), "ppm"
-                elif (mid // 3) % 2 == 0:
-                    payload, fmt = encode_png(px, filter_type=mid % 5), "png"
-                else:
-                    payload = encode_baseline_jpeg(
-                        px, quality=90,
-                        subsampling="4:2:0" if (mid // 6) % 2 else "4:4:4")
-                    fmt = "jpeg"
-                rows.append((mid, "image", payload,
-                             {"width": w, "height": h,
-                              "duration_ms": None, "format": fmt}))
-            yield pd.DataFrame(rows, columns=["media_id", "kind",
-                                              "payload", "meta"])
-
-    return ids.select("media_id").mapInPandas(op, schema=MEDIA_SCHEMA)
+    if mid % 3 == 0:
+        n, rate = 160 + (mid % 5) * 40, 8000
+        t = np.arange(n) / rate
+        freq = 200.0 + (mid % 17) * 25.0
+        payload = encode_wav(0.5 * np.sin(2 * np.pi * freq * t), rate)
+        return (mid, "audio", payload,
+                {"width": None, "height": None,
+                 "duration_ms": int(1000 * n / rate), "format": "wav"})
+    w, h = 8 + mid % 5, 6 + mid % 3
+    grad = ((np.arange(h)[:, None] * 31 + np.arange(w) * 17
+             + mid) % 256).astype(np.uint8)
+    px = np.stack([grad, grad[::-1], (grad * 3 + 7) % 256],
+                  axis=2).astype(np.uint8)
+    if mid % 3 == 1:
+        payload, fmt = encode_ppm(px), "ppm"
+    elif (mid // 3) % 2 == 0:
+        payload, fmt = encode_png(px, filter_type=mid % 5), "png"
+    else:
+        payload = encode_baseline_jpeg(
+            px, quality=90,
+            subsampling="4:2:0" if (mid // 6) % 2 else "4:4:4")
+        fmt = "jpeg"
+    return (mid, "image", payload,
+            {"width": w, "height": h, "duration_ms": None, "format": fmt})
 
 
 def extract_features(media: DataFrame,

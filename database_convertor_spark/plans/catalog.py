@@ -2448,12 +2448,33 @@ def _enrich_suppliers(spark, sf):
         num_partitions=8)
 
 
+# the resolver's pseudo-data is md5-derived, so DuckDB can replay it
+# exactly: h = first 4 md5 bytes big-endian & 0x7FFFFFFF (hex-digit
+# positional parse; >>k == //2^k and &0x7FFFFFFF == %2^31 for
+# non-negative h)
+_MD5_H32 = (
+    "(SELECT sum((strpos('0123456789abcdef', substr(md5({key}), n, 1)) "
+    "- 1) * CAST(power(16, 8 - n) AS BIGINT)) FROM range(1, 9) t(n))")
+
 _add(
     "enrich_suppliers_mock",
     _enrich_suppliers,
-    None,  # mapInPandas + resolver: not SQL-expressible -> rows-only
+    f"""
+    WITH h AS (
+      SELECT CAST(s_suppkey AS VARCHAR) AS key,
+             ({_MD5_H32.format(key="CAST(s_suppkey AS VARCHAR)")}
+              % 2147483648) AS h
+      FROM supplier)
+    SELECT key,
+           CASE WHEN h % 4 <> 0 THEN 'active' ELSE 'dissolved' END
+             AS status,
+           CAST((h // 16) % 7 AS INT) AS n_officers,
+           ((h // 256) % 3 = 0) AS has_charges
+    FROM h
+    """,
     "S3,S4,S10",
-    "rate-limited mapInPandas enrichment stage (deterministic mock resolver)",
+    "rate-limited mapInPandas enrichment stage (deterministic mock "
+    "resolver, md5-replayed by the oracle — value-oracled since r9)",
 )
 
 
@@ -2472,9 +2493,25 @@ def _rest_source_scan(spark, sf):
 _add(
     "rest_source_scan",
     _rest_source_scan,
-    None,  # source is the mock API itself, no parquet twin -> rows-only
+    f"""
+    WITH h AS (
+      SELECT ({_MD5_H32.format(key="CAST(i AS VARCHAR)")}) AS h
+      FROM (SELECT CAST(range AS BIGINT) AS i FROM range(0, 2000))),
+    api AS (
+      SELECT ['active', 'active', 'active', 'dissolved',
+              'liquidation'][CAST(h % 5 AS BIGINT) + 1]
+               AS company_status,
+             ['41100', '41200', '68100', '62012']
+               [CAST((h // 256) % 4 AS BIGINT) + 1] AS sic_code
+      FROM h)
+    SELECT sic_code, CAST(count(*) AS BIGINT) AS n_active
+    FROM api WHERE company_status = 'active'
+    GROUP BY sic_code
+    """,
     "S1,S2",
-    "paginated REST-style Python data source with server-side filter pushdown",
+    "paginated REST-style Python data source with server-side filter "
+    "pushdown (mock API rows are md5-derived, replayed by the oracle "
+    "over range(2000) — value-oracled since r9)",
 )
 
 # ===================================================== multimodal plumbing
@@ -2485,15 +2522,57 @@ def _multimodal_features(spark, sf):
         F.col("doc_id").alias("media_id"),
         F.lit("text").alias("kind"),
         F.encode("text", "UTF-8").alias("payload"))
-    return extract_features(media)
+    feats = extract_features(media)
+    # the 8-dim feature array projected to scalars for the driver's
+    # canonicalizer (arrays are unhashable in its pandas sort)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "checksum",
+        *[F.round(F.col("feature").getItem(i), 4).alias(f"f{i}")
+          for i in range(8)])
 
+
+# the fake backend's features are pure byte statistics of the UTF-8
+# payload, so DuckDB replays them from the text column: per-byte
+# explode over the hex encoding (two hex digits -> one byte value)
+_BYTE_AT = (
+    "(strpos('0123456789abcdef', substr(hx, 2 * {p} - 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(hx, 2 * {p}, 1)) - 1)")
 
 _add(
     "multimodal_features_mock",
     _multimodal_features,
-    None,  # binary decode stage -> rows-only
+    f"""
+    WITH b AS (
+      SELECT doc_id AS media_id, text, lower(hex(encode(text))) AS hx,
+             octet_length(encode(text)) AS nb
+      FROM documents),
+    bytes AS (
+      SELECT media_id, {_BYTE_AT.format(p="p")} AS code
+      FROM b, LATERAL (SELECT unnest(range(1, nb + 1)) AS p) t(p)),
+    stats AS (
+      SELECT media_id, sum(code) % 997 AS f3, max(code) AS f4,
+             min(code) AS f5, count(DISTINCT code) AS f6
+      FROM bytes GROUP BY media_id)
+    SELECT b.media_id, 'text' AS kind, CAST(nb AS BIGINT) AS n_bytes,
+           md5(text) AS checksum,
+           round(CAST(nb AS DOUBLE), 4) AS f0,
+           round(CAST(CASE WHEN nb > 0
+                 THEN {_BYTE_AT.format(p="1")} ELSE 0 END AS DOUBLE), 4)
+             AS f1,
+           round(CAST(CASE WHEN nb > 0
+                 THEN {_BYTE_AT.format(p="nb")} ELSE 0 END AS DOUBLE), 4)
+             AS f2,
+           round(CAST(coalesce(s.f3, 0) AS DOUBLE), 4) AS f3,
+           round(CAST(coalesce(s.f4, 0) AS DOUBLE), 4) AS f4,
+           round(CAST(coalesce(s.f5, 0) AS DOUBLE), 4) AS f5,
+           round(CAST(coalesce(s.f6, 0) AS DOUBLE), 4) AS f6,
+           0.0 AS f7
+    FROM b LEFT JOIN stats s USING (media_id)
+    """,
     "multimodal",
-    "binary-column decode/feature-extract via mapInPandas (fake backend)",
+    "binary-column decode/feature-extract via mapInPandas (fake "
+    "backend = byte statistics, replayed per-byte by the oracle — "
+    "value-oracled since r9)",
 )
 
 
@@ -2522,10 +2601,24 @@ def _multimodal_features_real(spark, sf):
 _add(
     "multimodal_features_real",
     _multimodal_features_real,
-    None,  # real binary decode stage -> rows-only
+    # the one query whose values pass through REAL codec bytes — not
+    # SQL-replayable, so the oracle is a LANDED expected frame
+    # produced by a Spark-free pure-Python path
+    # (tools/make_multimodal_fixture.py: same synthesis kernel +
+    # stdlib decode, no DataFrame anywhere), joined to the live
+    # documents view so it stays scale-free across driver scales
+    # (ids 0..4999 cover sf0.1; smaller scales are prefix subsets)
+    """
+    SELECT f.media_id, f.kind, f.n_bytes, f.checksum, f.f0, f.f5
+    FROM read_parquet(
+      '/root/repo/tests/fixtures/multimodal_real_expected.parquet') f
+    JOIN documents d ON f.media_id = d.doc_id
+    """,
     "multimodal",
-    "REAL decode end-to-end: executor-synthesized WAV/PPM/PNG bytes "
-    "decoded by the stdlib backend (wave/zlib/numpy) via mapInPandas",
+    "REAL decode end-to-end: executor-synthesized WAV/PPM/PNG/JPEG "
+    "bytes decoded by the stdlib backend (wave/zlib/numpy) via "
+    "mapInPandas; oracle = landed expected frame from the Spark-free "
+    "pure-Python replay (value-oracled since r9)",
 )
 
 # ===================================== round-4 corpus-hygiene additions
@@ -4609,14 +4702,12 @@ _add(
 # query earns a hard driver-green row at least once, and any query
 # whose code path CHANGED in-round gets a driver row that round.
 #
-# Round 7 window, explicitly listed. WINDOW CONVENTION (standing):
-# the driver samples the FIRST 50 catalog entries each round; (1) any
-# query whose code path changed in-round MUST window that round;
-# (2) new queries always window; (3) rows-only entries (no DuckDB
-# oracle BY DESIGN: multimodal_features_*, rest_source_scan,
-# enrich_suppliers_mock) NEVER window — their check is pytest +
-# rows>0, and a windowed rows-only row records err="no_oracle", which
-# reads as a failure it is not (the r6 verdict flagged exactly this);
+# WINDOW CONVENTION (standing): the driver samples the FIRST 50
+# catalog entries each round; (1) any query whose code path changed
+# in-round MUST window that round; (2) new queries always window;
+# (3) [RETIRED in r9 — every catalog entry now carries a DuckDB
+# oracle; the rule existed because a windowed rows-only row recorded
+# err="no_oracle", which read as a failure it was not];
 # (4) remaining slots rotate hard-green veterans on normal cadence.
 #
 # Round 8:
@@ -4724,43 +4815,80 @@ _add(
 # doc_winnow_fingerprints, dedup_embedding_cosine, dedup_winnowing,
 # training_shard_packing, multimodal_features_real (rows-only — the
 # convention above now keeps it out permanently).
-_WINDOW_R8 = [
-    # new this round (must window)
-    "doc_hybrid_search_indexed", "orders_page_keyset",
-    "doc_text_index_search_many", "doc_hybrid_search_indexed_many",
+# Round 9:
+#   - NEWLY VALUE-ORACLED (the r8 verdict's "121 of 125" gap): the
+#     four previously rows-only entries gained oracles and MUST
+#     window for their first-ever hash-match rows —
+#     rest_source_scan + enrich_suppliers_mock (md5-derived mock
+#     data replayed in SQL), multimodal_features_mock (byte-stat
+#     features replayed per-byte in SQL; query now projects the
+#     feature array to f0..f7 scalars), multimodal_features_real
+#     (landed expected frame from the Spark-free pure-Python replay,
+#     joined to the live documents view). Convention rule (3) is
+#     retired — nothing in the catalog is rows-only anymore;
+#   - CHANGED: the BPE family was rebuilt (fast exact driver-side
+#     trainer + mapInPandas apply; output contract unchanged,
+#     golden-tested) -> doc_bpe_merges, doc_bpe_token_counts;
+#     the gate-estimate cache policy was unified into
+#     _session_plan_cached -> every gated query windows
+#     (dedup_ngram_jaccard, dedup_ngram_adjacent,
+#     dedup_incremental_pairs, corpus_train_val_split, corpus_deduped,
+#     corpus_curation_stats, training_corpus_pipeline,
+#     dedup_clusters_ngram, dedup_simhash, dedup_embedding_srp);
+#     dedup_family_agreement validates on_budget_exceeded up front.
+_WINDOW_R9 = [
+    # newly value-oracled (must window — first hash-match rows)
+    "rest_source_scan", "enrich_suppliers_mock",
+    "multimodal_features_mock", "multimodal_features_real",
+    # changed: BPE rebuild
     "doc_bpe_merges", "doc_bpe_token_counts",
-    # changed code paths (the _bm25_score clamp + same-file rule)
-    "doc_bm25_search", "doc_bm25_snippets", "doc_text_index_search",
-    "doc_hybrid_search", "doc_tfidf_keywords",
-    # changed: re-keyed pair-mass gate cache (every gated query)
+    # changed: unified gate-estimate cache (every gated query) +
+    # agreement validation
     "dedup_ngram_jaccard", "dedup_ngram_adjacent",
     "dedup_incremental_pairs", "corpus_train_val_split",
     "corpus_deduped", "corpus_curation_stats",
     "training_corpus_pipeline", "dedup_clusters_ngram",
-    # changed: signature / sample gate / shared oracle chain; simhash
-    # gained the candidate-mass gate + persisted banding keys
-    "dedup_family_agreement", "dedup_semantic", "ann_ivfpq_topk",
-    "dedup_minhash_lsh", "dedup_simhash",
-    # r7-pushed veterans returning on rotation
-    "ann_pq_topk", "ann_pq_rerank", "doc_bigram_logprob",
-    "benchmark_contamination_fraction", "corpus_source_cap",
-    "corpus_vocab_stats", "doc_cross_dup_spans", "top_terms_two_pass",
-    "pricing_summary", "market_segment_revenue", "ann_ivf_topk",
-    "ann_ivf_multiprobe", "embedding_kmeans_clusters", "ann_ivf_kmeans",
-    "doc_dup_spans", "doc_span_removal", "doc_line_dedup",
-    "doc_lm_logprob", "doc_dsir_weights",
-    "doc_perplexity_buckets", "doc_chunks",
-    "doc_token_counts", "doc_winnow_fingerprints",
-    "dedup_embedding_cosine", "dedup_winnowing",
-    "training_shard_packing",
+    "dedup_simhash", "dedup_embedding_srp", "dedup_family_agreement",
+    # r8-pushed veterans returning on rotation
+    "corpus_snapshot_diff", "ann_hard_negatives", "doc_nb_quality",
+    "supplier_neighborhood", "event_props_extract", "customer_tiering",
+    "order_date_dimensions", "scalar_cleaning", "hourly_event_rollup",
+    "automation_run_health", "user_sessions", "event_funnel",
+    "distinct_customer_priorities", "order_stats_summary",
+    "top_orders_per_customer", "top_orders", "customer_order_stats",
+    "part_search_ilike", "event_type_counts", "orders_union_dedup",
+    "priority_order_pick", "open_orders", "shipments_by_month",
+    "customers_without_orders", "active_customer_keys",
+    "nation_customer_rollup", "shared_supplier_pairs",
+    "fuzzy_match_customers", "officer_email_matches",
+    "doc_boilerplate_removed", "doc_pii_redacted",
+    "refresh_edges_incremental", "url_keyval_cleaning",
 ]
+
+# Round 8 window (history): doc_hybrid_search_indexed,
+# orders_page_keyset, doc_text_index_search_many,
+# doc_hybrid_search_indexed_many, doc_bpe_merges, doc_bpe_token_counts,
+# doc_bm25_search, doc_bm25_snippets, doc_text_index_search,
+# doc_hybrid_search, doc_tfidf_keywords, dedup_ngram_jaccard,
+# dedup_ngram_adjacent, dedup_incremental_pairs, corpus_train_val_split,
+# corpus_deduped, corpus_curation_stats, training_corpus_pipeline,
+# dedup_clusters_ngram, dedup_family_agreement, dedup_semantic,
+# ann_ivfpq_topk, dedup_minhash_lsh, dedup_simhash, ann_pq_topk,
+# ann_pq_rerank, doc_bigram_logprob, benchmark_contamination_fraction,
+# corpus_source_cap, corpus_vocab_stats, doc_cross_dup_spans,
+# top_terms_two_pass, pricing_summary, market_segment_revenue,
+# ann_ivf_topk, ann_ivf_multiprobe, embedding_kmeans_clusters,
+# ann_ivf_kmeans, doc_dup_spans, doc_span_removal, doc_line_dedup,
+# doc_lm_logprob, doc_dsir_weights, doc_perplexity_buckets, doc_chunks,
+# doc_token_counts, doc_winnow_fingerprints, dedup_embedding_cosine,
+# dedup_winnowing, training_shard_packing.
 
 _by_name = {s.name: s for s in _SPECS}
 assert len(_by_name) == len(_SPECS), "duplicate catalog names"
-assert len(_WINDOW_R8) == 50 == len(set(_WINDOW_R8)), len(_WINDOW_R8)
-assert set(_WINDOW_R8) <= set(_by_name), set(_WINDOW_R8) - set(_by_name)
-_window = set(_WINDOW_R8)
+assert len(_WINDOW_R9) == 50 == len(set(_WINDOW_R9)), len(_WINDOW_R9)
+assert set(_WINDOW_R9) <= set(_by_name), set(_WINDOW_R9) - set(_by_name)
+_window = set(_WINDOW_R9)
 _rest = [s.name for s in _SPECS if s.name not in _window]
 
 CATALOG: dict[str, QuerySpec] = {
-    n: _by_name[n] for n in [*_WINDOW_R8, *_rest]}
+    n: _by_name[n] for n in [*_WINDOW_R9, *_rest]}
