@@ -358,12 +358,10 @@ def search_text_index(spark, path: str, query: str,
     in the mixed regime a live df can approach or exceed the frozen N,
     which is why ``_bm25_score`` clamps idf at 0 — a heavily-appended
     term degrades to no-signal instead of scoring negatively."""
-    import json
-    import os
+    from ..operators.similarity_search import _sidecar_cached
 
     _require_local_text_index_path(path)
-    with open(os.path.join(path, "_stats.json")) as fh:
-        stats = json.load(fh)
+    _, stats = _sidecar_cached(path, "_stats.json")
     terms = query_terms(query)
     m = len(terms)
     buckets = sorted({_term_bucket_py(t, stats["n_buckets"])
@@ -418,12 +416,10 @@ def search_text_index_many(spark, path: str, queries: list[str],
     query's position in ``queries``, top_k rows per query ordered by
     (bm25 desc, doc_id).
     """
-    import json
-    import os
+    from ..operators.similarity_search import _sidecar_cached
 
     _require_local_text_index_path(path)
-    with open(os.path.join(path, "_stats.json")) as fh:
-        stats = json.load(fh)
+    _, stats = _sidecar_cached(path, "_stats.json")
     per_query = [query_terms(q) for q in queries]
     all_terms = sorted({t for ts in per_query for t in ts})
     buckets = sorted({_term_bucket_py(t, stats["n_buckets"])
@@ -663,19 +659,22 @@ def hybrid_search_rrf_indexed(spark, text_index_path: str,
     Per-query cost therefore tracks posting mass + probed-cell mass +
     shortlist size — independent of corpus size once the indexes are
     landed. Output schema and determinism contract identical to
-    ``hybrid_search_rrf``.
+    ``hybrid_search_rrf``. Warm-path latency: probe selection runs
+    driver-side and the sidecar parses + ADC rank expressions are
+    memoized per (session, index mtime)
+    (``search_ivfpq_index_local``), so a warm query pays only the two
+    pruned scans + fuse — ~2x under the cold first call (SCALE.md
+    warm-latency row; results identical by the probe-twin tests).
     """
-    from ..operators.similarity_search import search_ivfpq_index
+    from ..operators.similarity_search import search_ivfpq_index_local
 
     text_leg = _bm25_rank_leg(
         search_text_index(spark, text_index_path, query,
                           k1=k1, b=b, top_k=candidates))
 
-    qdf = spark.createDataFrame(
-        [(-1, [float(x) for x in query_vec])],
-        "vec_id long, embedding array<double>")
-    short = search_ivfpq_index(spark, ann_index_path, qdf,
-                               k=shortlist, nprobe=nprobe)
+    short = search_ivfpq_index_local(
+        spark, ann_index_path, [(-1, query_vec)],
+        k=shortlist, nprobe=nprobe)
     # bounded driver scalar: <= shortlist ids — becomes the pushed-down
     # In() point fetch on the raw-embedding store
     ids = [r.neighbor_id for r in short.select("neighbor_id").collect()]
@@ -721,7 +720,7 @@ def hybrid_search_rrf_indexed_many(spark, text_index_path: str,
     position in ``queries``, ordered (query_id, rrf desc, doc_id).
     """
     from ..functions.similarity import cosine_similarity
-    from ..operators.similarity_search import search_ivfpq_index
+    from ..operators.similarity_search import search_ivfpq_index_local
 
     if len(queries) != len(query_vecs):
         raise ValueError("queries and query_vecs must be parallel lists")
@@ -733,12 +732,10 @@ def hybrid_search_rrf_indexed_many(spark, text_index_path: str,
         "query_id", "doc_id",
         F.row_number().over(tw).cast("int").alias("bm25_rank"))
 
-    qdf = spark.createDataFrame(
-        [(-(i + 1), [float(x) for x in v])
-         for i, v in enumerate(query_vecs)],
-        "vec_id long, embedding array<double>")
-    short = search_ivfpq_index(spark, ann_index_path, qdf,
-                               k=shortlist, nprobe=nprobe)
+    short = search_ivfpq_index_local(
+        spark, ann_index_path,
+        [(-(i + 1), v) for i, v in enumerate(query_vecs)],
+        k=shortlist, nprobe=nprobe)
     pairs = [(int(r.query_id), int(r.neighbor_id)) for r in
              short.select("query_id", "neighbor_id").collect()]
     all_ids = sorted({nid for _, nid in pairs})

@@ -846,18 +846,23 @@ def _ivfpq_probes(queries: DataFrame, coarse: list,
             .select("query_id", "q_emb", "cell"))
 
 
-def _ivfpq_rank(codes: DataFrame, probes: DataFrame, coarse: list,
-                books: list, k: int) -> DataFrame:
-    """The probed ADC tail shared by in-memory and landed-index
-    search: per-(query, probed cell) residual distance tables as
-    broadcast expressions, fixed-order lookup fold, window top-k."""
+def _ivfpq_rank_exprs(coarse: list, books: list) -> tuple[Column, Column]:
+    """(qres, tables): the query-INDEPENDENT Column expressions of the
+    ADC rank — the coarse-centroid residual and the per-(query, cell)
+    distance tables over the residual subvectors. Building them costs
+    n_cells*dim + m*ks*sub ``F.lit`` Py4J round-trips (~1.5 s measured
+    at the fixture codebook sizes), which is most of a warm
+    single-query's latency — so ``search_ivfpq_index`` /
+    ``search_ivfpq_index_local`` memoize the built Columns per
+    (session, codebook sidecar) via ``_rank_exprs_cached``. Columns
+    are immutable unresolved expressions referencing q_emb/cell by
+    name, so reuse across query frames is sound."""
     m = len(books)
     sub = len(books[0][0])
     coarse_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in coarse])
     qres = F.zip_with(F.col("q_emb"),
                       F.element_at(coarse_lit, F.col("cell") + 1),
                       lambda a, b: a - b)
-    probes = probes.withColumn("_qr", qres)
     subvecs = [F.slice(F.col("_qr"), j * sub + 1, sub) for j in range(m)]
 
     def dot_lit(vec, cent):
@@ -875,6 +880,46 @@ def _ivfpq_rank(codes: DataFrame, probes: DataFrame, coarse: list,
                     + F.lit(float(sum(x * x for x in cent))), 6)
             for cent in books[j]])
         for j in range(m)])
+    return qres, tables
+
+
+# (session key, sidecar key) -> (qres, tables); FIFO-bounded like the
+# dedup gate-estimate cache (same policy rationale: bench loops and
+# interactive servers re-touch a handful of live indexes, and a
+# session restart must not serve stale JVM expression handles)
+_RANK_EXPR_CACHE: dict = {}
+_RANK_EXPR_CACHE_MAX = 32
+
+
+def _session_key(spark) -> tuple:
+    sc = spark.sparkContext
+    return (sc.applicationId, sc.startTime)
+
+
+def _rank_exprs_cached(spark, sidecar_key: tuple, coarse: list,
+                       books: list) -> tuple[Column, Column]:
+    key = (_session_key(spark), sidecar_key)
+    hit = _RANK_EXPR_CACHE.get(key)
+    if hit is None:
+        hit = _ivfpq_rank_exprs(coarse, books)
+        _RANK_EXPR_CACHE[key] = hit
+        while len(_RANK_EXPR_CACHE) > _RANK_EXPR_CACHE_MAX:
+            _RANK_EXPR_CACHE.pop(next(iter(_RANK_EXPR_CACHE)))
+    return hit
+
+
+def _ivfpq_rank(codes: DataFrame, probes: DataFrame, coarse: list,
+                books: list, k: int,
+                exprs: tuple[Column, Column] | None = None) -> DataFrame:
+    """The probed ADC tail shared by in-memory and landed-index
+    search: per-(query, probed cell) residual distance tables as
+    broadcast expressions, fixed-order lookup fold, window top-k.
+    ``exprs`` lets the landed-index searchers pass the memoized
+    query-independent Columns (``_rank_exprs_cached``)."""
+    m = len(books)
+    qres, tables = exprs if exprs is not None else _ivfpq_rank_exprs(
+        coarse, books)
+    probes = probes.withColumn("_qr", qres)
     qt = probes.select("query_id", "cell", tables.alias("_t"))
 
     adist = F.aggregate(
@@ -972,6 +1017,72 @@ def _require_local_index_path(path: str) -> None:
             "the codebooks in the table metadata/catalog instead.")
 
 
+# (sidecar path, mtime_ns, size) -> parsed JSON; FIFO-bounded. A
+# compaction / re-land rewrites the sidecar, so the mtime key
+# invalidates naturally; streaming code appends never touch the
+# sidecar (frozen-codebook contract), so serving the cached parse is
+# exactly the staleness contract the index already documents.
+_SIDECAR_CACHE: dict = {}
+_SIDECAR_CACHE_MAX = 64
+
+
+def _sidecar_cached(path: str, name: str) -> tuple[tuple, dict]:
+    """Parse a JSON index sidecar once per (file, mtime): returns the
+    (cache key, parsed dict). The key doubles as the identity token
+    for the downstream expression cache (``_rank_exprs_cached``)."""
+    import json
+    import os
+
+    full = os.path.join(path, name)
+    st = os.stat(full)
+    key = (full, st.st_mtime_ns, st.st_size)
+    hit = _SIDECAR_CACHE.get(key)
+    if hit is None:
+        with open(full) as fh:
+            hit = json.load(fh)
+        _SIDECAR_CACHE[key] = hit
+        while len(_SIDECAR_CACHE) > _SIDECAR_CACHE_MAX:
+            _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
+    return key, hit
+
+
+def _spark_round_py(x: float, scale: int = 6) -> float:
+    """Driver-side twin of Spark's ROUND on a double: Catalyst rounds
+    via BigDecimal.valueOf(x).setScale(scale, HALF_UP), and
+    BigDecimal.valueOf parses Double.toString's shortest-roundtrip
+    decimal — Python's repr() is the same shortest-roundtrip string,
+    so Decimal(repr(x)) + ROUND_HALF_UP reproduces it bit for bit
+    (property-tested against the expression engine over every fixture
+    vector in test_similarity_search)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(
+        Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP))
+
+
+def _probe_cells_py(qvecs: list, coarse: list, nprobe: int) -> list:
+    """Driver-side twin of ``_ivfpq_probes``' cell choice for LOCAL
+    query vectors: per query, 6dp-rounded L2 to each (rounded) coarse
+    centroid — the same left-fold order as the F.aggregate expression,
+    so the doubles are identical — then the top-``nprobe`` cells by
+    (distance, cell). One list of cell ids per query, probe-rank
+    order. Exists so the interactive single-query path
+    (``search_ivfpq_index_local``) never pays a Spark job for an
+    n_queries x n_cells decision that is driver-sized by contract."""
+    out = []
+    for vec in qvecs:
+        ds = []
+        for cell, cent in enumerate(coarse):
+            acc = 0.0
+            for a, b in zip(vec, cent):
+                d = a - b
+                acc = acc + d * d
+            ds.append((_spark_round_py(acc, 6), cell))
+        ds.sort()
+        out.append([cell for _, cell in ds[:nprobe]])
+    return out
+
+
 def search_ivfpq_index(spark, path: str, queries: DataFrame, k: int = 5,
                        nprobe: int = 2) -> DataFrame:
     """Search a landed IVFADC index with file pruning: probe selection
@@ -979,20 +1090,51 @@ def search_ivfpq_index(spark, path: str, queries: DataFrame, k: int = 5,
     (<= n_queries x nprobe ints, driver-bounded by the ANN query
     contract) becomes a PARTITION FILTER on the codes scan — the plan
     reads nprobe-cell directories, not the index. Identical results to
-    ``ann_ivfpq_topk`` under the same codebooks."""
-    import json
-    import os
-
+    ``ann_ivfpq_topk`` under the same codebooks. The codebook parse
+    and the query-independent ADC rank expressions are memoized per
+    (session, sidecar mtime), so repeat searches of a live index skip
+    the ~1.5 s expression build (SCALE.md warm-latency row)."""
     _require_local_index_path(path)
-    with open(os.path.join(path, "_codebooks.json")) as fh:
-        cb = json.load(fh)
+    ckey, cb = _sidecar_cached(path, "_codebooks.json")
     coarse, books = cb["coarse"], cb["books"]
     probes = _ivfpq_probes(queries, coarse, nprobe)
     probed_cells = sorted(
         r.cell for r in probes.select("cell").distinct().collect())
     codes = (spark.read.parquet(path)
              .filter(F.col("cell").isin(probed_cells)))
-    return _ivfpq_rank(codes, probes, coarse, books, k)
+    return _ivfpq_rank(codes, probes, coarse, books, k,
+                       exprs=_rank_exprs_cached(spark, ckey, coarse, books))
+
+
+def search_ivfpq_index_local(spark, path: str, queries: list,
+                             k: int = 5, nprobe: int = 2) -> DataFrame:
+    """The INTERACTIVE twin of ``search_ivfpq_index`` for
+    driver-resident query vectors (``queries`` = [(query_id, vector),
+    ...] — the hybrid endpoint's shape, where the query arrives as a
+    Python list, not a DataFrame): identical results (tested), but
+    probe selection runs driver-side (``_probe_cells_py``, the exact
+    twin of ``_ivfpq_probes``) so a warm query costs ONE Spark job —
+    the cell-pruned ADC scan — instead of three (createDataFrame +
+    crossJoin probe job, then the scan). With the codebook parse and
+    rank expressions memoized (``_sidecar_cached`` /
+    ``_rank_exprs_cached``), warm per-query latency drops ~2x
+    (SCALE.md). The 100 TB framing: probe choice is an
+    n_cells-sized decision per query — driver arithmetic, not a
+    cluster job; the cluster only ever sees the pruned codes scan."""
+    _require_local_index_path(path)
+    ckey, cb = _sidecar_cached(path, "_codebooks.json")
+    coarse, books = cb["coarse"], cb["books"]
+    qvecs = [[float(x) for x in vec] for _, vec in queries]
+    cells = _probe_cells_py(qvecs, coarse, nprobe)
+    probes = spark.createDataFrame(
+        [(int(qid), qv, int(c))
+         for (qid, _), qv, cs in zip(queries, qvecs, cells) for c in cs],
+        "query_id long, q_emb array<double>, cell int")
+    probed_cells = sorted({c for cs in cells for c in cs})
+    codes = (spark.read.parquet(path)
+             .filter(F.col("cell").isin(probed_cells)))
+    return _ivfpq_rank(codes, probes, coarse, books, k,
+                       exprs=_rank_exprs_cached(spark, ckey, coarse, books))
 
 
 def ann_pq_rerank(queries: DataFrame, corpus: DataFrame, k: int = 5,

@@ -600,3 +600,107 @@ def test_compact_ivfpq_index_collapses_reingested_codes(spark, tmp_path):
     want = [tuple(r) for r in
             search_ivfpq_index(spark, fresh, q, k=5, nprobe=2).collect()]
     assert got == want
+
+
+def test_probe_cells_py_twins_spark_probes_on_every_vector(spark, tmp_path):
+    """The driver-side probe twin (`_probe_cells_py`) must reproduce
+    `_ivfpq_probes`' cell choice for EVERY fixture vector as a query —
+    it is what lets the interactive searchers skip the probe job, and
+    any rounding divergence (Spark ROUND = BigDecimal HALF_UP over the
+    shortest-roundtrip decimal; the twin = Decimal(repr(x)) HALF_UP)
+    would silently change which cells are probed. Checked at the VALUE
+    level too: the 6dp-rounded L2 per (query, cell) must match the
+    expression engine's double bit for bit."""
+    from database_convertor_spark.operators.similarity_search import (
+        _ivfpq_probes,
+        _probe_cells_py,
+        _spark_round_py,
+        land_ivfpq_index,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    path = str(tmp_path / "probe_twin_idx")
+    coarse, _ = land_ivfpq_index(emb, path, n_cells=4, m=4, ks=8,
+                                 n_iter=2)
+
+    # value-level parity: Spark's rounded L2 vs the python twin for
+    # every (vector, cell) pair in the fixture
+    cells_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(coarse)],
+        "cell int, centroid array<double>")
+    d2 = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"),
+                   F.col("centroid"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    spark_vals = {(r.vec_id, r.cell): (r.raw, r.rounded)
+                  for r in emb.crossJoin(F.broadcast(cells_df))
+                  .select("vec_id", "cell", d2.alias("raw"),
+                          F.round(d2, 6).alias("rounded")).collect()}
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb.collect()}
+    for (vid, cell), (raw, rounded) in spark_vals.items():
+        acc = 0.0
+        for a, b in zip(vecs[vid], coarse[cell]):
+            d = a - b
+            acc = acc + d * d
+        assert acc == raw, (vid, cell)
+        assert _spark_round_py(acc, 6) == rounded, (vid, cell, raw)
+
+    # choice-level parity: per-query probed cell SET for every vector
+    ids = sorted(vecs)
+    got = _probe_cells_py([vecs[i] for i in ids], coarse, nprobe=2)
+    want: dict = {}
+    for r in _ivfpq_probes(emb, coarse, 2).select(
+            "query_id", "cell").collect():
+        want.setdefault(r.query_id, []).append(r.cell)
+    assert {i: sorted(c) for i, c in zip(ids, got)} == \
+        {q: sorted(c) for q, c in want.items()}
+
+
+def test_search_ivfpq_index_local_equals_dataframe_path(spark, tmp_path):
+    """`search_ivfpq_index_local` (driver-side probes + memoized rank
+    expressions — the warm interactive path) must return rows
+    IDENTICAL to `search_ivfpq_index` on a query frame, keep the
+    partition pruning, and stay correct across a cache-warm repeat AND
+    an index re-land (sidecar mtime invalidation)."""
+    from database_convertor_spark.operators.similarity_search import (
+        land_ivfpq_index,
+        search_ivfpq_index,
+        search_ivfpq_index_local,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") < 120)
+    path = str(tmp_path / "ivfpq_local_idx")
+    land_ivfpq_index(emb, path, n_cells=4, m=4, ks=8, n_iter=2)
+
+    qrows = [(int(r.vec_id) - 1000, [float(x) for x in r.embedding])
+             for r in emb.filter("vec_id < 4").collect()]
+    qdf = spark.createDataFrame(
+        qrows, "vec_id long, embedding array<double>")
+
+    local = search_ivfpq_index_local(spark, path, qrows, k=5, nprobe=2)
+    plan = local._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "cell" in plan
+    df_path = search_ivfpq_index(spark, path, qdf, k=5, nprobe=2)
+    want = sorted(map(tuple, df_path.collect()))
+    assert sorted(map(tuple, local.collect())) == want
+
+    # warm repeat: the memoized expressions serve the same rows
+    again = search_ivfpq_index_local(spark, path, qrows, k=5, nprobe=2)
+    assert sorted(map(tuple, again.collect())) == want
+
+    # re-land over a DIFFERENT corpus: the sidecar mtime changes, the
+    # caches must refresh — local results track the new index exactly
+    emb2 = read_table(spark, SF_SMALL, "embeddings").filter(
+        F.col("vec_id") >= 120)
+    import time
+
+    time.sleep(0.01)          # ensure a distinct mtime_ns
+    land_ivfpq_index(emb2, path, n_cells=4, m=4, ks=8, n_iter=2)
+    spark.catalog.refreshByPath(path)
+    fresh_local = sorted(map(tuple, search_ivfpq_index_local(
+        spark, path, qrows, k=5, nprobe=2).collect()))
+    fresh_df = sorted(map(tuple, search_ivfpq_index(
+        spark, path, qdf, k=5, nprobe=2).collect()))
+    assert fresh_local == fresh_df
+    assert fresh_local != want
