@@ -955,6 +955,11 @@ def land_ivfpq_index(corpus: DataFrame, path: str, n_cells: int = 8,
     coarse, books, codes = ivfpq_fit_encode(corpus, n_cells=n_cells,
                                             m=m, ks=ks, n_iter=n_iter)
     codes.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # vec-id manifest sidecar (underscore dir — invisible to the codes
+    # read): the streaming ingest guard's n_vecs-row anti-join target,
+    # the text index's discipline (see land_text_index)
+    (corpus.select("vec_id").distinct()
+     .write.mode("overwrite").parquet(os.path.join(path, "_manifest")))
     with open(os.path.join(path, "_codebooks.json"), "w") as fh:
         json.dump({"coarse": coarse, "books": books}, fh)
     return coarse, books
@@ -992,6 +997,10 @@ def compact_ivfpq_index(spark, path: str) -> int:
     parent = os.path.dirname(path) or "."
     staging = tempfile.mkdtemp(prefix="ivfpq_index_compact_", dir=parent)
     codes.write.mode("overwrite").partitionBy("cell").parquet(staging)
+    # rebuild the ingest-guard manifest from the compacted codes
+    # (every indexed vector has a code row — no token-less analog here)
+    (codes.select("vec_id").distinct()
+     .write.mode("overwrite").parquet(os.path.join(staging, "_manifest")))
     shutil.copyfile(os.path.join(path, "_codebooks.json"),
                     os.path.join(staging, "_codebooks.json"))
     aside = tempfile.mkdtemp(prefix="ivfpq_index_old_", dir=parent)

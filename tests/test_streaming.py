@@ -286,3 +286,111 @@ def test_ann_index_stream_skips_already_indexed_vecs(spark, tmp_path):
                   ivfpq_encode_under(emb.filter("vec_id < 350"),
                                      coarse, books).collect())
     assert got == want
+
+
+def test_text_index_manifest_self_heals_and_reconciles(spark, tmp_path):
+    """The doc-id manifest guard (round 9): (a) a pre-manifest index
+    self-heals — the stream derives the manifest from postings once
+    and the guard still skips already-indexed docs; (b) crash
+    reconcile — postings appended without their manifest rows (the
+    sink's crash window) are re-admitted to the manifest at the next
+    stream start, so the at-least-once replay cannot double them;
+    (c) compaction rebuilds the manifest, preserving token-less docs
+    only the old manifest remembers."""
+    import shutil
+
+    from database_convertor_spark.operators.search import (
+        _postings,
+        compact_text_index,
+        land_text_index,
+    )
+    from database_convertor_spark.streaming.pipeline import (
+        run_text_index_ingest_stream,
+    )
+
+    base = read_table(spark, SF_SMALL, "documents")
+    path = os.path.join(tmp_path, "tindex")
+    land_text_index(base.filter("doc_id < 300"), path, n_buckets=16)
+    manifest = os.path.join(path, "_manifest")
+    assert os.path.isdir(manifest)
+
+    # (a) self-heal: drop the manifest, stream an overlapping landing
+    shutil.rmtree(manifest)
+    landing = os.path.join(tmp_path, "landing")
+    base.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 330)) \
+        .write.parquet(landing)
+    after = run_text_index_ingest_stream(spark, landing, path,
+                                         os.path.join(tmp_path, "ckpt"))
+    got = sorted(tuple(r) for r in after
+                 .select("bucket", "term", "doc_id", "tf", "dl").collect())
+    want = sorted(tuple(r) for r in
+                  _postings(base.filter("doc_id < 330"), 16)
+                  .select("bucket", "term", "doc_id", "tf", "dl").collect())
+    assert got == want
+    assert os.path.isdir(manifest)           # healed back into place
+
+    # (b) crash window: append postings for 330-339 WITHOUT manifest
+    # rows (what a crash between the sink's two appends leaves), then
+    # re-land those same docs — the start-of-stream reconcile must
+    # stop the replay from double-appending
+    crashed = base.filter((F.col("doc_id") >= 330) & (F.col("doc_id") < 340))
+    _postings(crashed, 16).write.mode("append") \
+        .partitionBy("bucket").parquet(path)
+    landing2 = os.path.join(tmp_path, "landing2")
+    crashed.write.parquet(landing2)
+    after2 = run_text_index_ingest_stream(spark, landing2, path,
+                                          os.path.join(tmp_path, "ckpt2"))
+    got2 = sorted(tuple(r) for r in after2
+                  .select("bucket", "term", "doc_id", "tf", "dl").collect())
+    want2 = sorted(tuple(r) for r in
+                   _postings(base.filter("doc_id < 340"), 16)
+                   .select("bucket", "term", "doc_id", "tf", "dl").collect())
+    assert got2 == want2
+
+    # (c) compaction rebuilds the manifest from deduped postings union
+    # the old manifest
+    before_ids = {r.doc_id for r in spark.read.parquet(manifest).collect()}
+    compact_text_index(spark, path)
+    after_ids = {r.doc_id for r in spark.read.parquet(manifest).collect()}
+    assert after_ids == before_ids
+
+
+def test_ann_index_manifest_guard_and_compaction(spark, tmp_path):
+    """ANN twin: the vec-id manifest self-heals from the codes table,
+    the guard still makes re-landed vectors a no-op, and compaction
+    rebuilds the manifest to exactly the indexed vec_ids."""
+    import shutil
+
+    from database_convertor_spark.operators.similarity_search import (
+        compact_ivfpq_index,
+        ivfpq_encode_under,
+        land_ivfpq_index,
+    )
+    from database_convertor_spark.streaming.pipeline import (
+        run_index_ingest_stream,
+    )
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    path = os.path.join(tmp_path, "aindex")
+    coarse, books = land_ivfpq_index(emb.filter("vec_id < 300"), path,
+                                     n_cells=4, m=4, ks=8, n_iter=2)
+    manifest = os.path.join(path, "_manifest")
+    assert os.path.isdir(manifest)
+    shutil.rmtree(manifest)                   # pre-manifest index
+
+    landing = os.path.join(tmp_path, "landing")
+    emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 350)) \
+        .write.parquet(landing)
+    after = run_index_ingest_stream(spark, landing, path,
+                                    os.path.join(tmp_path, "ckpt"))
+    got = sorted((r.vec_id, r.cell, tuple(r.codes))
+                 for r in after.collect())
+    want = sorted((r.vec_id, r.cell, tuple(r.codes)) for r in
+                  ivfpq_encode_under(emb.filter("vec_id < 350"),
+                                     coarse, books).collect())
+    assert got == want
+
+    compact_ivfpq_index(spark, path)
+    ids = {r.vec_id for r in spark.read.parquet(manifest).collect()}
+    assert ids == {r.vec_id for r in
+                   emb.filter("vec_id < 350").select("vec_id").collect()}

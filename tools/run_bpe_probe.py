@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""BPE-at-realistic-vocabulary probe (round-9: records the r8 rework's
+claim in SCALE.md with measured rows). The r8 verdict's only 'weak'
+row was the BPE family's plan shape — one sequential Spark job per
+merge, chained-REPLACE apply literals. The rework (text_analysis.py:
+`bpe_merges` fast exact trainer + rank-order mapInPandas apply) must
+train a REAL vocabulary (1k / 32k merges) in bounded wall time and
+apply it in one corpus pass. This measures both on a scratch corpus.
+
+Usage: python tools/run_bpe_probe.py .scratch/sf1 [n_merges ...]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scratch/sf1"
+    merge_counts = [int(x) for x in sys.argv[2:]] or [1000, 32000]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .config("spark.sql.shuffle.partitions", cpus)
+             .config("spark.driver.memory", "96g")
+             .appName("bpe-probe").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from database_convertor_spark.operators.text_analysis import (
+        _bpe_word_counts, bpe_merges, bpe_token_counts)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n_docs = docs.count()
+    n_words = _bpe_word_counts(docs).count()
+    results = {"sf_dir": sf_dir, "n_docs": n_docs,
+               "n_distinct_words": n_words, "train": {}, "apply": {}}
+    for nm in merge_counts:
+        t0 = time.time()
+        merges = bpe_merges(docs, n_merges=nm)
+        got = merges.count()
+        results["train"][nm] = {"s": round(time.time() - t0, 1),
+                                "merges_emitted": got}
+        print(f"[train n_merges={nm}] {results['train'][nm]}", flush=True)
+    for nm in merge_counts:
+        t0 = time.time()
+        n = bpe_token_counts(docs, n_merges=nm).count()
+        results["apply"][nm] = {"s": round(time.time() - t0, 1), "rows": n}
+        print(f"[apply n_merges={nm}] {results['apply'][nm]}", flush=True)
+    print(json.dumps(results))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
