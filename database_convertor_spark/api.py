@@ -263,12 +263,18 @@ class Engine:
         return curation_stats(documents, threshold)
 
     def ingest_documents(self, new_docs: DataFrame, corpus_docs: DataFrame,
-                         threshold: float = 0.5) -> DataFrame:
+                         threshold: float = 0.5,
+                         max_block_pairs: float | None = 5_000_000,
+                         on_budget_exceeded: str = "raise") -> DataFrame:
         """Incremental ingest dedup against an immutable corpus: the
         new-batch rows worth admitting (near-dups of the corpus, or of
-        admitted batch-mates, dropped)."""
+        admitted batch-mates, dropped). Past ``max_block_pairs``
+        estimated exact-path candidates, 'raise' names remedies and
+        'route' switches to the MinHash-LSH incremental pair stage."""
         from .pipelines.corpus import ingest_documents
-        return ingest_documents(new_docs, corpus_docs, threshold)
+        return ingest_documents(new_docs, corpus_docs, threshold,
+                                max_block_pairs=max_block_pairs,
+                                on_budget_exceeded=on_budget_exceeded)
 
     def diff_corpus(self, old: DataFrame, new: DataFrame) -> DataFrame:
         """Snapshot diff by content fingerprint: added / removed /

@@ -44,7 +44,10 @@ def curate_corpus(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
 
 
 def ingest_documents(new_docs: DataFrame, corpus_docs: DataFrame,
-                     threshold: float = 0.5) -> DataFrame:
+                     threshold: float = 0.5,
+                     max_block_pairs: float | None = 5_000_000,
+                     on_budget_exceeded: str = "raise",
+                     pair_path: str = "auto") -> DataFrame:
     """Incremental ingest dedup: return the subset of ``new_docs`` that
     belongs in the corpus, treating the existing corpus as IMMUTABLE
     (the reference's weekly ingest discipline — existing rows are never
@@ -60,12 +63,83 @@ def ingest_documents(new_docs: DataFrame, corpus_docs: DataFrame,
     touched neighborhood only (nodes appearing in some incremental
     pair), not the whole corpus.
 
+    Regime gate (round 9 — the sf10 streaming probe measured the
+    exact incremental path at 84x on 10x data on the scratch fixture's
+    dense (lang, band) blocks): before the pair join, two cheap
+    histograms estimate the incremental candidate mass
+    (``dedup.incremental_block_pair_mass``). Past ``max_block_pairs``:
+    ``'raise'`` (default) names the remedies; ``'route'`` runs
+    ``minhash_lsh_pairs_incremental`` instead — candidates bounded by
+    signature agreement, not block population (similarity becomes
+    LSH-verified SHINGLE Jaccard: which near-dup pairs are found
+    changes, so routing is opt-in, the same language as
+    ``ngram_jaccard_pairs``); ``'ignore'``/``None`` runs the exact
+    plan regardless.
+
+    ``pair_path`` pins the semantics explicitly: ``'exact'`` /
+    ``'lsh'`` bypass the gate entirely — what a REPEATED caller (the
+    streaming ingest) must use, because a per-call gate can flip
+    semantics between batches of one logical ingest, and a corpus
+    admitted under MIXED semantics satisfies NEITHER family's
+    no-residual-pair invariant (found by the sf1 routed probe:
+    early under-budget batches ran word-set-exact admissions that the
+    later LSH batches' shingle semantics would have rejected).
+    ``'auto'`` (default) keeps the per-call gate for one-shot use.
+
     Contract (tested): incremental pairs between the survivors and the
     (deduped) corpus are EMPTY — nothing the ingest admits duplicates
-    anything already admitted.
+    anything already admitted (under the pair semantics that ran).
     """
-    pairs = dedup.ngram_jaccard_pairs_incremental(
-        new_docs, corpus_docs, threshold=threshold)
+    import warnings
+
+    if on_budget_exceeded not in ("raise", "route", "ignore"):
+        raise ValueError(
+            f"on_budget_exceeded must be 'raise', 'route' or 'ignore', "
+            f"got {on_budget_exceeded!r}")
+    if pair_path not in ("auto", "exact", "lsh"):
+        raise ValueError(
+            f"pair_path must be 'auto', 'exact' or 'lsh', "
+            f"got {pair_path!r}")
+    if pair_path != "auto":
+        pairs = (dedup.minhash_lsh_pairs_incremental(
+            new_docs, corpus_docs, threshold=threshold)
+            if pair_path == "lsh"
+            else dedup.ngram_jaccard_pairs_incremental(
+                new_docs, corpus_docs, threshold=threshold))
+        return _ingest_admit(new_docs, corpus_docs, pairs)
+    route = False
+    if max_block_pairs is not None and on_budget_exceeded != "ignore":
+        mass = dedup.incremental_block_pair_mass(new_docs, corpus_docs)
+        if mass > max_block_pairs:
+            if on_budget_exceeded == "raise":
+                raise RuntimeError(
+                    f"ingest_documents: estimated incremental candidate "
+                    f"mass {mass:,.0f} exceeds max_block_pairs="
+                    f"{max_block_pairs:,.0f}. Remedies: "
+                    f"on_budget_exceeded='route' (MinHash-LSH incremental "
+                    f"— candidates bounded by similarity structure; "
+                    f"shingle-Jaccard semantics), smaller ingest batches, "
+                    f"or 'ignore' to run the exact quadratic plan.")
+            warnings.warn(
+                f"ingest_documents: routing pair stage to MinHash-LSH "
+                f"incremental (estimated exact-path mass {mass:,.0f} > "
+                f"budget {max_block_pairs:,.0f}); similarity is now "
+                f"LSH-verified shingle Jaccard.")
+            route = True
+    if route:
+        pairs = dedup.minhash_lsh_pairs_incremental(
+            new_docs, corpus_docs, threshold=threshold)
+    else:
+        pairs = dedup.ngram_jaccard_pairs_incremental(
+            new_docs, corpus_docs, threshold=threshold)
+    return _ingest_admit(new_docs, corpus_docs, pairs)
+
+
+def _ingest_admit(new_docs: DataFrame, corpus_docs: DataFrame,
+                  pairs: DataFrame) -> DataFrame:
+    """The admission tail shared by every pair semantics: incremental
+    pairs -> touched-neighborhood components -> drop tainted clusters'
+    new members and non-canonical pure-new members."""
     comps = components.dedup_clusters(pairs, "doc_a", "doc_b")
     tainted = (comps.join(corpus_docs.select("doc_id"), "doc_id", "left_semi")
                .select("cluster_id").distinct())

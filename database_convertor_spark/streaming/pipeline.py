@@ -187,7 +187,9 @@ def run_corpus_dedup_stream(spark: SparkSession, sf_dir: str,
 
 def run_ingest_stream(spark: SparkSession, sf_dir: str,
                       checkpoint: str, corpus_path: str,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      max_block_pairs: float | None = 5_000_000,
+                      on_budget_exceeded: str = "raise") -> DataFrame:
     """Streaming twin of ``pipelines.corpus.ingest_documents`` — the
     production shape of a continuous training-data feed: documents
     arrive in micro-batches through a landing directory; foreachBatch
@@ -203,9 +205,23 @@ def run_ingest_stream(spark: SparkSession, sf_dir: str,
     Contract (tested): the final corpus contains NO near-dup pair at
     all — per-batch survivors are pairwise clean, and every later
     batch deduped against all earlier admissions.
+
+    Regime gate (round 9 — the sf10 probe measured the exact
+    incremental path at 84x on 10x data): decided ONCE, up front, from
+    the whole input's block-pair mass (an upper bound for any batch
+    split of it, since blocks only ever see subsets), then PINNED for
+    every batch — a per-batch gate could flip semantics mid-stream,
+    and a corpus admitted under mixed word-set/shingle semantics
+    satisfies neither family's no-residual invariant (the sf1 routed
+    probe caught exactly that). Past ``max_block_pairs``: 'raise'
+    (default) refuses at submit time naming remedies; 'route' pins the
+    MinHash-LSH incremental pair stage (shingle-Jaccard semantics)
+    with one warning; 'ignore' pins the exact path.
     """
     import os
+    import warnings
 
+    from ..operators.dedup import _block_pair_mass, _ngram_docs
     from ..pipelines.corpus import ingest_documents
     from ..sources.readers import read_table
 
@@ -239,12 +255,42 @@ def run_ingest_stream(spark: SparkSession, sf_dir: str,
         (spark.createDataFrame([], TESTDATA_SCHEMAS["documents"])
          .write.mode("overwrite").parquet(corpus_path))
 
+    # gate ONCE on the whole input (upper-bounds any batch-vs-corpus
+    # split of it), pin the semantics for every batch; deterministic
+    # across resume (same input -> same decision)
+    pair_path = "exact"
+    if max_block_pairs is not None and on_budget_exceeded != "ignore":
+        if on_budget_exceeded not in ("raise", "route"):
+            raise ValueError(
+                f"on_budget_exceeded must be 'raise', 'route' or "
+                f"'ignore', got {on_budget_exceeded!r}")
+        all_docs = read_table(spark, sf_dir, "documents")
+        mass = _block_pair_mass(_ngram_docs(all_docs, 100),
+                                adjacent_bands=False)
+        if mass > max_block_pairs:
+            if on_budget_exceeded == "raise":
+                raise RuntimeError(
+                    f"run_ingest_stream: whole-input block-pair mass "
+                    f"{mass:,.0f} exceeds max_block_pairs="
+                    f"{max_block_pairs:,.0f}; the exact incremental "
+                    f"pair stage would go quadratic across the drain "
+                    f"(measured 84x on 10x data, SCALE.md). Remedies: "
+                    f"on_budget_exceeded='route' (pin MinHash-LSH "
+                    f"incremental semantics for the whole stream) or "
+                    f"'ignore' to pin the exact plan regardless.")
+            warnings.warn(
+                f"run_ingest_stream: pinning MinHash-LSH incremental "
+                f"pair semantics for every batch (whole-input mass "
+                f"{mass:,.0f} > budget {max_block_pairs:,.0f}).")
+            pair_path = "lsh"
+
     def ingest_batch(batch: DataFrame, epoch_id: int) -> None:
         sp = batch.sparkSession
         sp.catalog.refreshByPath(corpus_path)
         corpus = sp.read.schema(TESTDATA_SCHEMAS["documents"]).parquet(
             corpus_path)
-        admitted = ingest_documents(batch, corpus, threshold=threshold)
+        admitted = ingest_documents(batch, corpus, threshold=threshold,
+                                    pair_path=pair_path)
         admitted.write.mode("append").parquet(corpus_path)
 
     q = (spark.readStream

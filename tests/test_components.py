@@ -392,3 +392,66 @@ def test_ngram_budget_trips_at_sf1_shape(spark):
     mass = dedup._block_pair_mass(dedup._ngram_docs(docs, 100),
                                   adjacent_bands=False)
     assert mass < 5_000_000, "driver-scale corpora must stay ungated"
+
+
+def test_minhash_incremental_pairs_union_invariant(spark):
+    """The LSH route's decomposition identity: under the same banding,
+    lsh_pairs(new ∪ corpus) == lsh_incremental(new, corpus) ∪
+    lsh_pairs(corpus) — candidates decide on band-key equality on both
+    paths, so the incremental candidates are exactly the full
+    candidates with >= 1 new endpoint."""
+    from pyspark.sql import functions as F
+
+    from database_convertor_spark.operators import dedup
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    full = {tuple(r) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    inc = {tuple(r) for r in
+           dedup.minhash_lsh_pairs_incremental(new, corpus).collect()}
+    old = {tuple(r) for r in dedup.minhash_lsh_pairs(corpus).collect()}
+    assert inc | old == full
+    assert inc & old == set()
+
+
+def test_ingest_documents_gate_raises_and_routes(spark):
+    """The ingest regime gate (round 9 — the sf10 probe's 84x): a tiny
+    budget must (a) raise naming the route, (b) under 'route' switch
+    the pair stage to MinHash-LSH incremental with a warning and still
+    admit a corpus whose LSH-incremental residual vs the corpus is
+    empty, and (c) reject invalid on_budget_exceeded values."""
+    import warnings
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from database_convertor_spark.operators import dedup
+    from database_convertor_spark.pipelines.corpus import ingest_documents
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = drop_near_duplicates(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        dedup.ngram_jaccard_pairs(docs.filter(F.col("doc_id") % 5 != 0)))
+
+    with pytest.raises(ValueError, match="on_budget_exceeded"):
+        ingest_documents(new, corpus, on_budget_exceeded="reroute")
+    with pytest.raises(RuntimeError, match="route"):
+        ingest_documents(new, corpus, max_block_pairs=1.0)
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        surv = ingest_documents(new, corpus, max_block_pairs=1.0,
+                                on_budget_exceeded="route")
+        n = surv.count()
+    assert any("MinHash-LSH" in str(w.message) for w in caught)
+    assert 0 < n <= new.count()
+    leftover = dedup.minhash_lsh_pairs_incremental(surv, corpus)
+    assert leftover.count() == 0

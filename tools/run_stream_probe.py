@@ -130,8 +130,32 @@ def probe_sessions(spark, sf_dir: str, work: str) -> dict:
             "identity_vs_batch": frames_equal(streamed, batch)}
 
 
+def probe_sessions_stateful(spark, sf_dir: str, work: str) -> dict:
+    """The applyInPandasWithState sessionizer — the SCALE path whose
+    per-batch work is (batch events + open state), vs the complete-
+    mode session_window twin that re-aggregates everything per batch
+    (measured 52x on 10x data at sf10)."""
+    from database_convertor_spark.operators.relational import user_sessions
+    from database_convertor_spark.streaming.stateful import (
+        run_sessionization_stream)
+
+    t0 = time.time()
+    streamed = run_sessionization_stream(
+        spark, sf_dir, os.path.join(work, "sess_state_ckpt"))
+    streamed = streamed.select("user_id", "n_sessions", "n_events")
+    n = streamed.count()
+    drain_s = time.time() - t0
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    batch = user_sessions(events).select(
+        "user_id", "n_sessions", "n_events")
+    return {"drain_s": round(drain_s, 1), "n_users": n,
+            "identity_vs_batch": frames_equal(streamed, batch)}
+
+
 def probe_corpus_ingest(spark, sf_dir: str, work: str,
-                        threshold: float = 0.5) -> dict:
+                        threshold: float = 0.5,
+                        on_budget_exceeded: str = "ignore") -> dict:
     from database_convertor_spark.operators import dedup
     from database_convertor_spark.streaming.pipeline import run_ingest_stream
 
@@ -139,7 +163,8 @@ def probe_corpus_ingest(spark, sf_dir: str, work: str,
     t0 = time.time()
     admitted = run_ingest_stream(spark, sf_dir,
                                  os.path.join(work, "ingest_ckpt"),
-                                 corpus_path, threshold=threshold)
+                                 corpus_path, threshold=threshold,
+                                 on_budget_exceeded=on_budget_exceeded)
     n_admitted = admitted.count()
     drain_s = time.time() - t0
 
@@ -187,8 +212,41 @@ def probe_corpus_ingest(spark, sf_dir: str, work: str,
             "invariant_check_s": round(time.time() - t1, 1)}
 
 
+def probe_corpus_ingest_routed(spark, sf_dir: str, work: str,
+                               threshold: float = 0.5) -> dict:
+    """The ingest under on_budget_exceeded='route' (round 9): past the
+    gate, the pair stage runs MinHash-LSH incremental — the invariant
+    check then uses the SAME semantics (full LSH pairs over the
+    admitted corpus must be empty; candidates are similarity-bounded,
+    so the check is feasible at any admitted size)."""
+    from database_convertor_spark.operators import dedup
+    from database_convertor_spark.streaming.pipeline import run_ingest_stream
+
+    corpus_path = os.path.join(work, "ingest_corpus")
+    t0 = time.time()
+    admitted = run_ingest_stream(spark, sf_dir,
+                                 os.path.join(work, "ingest_ckpt"),
+                                 corpus_path, threshold=threshold,
+                                 on_budget_exceeded="route")
+    n_admitted = admitted.count()
+    drain_s = time.time() - t0
+    n_in = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).count()
+    t1 = time.time()
+    n_residual = dedup.minhash_lsh_pairs(
+        admitted, threshold=threshold).limit(1).count()
+    return {"drain_s": round(drain_s, 1), "n_input_docs": n_in,
+            "n_admitted": n_admitted,
+            "docs_per_s": round(n_in / drain_s, 1),
+            "no_residual_lsh_pairs": n_residual == 0,
+            "invariant_check_s": round(time.time() - t1, 1)}
+
+
 PROBES = {"text_index": probe_text_index, "ann_index": probe_ann_index,
-          "sessions": probe_sessions, "corpus_ingest": probe_corpus_ingest}
+          "sessions": probe_sessions,
+          "sessions_stateful": probe_sessions_stateful,
+          "corpus_ingest": probe_corpus_ingest,
+          "corpus_ingest_routed": probe_corpus_ingest_routed}
 
 
 def main() -> None:
