@@ -21,9 +21,47 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession  # noqa: E402
 
 
+def synth_corpus(path: str, n_docs: int = 500_000,
+                 words_per_doc: int = 90,
+                 vocab_size: int = 212_000) -> None:
+    """Deterministic Zipf corpus for the BPE probe (the scratch
+    corpora suffix their tokens out of ^[a-z]+$, collapsing the
+    trainable vocabulary to ~31 words — useless for a tokenizer
+    probe). Seeded numpy: ``vocab_size`` random 3-12-char [a-z] words,
+    Zipf(1.1)-ranked sampling, ``n_docs`` documents of
+    ``words_per_doc`` words."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(20260816)
+    lens = rng.integers(3, 13, size=vocab_size)
+    letters = rng.integers(0, 26, size=int(lens.sum()))
+    vocab, off = [], 0
+    for ln in lens:
+        vocab.append("".join(chr(97 + c) for c in letters[off:off + ln]))
+        off += ln
+    vocab = np.array(vocab)
+    ranks = rng.zipf(1.1, size=n_docs * words_per_doc) % vocab_size
+    texts = [" ".join(vocab[ranks[i * words_per_doc:(i + 1) * words_per_doc]])
+             for i in range(n_docs)]
+    tbl = pa.table({"doc_id": pa.array(range(n_docs), pa.int64()),
+                    "lang": pa.array(["en"] * n_docs),
+                    "text": pa.array(texts),
+                    "n_chars": pa.array([len(t) for t in texts],
+                                        pa.int32())})
+    pq.write_table(tbl, path, row_group_size=16384)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scratch/sf1"
     merge_counts = [int(x) for x in sys.argv[2:]] or [1000, 32000]
+    if sf_dir == "--synth":
+        sf_dir = ".scratch/bpe_synth"
+        os.makedirs(sf_dir, exist_ok=True)
+        dest = os.path.join(sf_dir, "documents.parquet")
+        if not os.path.exists(dest):
+            synth_corpus(dest)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = (SparkSession.builder.master(f"local[{cpus}]")
              .config("spark.sql.shuffle.partitions", cpus)
