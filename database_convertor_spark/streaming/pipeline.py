@@ -96,7 +96,15 @@ def run_session_window_stream(spark: SparkSession, sf_dir: str,
     gap-merging windows). The batch twin is relational.user_sessions
     (lag + conditional sum) — identical session definition: events
     within ``gap`` of each other merge. Watermark chosen past the
-    data's full span so the complete replay emits every session."""
+    data's full span so the complete replay emits every session.
+
+    SCALE contract: this is the ORACLE-COMPARABLE HARNESS shape —
+    complete output mode re-aggregates all accumulated state every
+    micro-batch, measured 52x on 10x data at the sf10 probe (SCALE.md
+    r9). The production path is ``stateful.run_sessionization_stream``
+    (applyInPandasWithState interval merge, update-mode state bounded
+    by users + open sessions): 4.6x on the same decade, identical
+    final counts (probe-checked at both scales)."""
     landing = stage_event_landing(spark, sf_dir, checkpoint + "_landing")
     stream = (read_event_stream(spark, landing)
               .withWatermark("ts", watermark)

@@ -28,9 +28,10 @@ def test_oracle_parity(spark, duck, spec):
     assert ok, f"{spec.name}: {diag}"
 
 
-@pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=lambda s: s.name)
-def test_rows_only_queries_run(spark, spec):
-    df = spec.builder(spark, SF_SMALL)
-    # stable schema + runs to completion; row count is data-dependent
-    assert df.columns
-    assert df.count() >= 0
+def test_every_catalog_query_is_value_oracled():
+    """Round 9: the four historical rows-only entries (rest source,
+    mock enrichment, the multimodal pair) earned value oracles, so the
+    rows-only set must STAY empty — a new catalog entry without an
+    oracle regresses the 126/126 hash-verified surface and fails here
+    instead of silently shrinking the driver's check."""
+    assert ROWS_ONLY_SPECS == [], [s.name for s in ROWS_ONLY_SPECS]
