@@ -30,6 +30,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_incremental_pairs_lsh",
     "dedup_simhash",
     "dedup_winnowing",
     "dedup_embedding_srp",
