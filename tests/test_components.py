@@ -455,3 +455,33 @@ def test_ingest_documents_gate_raises_and_routes(spark):
     assert 0 < n <= new.count()
     leftover = dedup.minhash_lsh_pairs_incremental(surv, corpus)
     assert leftover.count() == 0
+
+
+def test_incremental_block_pair_mass_is_exact_candidate_count(spark):
+    """The ingest gate's estimate is not a heuristic: per (lang, band)
+    block, c_new*(c_new-1)/2 + c_new*c_corpus IS the exact candidate
+    count of the incremental join (before the Jaccard filter) — pin
+    them equal so the gate's budget means what it says."""
+    from pyspark.sql import functions as F
+
+    from database_convertor_spark.operators import dedup
+    from database_convertor_spark.operators.dedup import _ngram_docs
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    est = dedup.incremental_block_pair_mass(new, corpus)
+
+    nd, cd = _ngram_docs(new, 100), _ngram_docs(corpus, 100)
+    a = nd.alias("a")
+    b = (nd.withColumn("_new", F.lit(True))
+         .unionByName(cd.withColumn("_new", F.lit(False))).alias("b"))
+    n_cands = a.join(
+        b, (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.band") == F.col("b.band"))
+        & (~F.col("b._new") | (F.col("a.doc_id") < F.col("b.doc_id")))
+    ).count()
+    assert est == float(n_cands)
