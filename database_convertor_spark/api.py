@@ -16,8 +16,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .schemas import MERGE_KEYS, WAREHOUSE_SCHEMAS
-from .sources.writers import merge_upsert, write_csv, write_excel
+from .schemas import MERGE_KEYS, MERGE_PARTITION_SPECS, WAREHOUSE_SCHEMAS
+from .sources.writers import BUCKET_COL, merge_upsert, write_csv, write_excel
 
 
 class Engine:
@@ -42,6 +42,8 @@ class Engine:
         if not os.path.exists(path):
             return self.spark.createDataFrame([], schema)
         df = self.spark.read.parquet(path)
+        if BUCKET_COL in df.columns:  # internal merge-routing column
+            df = df.drop(BUCKET_COL)
         missing = {f.name: F.lit(None).cast(f.dataType)
                    for f in schema.fields if f.name not in df.columns}
         return df.withColumns(missing) if missing else df
@@ -54,11 +56,17 @@ class Engine:
         return self.spark.sql(query)
 
     def upsert(self, name: str, rows: DataFrame) -> DataFrame:
-        """Idempotent MERGE on the table's reference key contract (S19)."""
+        """Idempotent MERGE on the table's reference key contract (S19),
+        partition-scoped per ``schemas.MERGE_PARTITION_SPECS`` so an
+        incremental batch rewrites only the partitions it touches."""
         keys = MERGE_KEYS.get(name)
         if keys is None:
             raise KeyError(f"no merge-key contract for table: {name}")
-        return merge_upsert(self.spark, self._path(name), rows, keys)
+        spec = MERGE_PARTITION_SPECS.get(name, {})
+        out = merge_upsert(self.spark, self._path(name), rows, keys,
+                           partition_by=spec.get("partition_by"),
+                           hash_buckets=spec.get("hash_buckets"))
+        return out.drop(BUCKET_COL) if BUCKET_COL in out.columns else out
 
     # ---------------------------------------------------------- query paths
     def search_companies(self, query: str, status: str | None = None,

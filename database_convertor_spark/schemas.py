@@ -153,3 +153,30 @@ MERGE_KEYS: dict[str, list[str]] = {
     "automation_schedules": ["job_id"],
     "linkedhelper_connections": ["linkedin_url"],
 }
+
+# Partition contracts for partition-scoped MERGE (writers.merge_upsert):
+# each incremental batch rewrites ONLY the partitions it touches, so
+# merge I/O rides the batch, not the table. Two shapes:
+#   {"partition_by": col}   — a natural partition column; must be part
+#                             of the table's MERGE_KEYS (key identity
+#                             pins the partition a row lives in).
+#   {"hash_buckets": n}     — no natural clustering column: derive
+#                             pmod(xxhash64(keys), n) instead. Sizing:
+#                             n ≈ table_bytes / target_partition_bytes,
+#                             and a batch of K keys touches ≤ K buckets
+#                             — at warehouse scale raise n so routine
+#                             batches touch a small fraction (e.g. a
+#                             100 TB companies table at ~12 GB per
+#                             bucket → n = 8192; the values below fit
+#                             the reference's GB-scale warehouse).
+# Tables absent here (config/schedule singletons) are small enough that
+# a full staged rewrite IS the right plan.
+MERGE_PARTITION_SPECS: dict[str, dict] = {
+    "companies": {"hash_buckets": 256},
+    "officers": {"hash_buckets": 256},
+    "appointments": {"hash_buckets": 256},
+    "contacts": {"hash_buckets": 256},
+    "enrichment_data": {"partition_by": "provider"},
+    "planning_applications": {"partition_by": "borough"},
+    "linkedhelper_connections": {"hash_buckets": 64},
+}
