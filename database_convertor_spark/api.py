@@ -273,16 +273,24 @@ class Engine:
     def ingest_documents(self, new_docs: DataFrame, corpus_docs: DataFrame,
                          threshold: float = 0.5,
                          max_block_pairs: float | None = 5_000_000,
-                         on_budget_exceeded: str = "raise") -> DataFrame:
+                         on_budget_exceeded: str = "raise",
+                         pair_path: str = "auto") -> DataFrame:
         """Incremental ingest dedup against an immutable corpus: the
         new-batch rows worth admitting (near-dups of the corpus, or of
         admitted batch-mates, dropped). Past ``max_block_pairs``
         estimated exact-path candidates, 'raise' names remedies and
-        'route' switches to the MinHash-LSH incremental pair stage."""
+        'route' switches to the MinHash-LSH incremental pair stage.
+
+        A caller looping this method over batches of ONE logical ingest
+        must pin ``pair_path`` to ``'exact'`` or ``'lsh'``: the default
+        ``'auto'`` gate decides per call, and a corpus admitted under
+        MIXED pair semantics satisfies neither family's no-residual
+        invariant (see pipelines.corpus.ingest_documents)."""
         from .pipelines.corpus import ingest_documents
         return ingest_documents(new_docs, corpus_docs, threshold,
                                 max_block_pairs=max_block_pairs,
-                                on_budget_exceeded=on_budget_exceeded)
+                                on_budget_exceeded=on_budget_exceeded,
+                                pair_path=pair_path)
 
     def diff_corpus(self, old: DataFrame, new: DataFrame) -> DataFrame:
         """Snapshot diff by content fingerprint: added / removed /

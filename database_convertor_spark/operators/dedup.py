@@ -344,6 +344,25 @@ def incremental_block_pair_mass(new_docs: DataFrame,
     return float(mass or 0.0)
 
 
+def incremental_block_pair_mass_cached(new_docs: DataFrame,
+                                       corpus_docs: DataFrame,
+                                       band_chars: int = 100) -> float:
+    """``incremental_block_pair_mass`` through the session-plan-keyed
+    estimate cache (the same policy as ``_block_pair_mass_cached`` —
+    round-9 advice): a caller invoking the ingest gate repeatedly over
+    the same two frames pays the two histogram jobs once per session,
+    not per call. Keyed on BOTH inputs' analyzed-plan semantic hashes
+    (new_docs via the shared helper, corpus_docs folded into the tag)."""
+    try:
+        chash = corpus_docs._jdf.queryExecution().analyzed().semanticHash()
+    except Exception:                      # connect / API drift: no cache
+        return incremental_block_pair_mass(new_docs, corpus_docs, band_chars)
+    return _session_plan_cached(
+        new_docs, ("incr_block", band_chars, chash),
+        lambda: incremental_block_pair_mass(new_docs, corpus_docs,
+                                            band_chars))
+
+
 def ngram_jaccard_pairs_incremental(new_docs: DataFrame,
                                     corpus_docs: DataFrame,
                                     threshold: float = 0.5,

@@ -1026,33 +1026,37 @@ def _require_local_index_path(path: str) -> None:
             "the codebooks in the table metadata/catalog instead.")
 
 
-# (sidecar path, mtime_ns, size) -> parsed JSON; FIFO-bounded. A
-# compaction / re-land rewrites the sidecar, so the mtime key
-# invalidates naturally; streaming code appends never touch the
-# sidecar (frozen-codebook contract), so serving the cached parse is
-# exactly the staleness contract the index already documents.
+# (sidecar path, content digest) -> parsed JSON; FIFO-bounded. Keyed
+# on the BYTES, not mtime+size: a re-land/compaction producing a
+# same-size sidecar within one coarse-mtime tick must not serve stale
+# codebooks (round-9 advice). Sidecars are small JSON, so re-reading +
+# hashing per call is cheap; what the cache saves is the JSON parse
+# and — via the key doubling as the identity token for
+# ``_rank_exprs_cached`` — the ~1.5 s ADC expression rebuild.
 _SIDECAR_CACHE: dict = {}
 _SIDECAR_CACHE_MAX = 64
 
 
 def _sidecar_cached(path: str, name: str) -> tuple[tuple, dict]:
-    """Parse a JSON index sidecar once per (file, mtime): returns the
-    (cache key, parsed dict). The key doubles as the identity token
-    for the downstream expression cache (``_rank_exprs_cached``)."""
+    """Parse a JSON index sidecar once per (file, content digest):
+    returns the (cache key, parsed dict). The returned dict is a deep
+    copy — callers may mutate it without poisoning the cache."""
+    import copy
+    import hashlib
     import json
     import os
 
     full = os.path.join(path, name)
-    st = os.stat(full)
-    key = (full, st.st_mtime_ns, st.st_size)
+    with open(full, "rb") as fh:
+        raw = fh.read()
+    key = (full, hashlib.md5(raw).hexdigest())
     hit = _SIDECAR_CACHE.get(key)
     if hit is None:
-        with open(full) as fh:
-            hit = json.load(fh)
+        hit = json.loads(raw)
         _SIDECAR_CACHE[key] = hit
         while len(_SIDECAR_CACHE) > _SIDECAR_CACHE_MAX:
             _SIDECAR_CACHE.pop(next(iter(_SIDECAR_CACHE)))
-    return key, hit
+    return key, copy.deepcopy(hit)
 
 
 def _spark_round_py(x: float, scale: int = 6) -> float:

@@ -109,7 +109,9 @@ def ingest_documents(new_docs: DataFrame, corpus_docs: DataFrame,
         return _ingest_admit(new_docs, corpus_docs, pairs)
     route = False
     if max_block_pairs is not None and on_budget_exceeded != "ignore":
-        mass = dedup.incremental_block_pair_mass(new_docs, corpus_docs)
+        # session-plan-keyed cache: repeated gate calls over the same
+        # two frames pay the histogram jobs once (round-9 advice)
+        mass = dedup.incremental_block_pair_mass_cached(new_docs, corpus_docs)
         if mass > max_block_pairs:
             if on_budget_exceeded == "raise":
                 raise RuntimeError(

@@ -366,9 +366,12 @@ def run_index_ingest_stream(spark: SparkSession, landing_dir: str,
     coarse, books = cb["coarse"], cb["books"]
 
     # vec-id MANIFEST guard (the text twin's discipline, same
-    # crash-reconcile ordering — see run_text_index_ingest_stream):
-    # the per-batch anti-join reads the n_vecs-row manifest, not a
-    # codes-table distinct per batch
+    # append ordering — codes before manifest): the per-batch
+    # anti-join reads the n_vecs-row manifest, not a codes-table
+    # distinct per batch. Unlike the text index, the start-of-stream
+    # reconcile here ADOPTS codes-not-in-manifest vec_ids: one vec is
+    # exactly ONE code row, so any vec that landed is complete by
+    # construction — there is no partial-append state to quarantine.
     manifest_path = os.path.join(index_path, "_manifest")
     if not os.path.isdir(manifest_path):
         (spark.read.parquet(index_path).select("vec_id").distinct()
@@ -464,17 +467,56 @@ def run_text_index_ingest_stream(spark: SparkSession, landing_dir: str,
          .write.mode("overwrite").parquet(manifest_path))
     else:
         # crash reconcile, once per stream start: the sink appends
-        # postings BEFORE the manifest (so a crash between the two can
-        # never LOSE a document), which means a crashed batch can
-        # leave postings whose doc_ids the manifest lacks — and the
-        # at-least-once replay would re-append them. One postings
-        # distinct at start (the old guard's per-batch cost, paid
-        # once) closes the gap before any batch runs.
-        missing = (spark.read.parquet(index_path).select("doc_id")
-                   .distinct()
-                   .join(spark.read.parquet(manifest_path), "doc_id",
-                         "left_anti"))
-        missing.write.mode("append").parquet(manifest_path)
+        # postings BEFORE the manifest, so a doc in the postings but
+        # not the manifest belongs to an epoch whose sink died midway.
+        # One doc is MANY posting rows and a parquet append is not
+        # atomic, so those postings may be PARTIAL — adopting them
+        # into the manifest (the pre-r10 behavior) would freeze the
+        # damage forever (the replay's anti-join would skip the doc).
+        # Instead QUARANTINE: drop the suspect docs' postings from the
+        # touched buckets (aside-swapped rewrite, bounded by one
+        # micro-batch). A suspect's epoch is guaranteed uncommitted —
+        # foreachBatch commits the checkpoint only after the sink
+        # returns, and the manifest append is the sink's LAST step —
+        # so AvailableNow replays it and re-appends complete postings
+        # under the per-batch guard. Net: a crash costs one bounded
+        # bucket rewrite, never a lost or half-indexed document.
+        import shutil
+        import tempfile
+
+        from ..sources.writers import _swap_dir
+
+        manifest = spark.read.parquet(manifest_path)
+        suspects = (spark.read.parquet(index_path)
+                    .select("doc_id", "bucket")
+                    .join(manifest, "doc_id", "left_anti"))
+        touched = [r.bucket for r in
+                   suspects.select("bucket").distinct().collect()]
+        if touched:
+            scoped = (spark.read.parquet(index_path)
+                      .filter(F.col("bucket").isin(touched)))
+            cleaned = scoped.join(
+                suspects.select("doc_id").distinct(), "doc_id", "left_anti")
+            parent = os.path.dirname(index_path) or "."
+            staging = tempfile.mkdtemp(
+                prefix="text_index_reconcile_", dir=parent)
+            (cleaned.write.mode("overwrite").partitionBy("bucket")
+             .parquet(staging))
+            staged = {e for e in os.listdir(staging)
+                      if e.startswith("bucket=")}
+            for entry in staged:
+                _swap_dir(os.path.join(staging, entry),
+                          os.path.join(index_path, entry))
+            # a bucket whose every row was suspect stages nothing —
+            # its old dir must go entirely
+            for b in touched:
+                entry = f"bucket={b}"
+                if entry not in staged:
+                    leftover = os.path.join(index_path, entry)
+                    if os.path.isdir(leftover):
+                        shutil.rmtree(leftover)
+            shutil.rmtree(staging)
+            spark.catalog.refreshByPath(index_path)
 
     stream = (spark.readStream
               .schema(TESTDATA_SCHEMAS["documents"])

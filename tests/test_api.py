@@ -251,3 +251,26 @@ def test_engine_bpe_token_budget(engine, spark):
     got = {r.doc_id: (r.n_words, r.n_bpe_tokens)
            for r in engine.bpe_token_budget(docs).collect()}
     assert got == {1: (3, 3), 2: (2, 2)}
+
+
+def test_engine_ingest_documents_pins_pair_path(engine, spark):
+    """Round-9 ADVICE closure: the facade exposes pair_path so a
+    repeated caller can pin one pair semantics for a whole logical
+    ingest (the 'auto' gate can flip semantics between batches). A
+    pinned 'lsh' call must bypass the gate entirely — no budget raise
+    even with max_block_pairs=0 — and match the pipeline function."""
+    from database_convertor_spark.pipelines.corpus import ingest_documents
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "en", "s", 35),
+         (2, "one two three four five six seven", "en", "s", 33)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta", "en", "s", 35),
+         (11, "totally different text with fresh words", "en", "s", 40)],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    got = sorted(r.doc_id for r in engine.ingest_documents(
+        new, corpus, max_block_pairs=0, pair_path="lsh").collect())
+    want = sorted(r.doc_id for r in ingest_documents(
+        new, corpus, pair_path="lsh").collect())
+    assert got == want == [11]   # the corpus near-dup is dropped

@@ -355,6 +355,51 @@ def test_text_index_manifest_self_heals_and_reconciles(spark, tmp_path):
     assert after_ids == before_ids
 
 
+def test_text_index_reconcile_repairs_partial_postings(spark, tmp_path):
+    """Round-9 ADVICE closure: a crash MID-postings-append (parquet
+    append is not atomic) can leave a doc with PARTIAL postings and no
+    manifest row. The old reconcile adopted any doc with >=1 posting
+    row into the manifest, freezing the damage forever (the replay's
+    anti-join skipped the doc). The reconcile now QUARANTINES suspect
+    docs — drops their postings from the touched buckets — so the
+    uncommitted epoch's replay re-appends them COMPLETE."""
+    from database_convertor_spark.operators.search import (
+        _postings,
+        land_text_index,
+    )
+    from database_convertor_spark.streaming.pipeline import (
+        run_text_index_ingest_stream,
+    )
+
+    base = read_table(spark, SF_SMALL, "documents")
+    path = os.path.join(tmp_path, "tindex")
+    land_text_index(base.filter("doc_id < 300"), path, n_buckets=16)
+
+    # simulate the torn write: only HALF of doc 330-334's posting rows
+    # landed, and none of their manifest rows
+    crashed = base.filter(
+        (F.col("doc_id") >= 330) & (F.col("doc_id") < 335))
+    full = _postings(crashed, 16)
+    partial = full.filter(F.abs(F.hash("term")) % 2 == 0)
+    assert 0 < partial.count() < full.count()
+    partial.write.mode("append").partitionBy("bucket").parquet(path)
+
+    # the replay (same docs re-land, as AvailableNow would)
+    landing = os.path.join(tmp_path, "landing")
+    crashed.write.parquet(landing)
+    after = run_text_index_ingest_stream(spark, landing, path,
+                                         os.path.join(tmp_path, "ckpt"))
+
+    got = sorted(tuple(r) for r in after
+                 .select("bucket", "term", "doc_id", "tf", "dl").collect())
+    want = sorted(tuple(r) for r in
+                  _postings(base.filter(
+                      "doc_id < 300 OR (doc_id >= 330 AND doc_id < 335)"),
+                      16)
+                  .select("bucket", "term", "doc_id", "tf", "dl").collect())
+    assert got == want     # complete postings, no dup, nothing partial
+
+
 def test_ann_index_manifest_guard_and_compaction(spark, tmp_path):
     """ANN twin: the vec-id manifest self-heals from the codes table,
     the guard still makes re-landed vectors a no-op, and compaction
