@@ -91,7 +91,9 @@ def run_events_stream(spark: SparkSession, sf_dir: str, out_path: str,
 
 def run_session_window_stream(spark: SparkSession, sf_dir: str,
                               checkpoint: str, gap: str = "30 minutes",
-                              watermark: str = "30 days") -> DataFrame:
+                              watermark: str = "30 days",
+                              max_state_events: int | None = 5_000_000
+                              ) -> DataFrame:
     """Streaming sessionization via the native session_window (dynamic
     gap-merging windows). The batch twin is relational.user_sessions
     (lag + conditional sum) — identical session definition: events
@@ -104,7 +106,29 @@ def run_session_window_stream(spark: SparkSession, sf_dir: str,
     r9). The production path is ``stateful.run_sessionization_stream``
     (applyInPandasWithState interval merge, update-mode state bounded
     by users + open sessions): 4.6x on the same decade, identical
-    final counts (probe-checked at both scales)."""
+    final counts (probe-checked at both scales).
+
+    State-budget gate (the repo's standard discipline for hazardous
+    shapes, round-9 verdict #5): complete-mode state holds EVERY
+    session ever seen and re-emits it per micro-batch, so past
+    ``max_state_events`` input events this raises and names the
+    bounded-state operator instead of quietly going quadratic.
+    ``max_state_events=None`` runs it regardless (oracle harnesses at
+    known-small scale)."""
+    if max_state_events is not None:
+        from ..sources.readers import read_table
+        n_events = read_table(spark, sf_dir, "events").count()
+        if n_events > max_state_events:
+            raise RuntimeError(
+                f"run_session_window_stream accumulates complete-mode "
+                f"state over all {n_events:,} events (measured 52x "
+                f"per-decade at the sf10 probe — SCALE.md r9); budget "
+                f"max_state_events={max_state_events:,} exceeded. This "
+                f"shape exists as the oracle-comparable harness. Use "
+                f"stateful.run_sessionization_stream (update-mode, "
+                f"state bounded by open sessions, 4.6x/decade) for "
+                f"production, or pass max_state_events=None to run the "
+                f"harness anyway.")
     landing = stage_event_landing(spark, sf_dir, checkpoint + "_landing")
     stream = (read_event_stream(spark, landing)
               .withWatermark("ts", watermark)

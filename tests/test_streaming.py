@@ -56,6 +56,20 @@ def test_session_window_stream_matches_batch_sessionizer(spark, tmp_path):
     assert got == want
 
 
+def test_session_window_stream_state_budget_gate(spark, tmp_path):
+    """Round-9 verdict #5: the complete-mode sessionization harness is
+    public API that goes 52x per decade — past the state budget it
+    must refuse and name the bounded-state operator, like every other
+    hazardous shape in the repo."""
+    import pytest
+
+    with pytest.raises(RuntimeError,
+                       match="run_sessionization_stream"):
+        run_session_window_stream(
+            spark, SF_SMALL, os.path.join(tmp_path, "gate_ckpt"),
+            max_state_events=10)
+
+
 def test_stream_stream_join_matches_batch(spark, tmp_path):
     from database_convertor_spark.streaming.pipeline import (
         run_stream_stream_join,

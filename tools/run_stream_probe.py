@@ -118,7 +118,8 @@ def probe_sessions(spark, sf_dir: str, work: str) -> dict:
 
     t0 = time.time()
     streamed = run_session_window_stream(
-        spark, sf_dir, os.path.join(work, "sess_ckpt"))
+        spark, sf_dir, os.path.join(work, "sess_ckpt"),
+        max_state_events=None)  # the probe measures the harness shape
     streamed = streamed.select("user_id", "n_sessions", "n_events")
     n = streamed.count()
     drain_s = time.time() - t0
