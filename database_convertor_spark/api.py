@@ -420,20 +420,22 @@ class Engine:
         from .operators.text_analysis import doc_token_counts
         return doc_token_counts(documents)
 
-    def train_bpe(self, documents: DataFrame,
-                  n_merges: int = 8) -> DataFrame:
+    def train_bpe(self, documents: DataFrame, n_merges: int = 8,
+                  byte_level: bool = False) -> DataFrame:
         """Learn a BPE merge table (tokenizer training, Sennrich
         2016) from corpus word frequencies: one corpus scan, then
-        vocab-sized merge iterations."""
+        vocab-sized merge iterations. ``byte_level=True`` trains the
+        GPT-2-style byte-level variant (pre-tokenized, every character
+        covered) instead of the char-level ^[a-z]+$ mode."""
         from .operators.text_analysis import bpe_merges
-        return bpe_merges(documents, n_merges)
+        return bpe_merges(documents, n_merges, byte_level=byte_level)
 
-    def bpe_token_budget(self, documents: DataFrame,
-                         n_merges: int = 8) -> DataFrame:
+    def bpe_token_budget(self, documents: DataFrame, n_merges: int = 8,
+                         byte_level: bool = False) -> DataFrame:
         """Per-doc token counts under the vocabulary ``train_bpe``
         learns from this corpus (train + apply in one call)."""
         from .operators.text_analysis import bpe_token_counts
-        return bpe_token_counts(documents, n_merges)
+        return bpe_token_counts(documents, n_merges, byte_level=byte_level)
 
     def dsir_weights(self, documents: DataFrame, target,
                      num_buckets: int = 65536) -> DataFrame:

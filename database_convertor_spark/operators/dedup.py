@@ -518,14 +518,36 @@ def minhash_lsh_pairs_incremental(new_docs: DataFrame,
 
 def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5,
                       num_hashes: int = 32, bands: int = 8,
-                      shingle_n: int = 3) -> DataFrame:
+                      shingle_n: int = 3,
+                      max_candidate_pairs: float | None = 200_000_000,
+                      on_budget_exceeded: str = "raise") -> DataFrame:
     """MinHash-LSH near-dup pairs: shingle -> signature -> band buckets
     -> candidate pairs within a bucket -> verify true shingle Jaccard.
 
     bands=8 x rows=4 over 32 hashes targets ~0.5 Jaccard: P(candidate)
     = 1-(1-s^4)^8. The band join is an equi-join on (band_id, band
     hash) — no cross product at any scale. Verification recomputes
-    exact Jaccard on the candidate pairs only."""
+    exact Jaccard on the candidate pairs only.
+
+    Candidate-mass gate (round-10, closing the family's last ungated
+    member — ``ngram_jaccard_pairs`` and ``simhash_pairs`` already had
+    it, and the adversarial-skew probe showed a corpus with a hot
+    near-identical slice drives a band bucket quadratic silently):
+    before the self-join, one map-side-combining histogram over the
+    persisted band keys estimates the candidate-row mass (sum over
+    (band_id, band_hash) buckets of c*(c-1)/2 — the join's exact
+    pre-dedup intermediate). Past ``max_candidate_pairs`` the operator
+    raises naming the remedies — a hot bucket means dense TRUE
+    near-dup mass (collapse exact duplicates first: an exact-dup
+    cluster of k docs costs C(k,2) candidates in EVERY band) or
+    too-coarse banding (raise rows-per-band = num_hashes/bands for
+    stricter bucket agreement). ``'ignore'`` /
+    ``max_candidate_pairs=None`` runs regardless. The gate's histogram
+    and the join share the persisted signature work."""
+    if on_budget_exceeded not in ("raise", "ignore"):
+        raise ValueError(
+            f"on_budget_exceeded must be 'raise' or 'ignore', got "
+            f"{on_budget_exceeded!r}")
     rows_per_band = num_hashes // bands
     # materialize signatures once: the self-join below would otherwise
     # recompute the (expensive) signature projection on both sides.
@@ -552,6 +574,24 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5,
     # back with two joins against the persisted signatures is cheaper
     banded = sigs.select(
         "doc_id", F.posexplode(band_keys).alias("band_id", "band_hash"))
+    if max_candidate_pairs is not None and on_budget_exceeded != "ignore":
+        mass = _keyed_candidate_mass_cached(
+            banded, ["band_id", "band_hash"],
+            ("minhash", num_hashes, bands, shingle_n))
+        if mass > max_candidate_pairs:
+            raise ValueError(
+                f"minhash_lsh_pairs: estimated candidate-row mass "
+                f"{mass:,.0f} exceeds max_candidate_pairs="
+                f"{max_candidate_pairs:,.0f} — a band bucket is hot. "
+                f"Either the corpus has dense TRUE near-dup clusters "
+                f"(collapse exact duplicates first — "
+                f"drop_exact_duplicates; an exact-dup cluster of k "
+                f"docs costs C(k,2) candidates "
+                f"in every band) or the banding is too coarse for this "
+                f"corpus (raise rows-per-band = num_hashes/bands). "
+                f"Pass on_budget_exceeded='ignore' or raise "
+                f"max_candidate_pairs if the quadratic cost is "
+                f"intended")
     a, b = spread(banded).alias("a"), banded.alias("b")
     cands = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                     & (F.col("a.band_hash") == F.col("b.band_hash"))

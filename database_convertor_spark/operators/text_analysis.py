@@ -970,7 +970,71 @@ def _bpe_word_counts(documents: DataFrame) -> DataFrame:
         "bpe_word_counts", wc.persist(StorageLevel.MEMORY_AND_DISK))
 
 
-def _fast_bpe(word_counts, n_merges: int):
+def _gpt2_bytes_to_unicode() -> dict[int, str]:
+    """The standard byte<->printable-unicode table byte-level BPE
+    trains over (Radford et al. 2019, GPT-2 — public methodology, and
+    the identical table in every byte-level tokenizer since): the 188
+    visually-printable latin-1 bytes map to themselves; the other 68
+    (controls, space, DEL, .. ) map to U+0100.. so every byte has a
+    printable, non-whitespace symbol and merge tables stay readable
+    strings. Bijective — apply and train invert it identically."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(0xA1, 0xAC + 1)) + list(range(0xAE, 0xFF + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+_B2U_TABLE: dict[int, str] | None = None
+
+
+def _byte_syms(w: str) -> list[str]:
+    """A pre-token's training symbols under byte-level BPE: its UTF-8
+    bytes through the GPT-2 table. No end-of-word marker — byte-level
+    pre-tokens carry their leading space as a byte ('Ġ'), which plays
+    the boundary role the char-level mode's '_' plays."""
+    global _B2U_TABLE
+    if _B2U_TABLE is None:
+        _B2U_TABLE = _gpt2_bytes_to_unicode()
+    t = _B2U_TABLE
+    return [t[b] for b in w.encode("utf-8")]
+
+
+# GPT-2's pre-tokenization pattern (public), Java-regex compatible:
+# contractions, optionally-space-led letter runs / digit runs /
+# punctuation runs, then trailing/other whitespace. \p{L}/\p{N} are
+# unicode classes in the JVM, and the (?!\S) lookahead is supported.
+GPT2_PRETOKEN_RE = (
+    r"'s|'t|'re|'ve|'m|'ll|'d"
+    r"| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+")
+
+
+def _bpe_pretoken_counts(documents: DataFrame) -> DataFrame:
+    """The byte-level twin of ``_bpe_word_counts``: ONE corpus scan,
+    GPT-2 pre-tokenization (case preserved, punctuation and digits
+    kept, spaces riding as pre-token prefixes), grouped to
+    (pretoken, cnt) and persisted. Same Heaps'-law sub-linearity —
+    the pre-token vocabulary of a 100 TB web corpus is orders below
+    the corpus."""
+    from pyspark.storagelevel import StorageLevel
+
+    from ..plans.persist_slots import swap_persisted
+
+    wc = (spread(documents)
+          .select(F.explode(
+              F.regexp_extract_all(F.col("text"),
+                                   F.lit(GPT2_PRETOKEN_RE), 0)).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("cnt")))
+    return swap_persisted(
+        "bpe_pretoken_counts", wc.persist(StorageLevel.MEMORY_AND_DISK))
+
+
+def _fast_bpe(word_counts, n_merges: int, symbolizer=None):
     """The fast exact BPE trainer (Sennrich et al. 2016's released
     learn_bpe optimization, the formulation every production trainer
     uses): maintain the adjacent-pair count table INCREMENTALLY —
@@ -979,8 +1043,14 @@ def _fast_bpe(word_counts, n_merges: int):
     iterable of (word, count); output: list of (rank, left, right,
     merged, pair_count) identical to the one-aggregate-per-merge
     sequential formulation (``bpe_merges_sequential``), argmax
-    comparator (count desc, left asc, right asc) — ASCII symbols, so
-    Python/JVM/DuckDB orderings agree."""
+    comparator (count desc, left asc, right asc) — ASCII symbols in
+    char mode, so Python/JVM/DuckDB orderings agree.
+
+    ``symbolizer`` maps a word to its initial symbol sequence; the
+    default is the char-level convention (characters + '_' end
+    marker); byte-level training passes ``_byte_syms``. The merge
+    loop itself is symbol-agnostic — one trainer core serves both
+    modes."""
     import heapq
 
     words: list[list] = []          # [symbols, count]
@@ -988,8 +1058,13 @@ def _fast_bpe(word_counts, n_merges: int):
     pair_words: dict[tuple, set] = {}   # pair -> candidate word idxs
     for w, c in word_counts:
         idx = len(words)
-        syms = list(w)
-        syms.append("_")
+        if symbolizer is None:
+            syms = list(w)
+            syms.append("_")
+        else:
+            syms = symbolizer(w)
+        if len(syms) < 2:
+            continue
         words.append([syms, c])
         for i in range(len(syms) - 1):
             p = (syms[i], syms[i + 1])
@@ -1048,7 +1123,8 @@ def _fast_bpe(word_counts, n_merges: int):
 
 def bpe_merges(documents: DataFrame, n_merges: int = 8,
                min_count: int = 1, word_cap: int | None = None,
-               max_train_words: int | None = 10_000_000) -> DataFrame:
+               max_train_words: int | None = 10_000_000,
+               byte_level: bool = False) -> DataFrame:
     """Learn a byte-pair-encoding merge table from the corpus — the
     TRAINING step of the classic subword tokenizer (Sennrich et al.
     2016, ACL, arXiv:1508.07909 — public methodology; the reference
@@ -1084,8 +1160,22 @@ def bpe_merges(documents: DataFrame, n_merges: int = 8,
     truncation, NOT an approximation of the uncapped answer);
     defaults engage nothing and reproduce ``bpe_merges_sequential``
     exactly (golden-tested at 8 and 120 merges).
+
+    ``byte_level=True`` trains GPT-2-STYLE byte-level BPE instead
+    (Radford et al. 2019 — public methodology): the corpus scan
+    pre-tokenizes with the GPT-2 pattern (case preserved, digits and
+    punctuation covered, the leading space riding as a pre-token
+    byte), each pre-token becomes its UTF-8 bytes through the
+    standard byte->printable-unicode table ('Ġ' = space), and the
+    SAME fast trainer core runs over byte symbols — no end-of-word
+    marker (the space byte plays that role). Every character of any
+    input is covered (the char-level mode sees only ^[a-z]+$ words).
+    Char-level output is byte-for-byte unchanged by this flag's
+    existence (default False; the modes share only the symbol-
+    agnostic trainer core).
     """
-    wc = _bpe_word_counts(documents)
+    wc = (_bpe_pretoken_counts(documents) if byte_level
+          else _bpe_word_counts(documents))
     if min_count > 1:
         wc = wc.filter(F.col("cnt") >= min_count)
     if word_cap is not None:
@@ -1103,7 +1193,7 @@ def bpe_merges(documents: DataFrame, n_merges: int = 8,
                 f"or raise max_train_words on a bigger driver")
     rows = _fast_bpe(
         ((r["w"], int(r["cnt"])) for r in wc.select("w", "cnt").collect()),
-        n_merges)
+        n_merges, symbolizer=_byte_syms if byte_level else None)
     return documents.sparkSession.createDataFrame(
         rows, "rank int, left_sym string, right_sym string, "
               "merged string, pair_count bigint")
@@ -1163,7 +1253,8 @@ def bpe_merges_sequential(documents: DataFrame,
               "merged string, pair_count bigint")
 
 
-def _bpe_segment_len(word: str, ranks: dict, merge_of: dict) -> int:
+def _bpe_segment_len(word: str, ranks: dict, merge_of: dict,
+                     symbolizer=None) -> int:
     """Subword count of one word under a trained merge table, with
     EXACT rank-order semantics (the chained-REPLACE spec: for rank
     r = 1..n, merge every non-overlapping occurrence of pair r
@@ -1177,9 +1268,14 @@ def _bpe_segment_len(word: str, ranks: dict, merge_of: dict) -> int:
     create a textual occurrence of an earlier-rank pair, which
     REPLACE semantics must skip). O(len^2) dict probes per word —
     independent of n_merges, which is what makes a 32k-merge
-    vocabulary applicable at all."""
-    syms = list(word)
-    syms.append("_")
+    vocabulary applicable at all. ``symbolizer`` mirrors the trainer's
+    (None = char-level chars + '_'; byte level passes
+    ``_byte_syms``)."""
+    if symbolizer is None:
+        syms = list(word)
+        syms.append("_")
+    else:
+        syms = symbolizer(word)
     cursor = 0
     while len(syms) >= 2:
         best = None
@@ -1205,7 +1301,8 @@ def _bpe_segment_len(word: str, ranks: dict, merge_of: dict) -> int:
     return len(syms)
 
 
-def bpe_token_counts(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+def bpe_token_counts(documents: DataFrame, n_merges: int = 8,
+                     byte_level: bool = False) -> DataFrame:
     """Per-document token counts under the TRAINED BPE vocabulary —
     the apply step completing ``bpe_merges``'s train step, and the
     honest version of ``doc_token_counts``'s regex proxy: learn the
@@ -1233,29 +1330,46 @@ def bpe_token_counts(documents: DataFrame, n_merges: int = 8) -> DataFrame:
     the join's build side is the Heaps-bounded segmentation map, so
     AQE broadcasts it at any scale where it fits and shuffles on the
     word key past that; nothing pair-sized anywhere.
+
+    ``byte_level=True`` applies the GPT-2-style byte-level vocabulary
+    instead (see ``bpe_merges``): the word stream becomes the GPT-2
+    pre-token stream (every character covered, so n_words counts ALL
+    pre-tokens incl. punctuation/digit runs) and segmentation runs
+    over byte symbols. Identical distributed shape.
     """
     import pandas as pd
 
     from ..functions.text import tokens
 
-    merges = bpe_merges(documents, n_merges).collect()
+    merges = bpe_merges(documents, n_merges, byte_level=byte_level).collect()
     ranks = {(m["left_sym"], m["right_sym"]): m["rank"] for m in merges}
     merge_of = {m["rank"]: (m["left_sym"], m["right_sym"]) for m in merges}
     bc = documents.sparkSession.sparkContext.broadcast((ranks, merge_of))
+    symbolizer = _byte_syms if byte_level else None
 
     def seg(batches):
         rk, mo = bc.value
         for pdf in batches:
             yield pd.DataFrame({
                 "w": pdf["w"],
-                "_nt": [_bpe_segment_len(w, rk, mo) for w in pdf["w"]]})
+                "_nt": [_bpe_segment_len(w, rk, mo, symbolizer)
+                        for w in pdf["w"]]})
 
-    seg_map = _bpe_word_counts(documents).select("w").mapInPandas(
-        seg, "w string, _nt int")
-    words = (spread(documents)
-             .select("doc_id",
-                     F.explode(tokens(F.lower(F.col("text")))).alias("w"))
-             .filter(F.col("w").rlike("^[a-z]+$")))
+    vocab = (_bpe_pretoken_counts(documents) if byte_level
+             else _bpe_word_counts(documents))
+    seg_map = vocab.select("w").mapInPandas(seg, "w string, _nt int")
+    if byte_level:
+        words = (spread(documents)
+                 .select("doc_id", F.explode(
+                     F.regexp_extract_all(F.col("text"),
+                                          F.lit(GPT2_PRETOKEN_RE), 0))
+                     .alias("w")))
+    else:
+        words = (spread(documents)
+                 .select("doc_id",
+                         F.explode(tokens(F.lower(F.col("text"))))
+                         .alias("w"))
+                 .filter(F.col("w").rlike("^[a-z]+$")))
     agg = (words.join(seg_map, "w")
            .groupBy("doc_id")
            .agg(F.count(F.lit(1)).alias("n_words"),

@@ -739,3 +739,81 @@ def test_bpe_train_gate_and_caps(spark):
         docs, n_merges=1, min_count=2, max_train_words=3).collect()]
     # aaa(4) + bbb(3) survive: (a,a) 2 non-overlapping x4 =8, argmax
     assert mc[0][:4] == (1, "a", "a", "aa") and mc[0][4] == 8
+
+
+def test_bpe_byte_level_golden(spark):
+    """Hand-computed GPT-2-style byte-level chain on 'low/lower':
+    pre-tokens carry their leading space as the 'Ġ' byte symbol
+    (space=0x20 -> U+0120 under the standard byte table), there is no
+    end-of-word marker, and ties break (count desc, left asc, right
+    asc) with 'Ġ…' sorting after ASCII."""
+    from database_convertor_spark.operators.text_analysis import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower lower")], "doc_id int, text string")
+    got = [tuple(r) for r in
+           bpe_merges(docs, n_merges=8, byte_level=True).collect()]
+    G = "Ġ"   # the byte-level space symbol
+    assert got == [
+        (1, "l", "o", "lo", 5),
+        (2, "lo", "w", "low", 5),
+        (3, G, "low", G + "low", 3),
+        (4, "e", "r", "er", 2),
+        (5, "low", "er", "lower", 1),
+        (6, G + "low", "er", G + "lower", 1)]
+
+
+def test_bpe_byte_level_covers_all_bytes(spark):
+    """Byte-level mode covers EVERY character (digits, punctuation,
+    non-ASCII) — the gap the char-level ^[a-z]+$ mode documents. A
+    2-byte UTF-8 char ('é' -> 0xC3 0xA9 -> 'Ã' '©') trains and merges
+    across the mapped byte plane, and token counts see all pre-tokens."""
+    from database_convertor_spark.operators.text_analysis import (
+        bpe_merges,
+        bpe_token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "éé é")], "doc_id int, text string")
+    got = [tuple(r) for r in
+           bpe_merges(docs, n_merges=1, byte_level=True).collect()]
+    # pre-tokens: 'éé' (1), ' é' (1); pairs: (Ã,©)x3, (©,Ã)x1, (Ġ,Ã)x1
+    assert got == [(1, "Ã", "©", "Ã©", 3)]
+
+    # with no merges at all, the budget is raw byte counts over ALL
+    # pre-tokens: '123'(3 bytes) + ' !'(2) + 'é'(2) = 7 over 3 words
+    docs2 = spark.createDataFrame(
+        [(1, "123 !é")], "doc_id int, text string")
+    row = bpe_token_counts(docs2, n_merges=0, byte_level=True).collect()[0]
+    assert (row.n_words, row.n_bpe_tokens, row.bpe_fertility) == (
+        3, 7, 2.3333)
+
+
+def test_bpe_byte_level_apply_roundtrip(spark):
+    """Train-then-apply in byte mode: after the 6 learnable merges of
+    the low/lower fixture every pre-token collapses to ONE token."""
+    from database_convertor_spark.operators.text_analysis import (
+        bpe_token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low low low"), (2, "lower lower")], "doc_id int, text string")
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens, r.bpe_fertility)
+           for r in bpe_token_counts(docs, n_merges=6,
+                                     byte_level=True).collect()}
+    assert got == {1: (3, 3, 1.0), 2: (2, 2, 1.0)}
+
+
+def test_bpe_char_mode_untouched_by_byte_flag(spark):
+    """The char-level default's output is identical with the flag's
+    existence (the existing oracles must not move): same frame with
+    byte_level=False explicit and absent."""
+    from database_convertor_spark.operators.text_analysis import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "the the cat"), (2, "the hat")], "doc_id int, text string")
+    a = [tuple(r) for r in bpe_merges(docs, n_merges=8).collect()]
+    b = [tuple(r) for r in
+         bpe_merges(docs, n_merges=8, byte_level=False).collect()]
+    assert a == b
+    assert a[0] == (1, "e", "_", "e_", 3)

@@ -558,3 +558,47 @@ def test_simhash_candidate_mass_gate(spark):
     forced = {tuple(r) for r in simhash_pairs(
         docs, on_budget_exceeded="ignore").collect()}
     assert gated == forced and gated
+
+
+def test_minhash_candidate_mass_gate(spark):
+    """Round-10 gate (the family's last ungated member): a hot band
+    bucket — here an exact-dup cluster, which agrees in EVERY band —
+    must trip a tiny budget BEFORE the self-join, naming dedup_exact
+    as the first remedy; the named remedy (collapse exact duplicates
+    first) then completes under the same budget; 'ignore' and the
+    default budget produce the identical pair set."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from database_convertor_spark.operators.dedup import (
+        drop_exact_duplicates,
+        minhash_lsh_pairs,
+    )
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    base = read_table(spark, SF_SMALL, "documents").filter("doc_id < 60")
+    hot = spark.range(1000, 1040).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same hot document text repeated verbatim in every "
+              "copy of this pathological slice").alias("text"),
+        F.lit("en").alias("lang"), F.lit("skew").alias("source"),
+        F.lit(95).cast("long").alias("n_chars"))
+    docs = base.unionByName(hot)
+
+    # 40 identical docs: C(40,2)=780 candidates per band x 8 bands
+    with pytest.raises(ValueError, match="drop_exact_duplicates"):
+        minhash_lsh_pairs(docs, max_candidate_pairs=1000).collect()
+
+    # the named remedy completes under the SAME budget: exact dedup
+    # collapses the hot cluster to one representative
+    collapsed = drop_exact_duplicates(docs)
+    pairs = minhash_lsh_pairs(collapsed, max_candidate_pairs=1000)
+    assert pairs.count() >= 0   # completes, no raise
+
+    # gate vs ignore: identical results when under budget
+    gated = {tuple(r) for r in minhash_lsh_pairs(base).collect()}
+    forced = {tuple(r) for r in minhash_lsh_pairs(
+        base, on_budget_exceeded="ignore").collect()}
+    assert gated == forced

@@ -8,6 +8,13 @@ train a REAL vocabulary (1k / 32k merges) in bounded wall time and
 apply it in one corpus pass. This measures both on a scratch corpus.
 
 Usage: python tools/run_bpe_probe.py .scratch/sf1 [n_merges ...]
+       python tools/run_bpe_probe.py --synth --byte [n_merges ...]
+
+``--byte`` trains/applies the GPT-2-style byte-level mode (round-10:
+pre-tokenized byte symbols, every character covered) instead of the
+char-level ^[a-z]+$ mode — same trainer core, so the probe measures
+the byte mode's extra costs (pre-token vocabulary is larger and
+case/punct-bearing; symbols per word comparable).
 """
 from __future__ import annotations
 
@@ -54,8 +61,11 @@ def synth_corpus(path: str, n_docs: int = 500_000,
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scratch/sf1"
-    merge_counts = [int(x) for x in sys.argv[2:]] or [1000, 32000]
+    args = sys.argv[1:]
+    byte_level = "--byte" in args
+    args = [a for a in args if a != "--byte"]
+    sf_dir = args[0] if args else ".scratch/sf1"
+    merge_counts = [int(x) for x in args[1:]] or [1000, 32000]
     if sf_dir == "--synth":
         sf_dir = ".scratch/bpe_synth"
         os.makedirs(sf_dir, exist_ok=True)
@@ -70,23 +80,28 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from database_convertor_spark.operators.text_analysis import (
-        _bpe_word_counts, bpe_merges, bpe_token_counts)
+        _bpe_pretoken_counts, _bpe_word_counts, bpe_merges,
+        bpe_token_counts)
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     n_docs = docs.count()
-    n_words = _bpe_word_counts(docs).count()
+    vocab = (_bpe_pretoken_counts(docs) if byte_level
+             else _bpe_word_counts(docs))
+    n_words = vocab.count()
     results = {"sf_dir": sf_dir, "n_docs": n_docs,
+               "byte_level": byte_level,
                "n_distinct_words": n_words, "train": {}, "apply": {}}
     for nm in merge_counts:
         t0 = time.time()
-        merges = bpe_merges(docs, n_merges=nm)
+        merges = bpe_merges(docs, n_merges=nm, byte_level=byte_level)
         got = merges.count()
         results["train"][nm] = {"s": round(time.time() - t0, 1),
                                 "merges_emitted": got}
         print(f"[train n_merges={nm}] {results['train'][nm]}", flush=True)
     for nm in merge_counts:
         t0 = time.time()
-        n = bpe_token_counts(docs, n_merges=nm).count()
+        n = bpe_token_counts(docs, n_merges=nm,
+                             byte_level=byte_level).count()
         results["apply"][nm] = {"s": round(time.time() - t0, 1), "rows": n}
         print(f"[apply n_merges={nm}] {results['apply'][nm]}", flush=True)
     print(json.dumps(results))
