@@ -4918,12 +4918,51 @@ _WINDOW_R9 = [
 # doc_token_counts, doc_winnow_fingerprints, dedup_embedding_cosine,
 # dedup_winnowing, training_shard_packing.
 
+# Round 10:
+#   - CHANGED: minhash_lsh_pairs gained the family's candidate-mass
+#     gate (one session-cached histogram before the band self-join) ->
+#     dedup_minhash_lsh windows, plus every query whose auto-route can
+#     reach the now-gated call (corpus_deduped,
+#     training_corpus_pipeline, dedup_family_agreement,
+#     dedup_incremental_pairs_lsh — the ingest gate's estimate also
+#     moved into the session cache);
+#   - CHANGED: the BPE module gained the byte_level mode (char path
+#     untouched, goldens unchanged — windowed to prove it) ->
+#     doc_bpe_merges, doc_bpe_token_counts;
+#   - CHANGED: index sidecar cache rekeyed to content digest +
+#     deep-copy returns -> doc_hybrid_search_indexed(+_many),
+#     doc_text_index_search(+_many) (share the landed-index read path).
+_WINDOW_R10 = [
+    # changed in round 10 (head)
+    "dedup_minhash_lsh", "corpus_deduped", "training_corpus_pipeline",
+    "dedup_family_agreement", "dedup_incremental_pairs_lsh",
+    "doc_bpe_merges", "doc_bpe_token_counts",
+    "doc_hybrid_search_indexed", "doc_hybrid_search_indexed_many",
+    "doc_text_index_search", "doc_text_index_search_many",
+    # r8/r9-pushed veterans returning on rotation
+    "doc_bm25_search", "doc_bm25_snippets", "doc_hybrid_search",
+    "doc_tfidf_keywords", "dedup_semantic", "ann_ivfpq_topk",
+    "ann_pq_topk", "ann_pq_rerank", "doc_bigram_logprob",
+    "benchmark_contamination_fraction", "corpus_source_cap",
+    "corpus_vocab_stats", "doc_cross_dup_spans", "top_terms_two_pass",
+    "pricing_summary", "market_segment_revenue", "ann_ivf_topk",
+    "ann_ivf_multiprobe", "embedding_kmeans_clusters", "ann_ivf_kmeans",
+    "doc_dup_spans", "doc_span_removal", "doc_line_dedup",
+    "doc_lm_logprob", "doc_dsir_weights", "doc_perplexity_buckets",
+    "doc_chunks", "doc_token_counts", "doc_winnow_fingerprints",
+    "dedup_embedding_cosine", "dedup_winnowing",
+    "training_shard_packing", "orders_page_keyset",
+    "corpus_temperature_sample", "corpus_mixture_sample",
+    "corpus_unimax_allocation", "fuzzy_match_customers",
+    "regional_revenue", "asof_purchase_last_click",
+]
+
 _by_name = {s.name: s for s in _SPECS}
 assert len(_by_name) == len(_SPECS), "duplicate catalog names"
-assert len(_WINDOW_R9) == 50 == len(set(_WINDOW_R9)), len(_WINDOW_R9)
-assert set(_WINDOW_R9) <= set(_by_name), set(_WINDOW_R9) - set(_by_name)
-_window = set(_WINDOW_R9)
+assert len(_WINDOW_R10) == 50 == len(set(_WINDOW_R10)), len(_WINDOW_R10)
+assert set(_WINDOW_R10) <= set(_by_name), set(_WINDOW_R10) - set(_by_name)
+_window = set(_WINDOW_R10)
 _rest = [s.name for s in _SPECS if s.name not in _window]
 
 CATALOG: dict[str, QuerySpec] = {
-    n: _by_name[n] for n in [*_WINDOW_R9, *_rest]}
+    n: _by_name[n] for n in [*_WINDOW_R10, *_rest]}
