@@ -268,6 +268,21 @@ def _write_merge_spec(target_path: str, spec: dict) -> None:
 BUCKET_COL = "_merge_bucket"
 
 
+def _anti_join_keys(existing: DataFrame, upd_keys: DataFrame,
+                    keys: list[str]) -> DataFrame:
+    """Existing rows whose key matches NO update row, with NULL-SAFE
+    key equality. A plain `join(keys, 'left_anti')` compares with `=`,
+    where NULL = NULL is NULL — a null-keyed row would never match its
+    replacement and duplicate keys would accumulate (while
+    dropDuplicates treats nulls as EQUAL within a batch; the semantics
+    must agree across batches). `<=>` keeps the join a hash equi-join."""
+    cond = None
+    for k in keys:
+        c = existing[k].eqNullSafe(upd_keys[k])
+        cond = c if cond is None else cond & c
+    return existing.join(upd_keys, cond, "left_anti")
+
+
 def merge_upsert(spark: SparkSession, target_path: str, updates: DataFrame,
                  keys: list[str], broadcast_updates: bool = True,
                  partition_by: str | None = None,
@@ -371,7 +386,7 @@ def merge_upsert(spark: SparkSession, target_path: str, updates: DataFrame,
         upd_keys = updates.select(*keys)
         if broadcast_updates:
             upd_keys = F.broadcast(upd_keys)
-        kept = in_scope.join(upd_keys, keys, "left_anti")
+        kept = _anti_join_keys(in_scope, upd_keys, keys)
         merged = kept.unionByName(updates.select(*existing.columns))
         staging = tempfile.mkdtemp(prefix="merge_stage_", dir=parent)
         merged.write.mode("overwrite").partitionBy(part_col).parquet(staging)
@@ -395,7 +410,7 @@ def merge_upsert(spark: SparkSession, target_path: str, updates: DataFrame,
         upd_keys = updates.select(*keys)
         if broadcast_updates:
             upd_keys = F.broadcast(upd_keys)
-        kept = existing.join(upd_keys, keys, "left_anti")
+        kept = _anti_join_keys(existing, upd_keys, keys)
         merged = kept.unionByName(updates.select(*existing.columns))
         staging = tempfile.mkdtemp(prefix="merge_stage_", dir=parent)
         writer = merged.write.mode("overwrite")

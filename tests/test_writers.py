@@ -303,8 +303,11 @@ def test_merge_upsert_null_partition_value(spark, tmp_path):
                        spark.createDataFrame([("b", None, 20)],
                                              "k string, p string, v long"),
                        keys=["k", "p"], partition_by="p")
-    rows = {(r.k, r.p): r.v for r in out.collect()}
-    assert rows == {("a", "p1"): 1, ("b", None): 20}
+    # full row multiset: the null-keyed row is REPLACED, not
+    # accumulated (the anti-join must be null-safe — a plain `=` key
+    # join would keep ('b', None, 2) forever alongside every update)
+    rows = sorted((r.k, r.p, r.v) for r in out.collect())
+    assert rows == [("a", "p1", 1), ("b", None, 20)]
 
 
 def test_engine_upsert_uses_partition_contract(spark, tmp_path):
