@@ -61,6 +61,7 @@ HEADLINE = [
     "doc_tfidf_keywords",
     "doc_bigram_logprob",
     "doc_bpe_merges",
+    "doc_bpe_byte_merges",
     "user_sessions",
     "hourly_event_rollup",
     "asof_purchase_last_click",

@@ -4087,6 +4087,75 @@ _add(
     "Lloyd-chain technique)",
 )
 
+def _bpe_byte_cte_sql(n_merges: int) -> str:
+    """DuckDB twin of text_analysis.bpe_merges(byte_level=True) FOR
+    THIS FIXTURE: the driver corpora are printable-ASCII with single
+    spaces and no leading/trailing whitespace (asserted by
+    tests/test_oracle_parity.py::test_documents_fixture_is_ascii_single_spaced),
+    which makes the GPT-2 pre-tokenization RE2-expressible — the
+    Java-only lookahead branch `\\s+(?!\\S)` can never match (no
+    whitespace runs, no trailing whitespace), `\\p{L}/\\p{N}` collapse
+    to ASCII classes, and every UTF-8 byte of a pre-token is its
+    character, with space mapping to 'Ġ' (chr(288)) under the standard
+    byte table. Symbols then ride the same double-space representation
+    and unrolled merge stages as the char-mode oracle — no end-of-word
+    marker (byte level carries the boundary as the leading-space
+    byte). Ordering: DuckDB's binary UTF-8 string order equals
+    Python's code-point order, so the (count desc, a asc, b asc)
+    argmax ties break identically."""
+    pretoken_re = ("''s|''t|''re|''ve|''m|''ll|''d"
+                   "| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +")
+    parts = [f"""
+    WITH w0 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(text, '{pretoken_re}')) AS w
+        FROM documents)
+      GROUP BY w),
+    v0 AS (
+      SELECT cnt,
+             '  ' || regexp_replace(replace(w, ' ', chr(288)),
+                                    '(.)', '\\1  ', 'g') AS repr
+      FROM w0)"""]
+    for i in range(1, n_merges + 1):
+        parts.append(f"""
+    p{i} AS (
+      SELECT z[1] AS a, z[2] AS b, CAST(SUM(cnt) AS BIGINT) AS total
+      FROM (SELECT cnt,
+                   unnest(list_zip(s[1:len(s) - 1], s[2:len(s)])) AS z
+            FROM (SELECT cnt, string_split(trim(repr), '  ') AS s
+                  FROM v{i - 1}))
+      GROUP BY a, b),
+    b{i} AS (SELECT a, b, total FROM p{i}
+             ORDER BY total DESC, a ASC, b ASC LIMIT 1),
+    v{i} AS (
+      SELECT cnt, REPLACE(repr, ' ' || a || '  ' || b || ' ',
+                          ' ' || a || b || ' ') AS repr
+      FROM v{i - 1}, b{i}),
+    r{i} AS (SELECT {i} AS rank, a AS left_sym, b AS right_sym,
+                    a || b AS merged, total AS pair_count FROM b{i})""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM r{i}" for i in range(1, n_merges + 1))
+    return ",".join(parts) + f"""
+    SELECT CAST(rank AS INTEGER) AS rank, left_sym, right_sym, merged,
+           pair_count
+    FROM ({union}) ORDER BY rank
+    """
+
+
+_add(
+    "doc_bpe_byte_merges",
+    lambda spark, sf: text_analysis.bpe_merges(
+        *_t(spark, sf, "documents"), n_merges=8, byte_level=True),
+    _bpe_byte_cte_sql(8),
+    "text-analysis,pipeline",
+    "Byte-level BPE TRAINING (GPT-2 style, round 10): learn the first "
+    "8 merge rules over GPT-2 pre-tokens' byte symbols (space rides "
+    "as 'Ġ', every character covered — digits/punct included, unlike "
+    "the char-mode ^[a-z]+$ restriction); same gated fast trainer "
+    "core; oracle = RE2-safe pre-tokenization (valid on the asserted "
+    "ASCII single-spaced fixture) + the unrolled merge-stage chain",
+)
+
 _add(
     "doc_bpe_token_counts",
     lambda spark, sf: text_analysis.bpe_token_counts(
@@ -4936,6 +5005,7 @@ _WINDOW_R10 = [
     # changed in round 10 (head)
     "dedup_minhash_lsh", "corpus_deduped", "training_corpus_pipeline",
     "dedup_family_agreement", "dedup_incremental_pairs_lsh",
+    "doc_bpe_byte_merges",      # NEW in round 10: first oracle rows
     "doc_bpe_merges", "doc_bpe_token_counts",
     "doc_hybrid_search_indexed", "doc_hybrid_search_indexed_many",
     "doc_text_index_search", "doc_text_index_search_many",
@@ -4954,7 +5024,7 @@ _WINDOW_R10 = [
     "training_shard_packing", "orders_page_keyset",
     "corpus_temperature_sample", "corpus_mixture_sample",
     "corpus_unimax_allocation", "fuzzy_match_customers",
-    "regional_revenue", "asof_purchase_last_click",
+    "regional_revenue",
 ]
 
 _by_name = {s.name: s for s in _SPECS}

@@ -127,7 +127,9 @@ def write_excel(df: DataFrame, path: str, sheet_name: str = "Export",
 
 
 def scd2_upsert(spark: SparkSession, target_path: str, updates: DataFrame,
-                keys: list[str], ts_col: str = "effective_at") -> DataFrame:
+                keys: list[str], ts_col: str = "effective_at",
+                partition_by: str | None = None,
+                hash_buckets: int | None = None) -> DataFrame:
     """Slowly-changing-dimension type 2 on parquet (the CDC/SCD2
     pattern MERGE would express on Delta; emulated with
     close-open-union semantics):
@@ -140,15 +142,74 @@ def scd2_upsert(spark: SparkSession, target_path: str, updates: DataFrame,
 
     The reference tracks only updated_at/onupdate (models.py:26);
     SCD2 is the warehouse-grade upgrade of that contract — full change
-    history, point-in-time queries via valid_from/valid_to."""
+    history, point-in-time queries via valid_from/valid_to.
+
+    Partition scoping (round 10 — the same contract as
+    ``merge_upsert``, see the module docstring): ``partition_by`` (a
+    natural partition column, must be ∈ ``keys``) or ``hash_buckets``
+    (a derived key-hash bucket column). A key's ENTIRE history lives
+    in one partition — the partition value is a function of the key —
+    so the close-open logic runs against only the touched partitions
+    and only their directories are rewritten; history in every other
+    partition is physically untouched. The spec persists in the same
+    ``_merge_spec.json`` sidecar (validated, adopted by spec-less
+    calls, migrated from pre-spec layouts with one full rewrite)."""
+    if partition_by is not None and hash_buckets is not None:
+        raise ValueError("pass partition_by OR hash_buckets, not both")
+    if partition_by is not None and partition_by not in keys:
+        raise ValueError(
+            f"partition_by={partition_by!r} must be one of the SCD2 keys "
+            f"{keys}: a key's history must live in one partition")
     _reconcile_asides(target_path)
+    exists = os.path.exists(target_path)
+    spec = _read_merge_spec(target_path) if exists else None
+    if spec is not None and partition_by is None and hash_buckets is None:
+        partition_by = spec["partition_by"]
+        hash_buckets = spec["hash_buckets"]
+    part_col = partition_by if partition_by is not None else (
+        BUCKET_COL if hash_buckets else None)
+    want_spec = {"partition_by": partition_by, "hash_buckets": hash_buckets,
+                 "keys": sorted(keys)}
+    if exists and spec is not None and part_col is not None \
+            and spec != want_spec:
+        raise ValueError(
+            f"merge spec mismatch for {target_path}: table was built with "
+            f"{spec}, called with {want_spec} — changing the partition "
+            "contract on an existing table would route keys to fresh "
+            "partitions; rebuild the table or keep the original spec")
+
     updates = dedup_latest(updates, keys, ts_col)
+    if hash_buckets:
+        updates = updates.withColumn(
+            part_col, _bucket_expr(keys, hash_buckets))
     incoming = (updates
                 .withColumn("valid_from", F.col(ts_col))
                 .withColumn("valid_to", F.lit(None).cast("timestamp"))
                 .withColumn("is_current", F.lit(True)))
-    if os.path.exists(target_path):
+
+    parent = os.path.dirname(target_path) or "."
+    os.makedirs(parent, exist_ok=True)
+    scoped = (exists and part_col is not None and spec == want_spec)
+
+    if exists:
         existing = spark.read.parquet(target_path)
+        if scoped:
+            touched = [r[0] for r in
+                       updates.select(part_col).distinct().collect()]
+            non_null = [v for v in touched if v is not None]
+            cond = F.col(part_col).isin(non_null)
+            if len(non_null) < len(touched):
+                cond = cond | F.col(part_col).isNull()
+            existing = existing.filter(cond)
+        elif hash_buckets and part_col not in existing.columns:
+            # one-time layout migration of a pre-spec table
+            existing = existing.withColumn(
+                part_col, _bucket_expr(keys, hash_buckets))
+        elif partition_by is not None \
+                and partition_by not in existing.columns:
+            raise ValueError(
+                f"partition_by={partition_by!r} not a column of the "
+                f"existing table at {target_path}")
         upd_keys = F.broadcast(updates.select(*keys).dropDuplicates())
         touched_open = (existing.filter(F.col("is_current"))
                         .join(upd_keys, keys, "left_semi"))
@@ -166,11 +227,22 @@ def scd2_upsert(spark: SparkSession, target_path: str, updates: DataFrame,
                   .unionByName(incoming.select(*untouched.columns)))
     else:
         merged = incoming
-    parent = os.path.dirname(target_path) or "."
-    os.makedirs(parent, exist_ok=True)
+
     staging = tempfile.mkdtemp(prefix="scd2_stage_", dir=parent)
-    merged.write.mode("overwrite").parquet(staging)
-    _swap_dir(staging, target_path)
+    writer = merged.write.mode("overwrite")
+    if part_col:
+        writer = writer.partitionBy(part_col)
+    writer.parquet(staging)
+    if scoped:
+        for entry in os.listdir(staging):
+            if entry.startswith(part_col + "="):
+                _swap_dir(os.path.join(staging, entry),
+                          os.path.join(target_path, entry))
+        shutil.rmtree(staging)
+    else:
+        if part_col:
+            _write_merge_spec(staging, want_spec)
+        _swap_dir(staging, target_path)
     spark.catalog.refreshByPath(target_path)
     return spark.read.parquet(target_path)
 

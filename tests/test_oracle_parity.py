@@ -35,3 +35,19 @@ def test_every_catalog_query_is_value_oracled():
     oracle regresses the 126/126 hash-verified surface and fails here
     instead of silently shrinking the driver's check."""
     assert ROWS_ONLY_SPECS == [], [s.name for s in ROWS_ONLY_SPECS]
+
+
+def test_documents_fixture_is_ascii_single_spaced(duck):
+    """The precondition doc_bpe_byte_merges' oracle rests on: GPT-2
+    pre-tokenization is only RE2-expressible (DuckDB has no lookahead)
+    when the text has no whitespace runs, no leading/trailing
+    whitespace, and is printable ASCII (so UTF-8 bytes == characters
+    and only the space byte remaps). If the fixture ever changes
+    shape, this fails BEFORE the oracle silently diverges."""
+    bad = duck.execute(r"""
+        SELECT count(*) FROM documents
+        WHERE regexp_matches(text, '\s\s')
+           OR regexp_matches(text, '^\s|\s$')
+           OR regexp_matches(text, '[^\x20-\x7E]')
+    """).fetchone()[0]
+    assert bad == 0

@@ -62,3 +62,53 @@ def test_scd2_replay_same_batch_is_stable(spark, tmp_path):
     # re-opens identically -> still exactly one current row, same ts
     current = [r for r in rows if r[3]]
     assert len(current) == 1 and current[0][1] == T1
+
+
+def test_scd2_partition_scoped_history(spark, tmp_path):
+    """Round-10: SCD2 with the hash-bucket partition contract — the
+    close-open-union semantics are identical (a key's whole history
+    lives in its bucket), and a batch touching one key leaves every
+    other bucket's files physically untouched (inode/mtime)."""
+    from .test_writers import _file_identity
+
+    path = os.path.join(tmp_path, "dim")
+    base = _batch(spark, [(f"{i:03d}", "active", T1) for i in range(40)])
+    scd2_upsert(spark, path, base, keys=["company_number"],
+                hash_buckets=16)
+    assert any(d.startswith("_merge_bucket=") for d in os.listdir(path))
+    before = _file_identity(path)
+
+    # spec adopted from the sidecar (no kwargs on the second call)
+    hist = scd2_upsert(spark, path,
+                       _batch(spark, [("005", "dissolved", T2)]),
+                       keys=["company_number"])
+    rows = sorted((r.company_number, r.company_status, r.valid_to,
+                   r.is_current)
+                  for r in hist.filter("company_number = '005'").collect())
+    assert rows == [("005", "active", T2, False),
+                    ("005", "dissolved", None, True)]
+    assert hist.count() == 41          # 40 open + 1 closed
+
+    after = _file_identity(path)
+    changed = {k.split("/")[0] for k in
+               ((set(before) ^ set(after))
+                | {k for k in before
+                   if k in after and before[k] != after[k]})
+               if k.startswith("_merge_bucket=")}
+    assert len(changed) <= 1           # only 005's bucket rewritten
+    same = {k: v for k, v in before.items()
+            if k.split("/")[0] not in changed}
+    for k, v in same.items():
+        assert after.get(k) == v, k
+
+    # history identical to an unpartitioned twin over the same batches
+    flat = os.path.join(tmp_path, "flat")
+    scd2_upsert(spark, flat, base, keys=["company_number"])
+    twin = scd2_upsert(spark, flat,
+                       _batch(spark, [("005", "dissolved", T2)]),
+                       keys=["company_number"])
+    got = sorted((r.company_number, r.company_status, r.valid_from,
+                  r.valid_to, r.is_current) for r in hist.collect())
+    want = sorted((r.company_number, r.company_status, r.valid_from,
+                   r.valid_to, r.is_current) for r in twin.collect())
+    assert got == want
