@@ -171,18 +171,47 @@ def probe_fuzzy(spark, sf_dir: str) -> dict:
             "planted_exact_matches_found": planted}
 
 
+def probe_semantic(spark, sf_dir: str) -> dict:
+    """The embeddings' hot label (30% of vectors in label 0): SemDeDup
+    blocks candidate pairs on the label, so the un-remedied plan is
+    C(0.3n, 2) within-label pairs. The remedy is DEFAULT-ENGAGED
+    (auto_relabel_label_size: re-block on a learned k-means codebook,
+    k ∝ n) — the probe verifies it fires (warning) and completes."""
+    import warnings
+
+    from database_convertor_spark.operators import dedup
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    n = emb.count()
+    hot = emb.filter(F.col("label") == 0).count()
+    t0 = time.time()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        kept = dedup.semantic_dedup(emb, threshold=0.99).count()
+    dt = round(time.time() - t0, 1)
+    engaged = any("re-blocking on a learned k-means codebook"
+                  in str(x.message) for x in w)
+    return {"n_vecs": n, "hot_label_vecs": hot,
+            "hot_label_would_be_pairs": hot * (hot - 1) // 2,
+            "auto_relabel_engaged": engaged, "s": dt, "n_kept": kept}
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scratch/skew10"
     out_path = sys.argv[2] if len(sys.argv) > 2 else ".scratch/skew_probe.json"
+    only = sys.argv[3].split(",") if len(sys.argv) > 3 else None
     spark = get_spark("skew_probe")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     results = {"n_docs": docs.count()}
-    results["minhash"] = probe_minhash(spark, docs)
-    print(json.dumps({"minhash": results["minhash"]}), flush=True)
-    results["simhash"] = probe_simhash(spark, docs)
-    print(json.dumps({"simhash": results["simhash"]}), flush=True)
-    results["fuzzy"] = probe_fuzzy(spark, sf_dir)
-    print(json.dumps({"fuzzy": results["fuzzy"]}), flush=True)
+    legs = {"minhash": lambda: probe_minhash(spark, docs),
+            "simhash": lambda: probe_simhash(spark, docs),
+            "fuzzy": lambda: probe_fuzzy(spark, sf_dir),
+            "semantic": lambda: probe_semantic(spark, sf_dir)}
+    for name, fn in legs.items():
+        if only and name not in only:
+            continue
+        results[name] = fn()
+        print(json.dumps({name: results[name]}), flush=True)
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results), flush=True)
