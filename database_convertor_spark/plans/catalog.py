@@ -4142,6 +4142,60 @@ def _bpe_byte_cte_sql(n_merges: int) -> str:
     """
 
 
+def _bpe_byte_apply_sql(n_merges: int) -> str:
+    """DuckDB twin of bpe_token_counts(byte_level=True): the byte-mode
+    merge CTE chain, then every document's pre-tokens run through the
+    nested REPLACE chain (chr(1) sentinels for exhausted stages, as in
+    the char-mode apply oracle). n_words counts ALL pre-tokens — byte
+    level covers every character, so there is no uncovered-word gap."""
+    chain = _bpe_byte_cte_sql(n_merges)
+    ctes = chain[:chain.rindex("SELECT CAST(rank")]
+    ctes = ctes.rstrip().rstrip(",")
+    expr = ("'  ' || regexp_replace(replace(w, ' ', chr(288)), "
+            "'(.)', '\\1  ', 'g')")
+    for i in range(1, n_merges + 1):
+        ai = f"coalesce((SELECT a FROM b{i}), chr(1))"
+        bi = f"coalesce((SELECT b FROM b{i}), chr(1))"
+        expr = (f"REPLACE({expr}, ' ' || {ai} || '  ' || {bi} || ' ', "
+                f"' ' || {ai} || {bi} || ' ')")
+    pretoken_re = ("''s|''t|''re|''ve|''m|''ll|''d"
+                   "| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +")
+    return ctes + f""",
+    dw AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '{pretoken_re}')) AS w
+      FROM documents),
+    applied AS (
+      SELECT doc_id,
+             CAST(len(string_split(trim({expr}), '  ')) AS BIGINT) AS nt
+      FROM dw),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(nt) AS BIGINT) AS n_bpe_tokens
+      FROM applied GROUP BY doc_id)
+    SELECT d.doc_id,
+           coalesce(n_words, 0) AS n_words,
+           coalesce(n_bpe_tokens, 0) AS n_bpe_tokens,
+           CASE WHEN n_words > 0
+                THEN round(n_bpe_tokens / n_words, 4)
+           END AS bpe_fertility
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """
+
+
+_add(
+    "doc_bpe_byte_token_counts",
+    lambda spark, sf: text_analysis.bpe_token_counts(
+        *_t(spark, sf, "documents"), n_merges=8, byte_level=True),
+    _bpe_byte_apply_sql(8),
+    "text-analysis,pipeline",
+    "Byte-level BPE APPLY (round 10): per-doc token budget under the "
+    "vocabulary doc_bpe_byte_merges trains — n_words counts EVERY "
+    "GPT-2 pre-token (full character coverage), segmentation runs "
+    "rank-order over byte symbols via the broadcast merge table; "
+    "oracle = the byte merge chain + the equivalent nested REPLACE "
+    "over RE2-safe pre-tokens",
+)
+
 _add(
     "doc_bpe_byte_merges",
     lambda spark, sf: text_analysis.bpe_merges(
@@ -5006,6 +5060,7 @@ _WINDOW_R10 = [
     "dedup_minhash_lsh", "corpus_deduped", "training_corpus_pipeline",
     "dedup_family_agreement", "dedup_incremental_pairs_lsh",
     "doc_bpe_byte_merges",      # NEW in round 10: first oracle rows
+    "doc_bpe_byte_token_counts",  # NEW in round 10
     "doc_bpe_merges", "doc_bpe_token_counts",
     "doc_hybrid_search_indexed", "doc_hybrid_search_indexed_many",
     "doc_text_index_search", "doc_text_index_search_many",
@@ -5024,7 +5079,6 @@ _WINDOW_R10 = [
     "training_shard_packing", "orders_page_keyset",
     "corpus_temperature_sample", "corpus_mixture_sample",
     "corpus_unimax_allocation", "fuzzy_match_customers",
-    "regional_revenue",
 ]
 
 _by_name = {s.name: s for s in _SPECS}
