@@ -111,6 +111,14 @@ def build_embeddings(dst: str, n_vecs: int, rng) -> None:
     dim = 32
     vecs = rng.standard_normal((n_vecs, dim)).astype(np.float32)
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    # 500 planted near-dup PAIRS inside the hot label (cosine ~0.9996,
+    # comfortably above any sane threshold so a miss is a blocking
+    # split, not a threshold call) — the relabel remedy's recall canary
+    n_pairs = 500
+    for i in range(n_pairs):
+        a, b = 2 * i, 2 * i + 1
+        vecs[b] = vecs[a] + 0.005 * rng.standard_normal(dim).astype(np.float32)
+        vecs[b] /= np.linalg.norm(vecs[b])
     labels = rng.integers(1, 10, size=n_vecs)
     labels[: int(n_vecs * 0.30)] = 0          # the hot label
     tbl = pa.table({

@@ -187,13 +187,25 @@ def probe_semantic(spark, sf_dir: str) -> dict:
     t0 = time.time()
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        kept = dedup.semantic_dedup(emb, threshold=0.99).count()
+        kept = dedup.semantic_dedup(emb, threshold=0.99).persist()
+        n_kept = kept.count()
     dt = round(time.time() - t0, 1)
     engaged = any("re-blocking on a learned k-means codebook"
                   in str(x.message) for x in w)
+    # planted recall: 500 near-dup pairs at vec_ids (2i, 2i+1) — the
+    # remedied (re-labeled) run must still collapse each to ONE
+    # survivor. The relabel can split a pair across learned cells
+    # (the documented blocking trade), so require >= 95%.
+    planted_collapsed = (
+        kept.filter(F.col("vec_id") < 1000)
+        .groupBy((F.col("vec_id") / 2).cast("long").alias("pair"))
+        .count().filter("count = 1").count())
+    kept.unpersist()
     return {"n_vecs": n, "hot_label_vecs": hot,
             "hot_label_would_be_pairs": hot * (hot - 1) // 2,
-            "auto_relabel_engaged": engaged, "s": dt, "n_kept": kept}
+            "auto_relabel_engaged": engaged, "s": dt, "n_kept": n_kept,
+            "planted_pairs": 500,
+            "planted_collapsed": planted_collapsed}
 
 
 def main() -> None:
