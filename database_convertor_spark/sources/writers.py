@@ -210,15 +210,23 @@ def scd2_upsert(spark: SparkSession, target_path: str, updates: DataFrame,
             raise ValueError(
                 f"partition_by={partition_by!r} not a column of the "
                 f"existing table at {target_path}")
+        # every key join below is null-safe (`<=>`, _key_cond) so a
+        # null-keyed key's history closes exactly like any other —
+        # the same contract merge_upsert keeps via _anti_join_keys
         upd_keys = F.broadcast(updates.select(*keys).dropDuplicates())
-        touched_open = (existing.filter(F.col("is_current"))
-                        .join(upd_keys, keys, "left_semi"))
+        cur = existing.filter(F.col("is_current"))
+        touched_open = cur.join(
+            upd_keys, _key_cond(cur, upd_keys, keys), "left_semi")
+        open_keys = touched_open.select(*keys, "valid_from")
         untouched = existing.join(
-            touched_open.select(*keys, "valid_from"),
-            keys + ["valid_from"], "left_anti")
-        new_ts = updates.select(
-            *keys, F.col(ts_col).alias("_new_ts"))
-        closed = (touched_open.join(F.broadcast(new_ts), keys)
+            open_keys,
+            _key_cond(existing, open_keys, keys + ["valid_from"]),
+            "left_anti")
+        new_ts = F.broadcast(updates.select(
+            *keys, F.col(ts_col).alias("_new_ts")))
+        closed = (touched_open
+                  .join(new_ts, _key_cond(touched_open, new_ts, keys))
+                  .select(touched_open["*"], new_ts["_new_ts"])
                   .withColumn("valid_to", F.col("_new_ts"))
                   .withColumn("is_current", F.lit(False))
                   .drop("_new_ts"))
@@ -340,19 +348,25 @@ def _write_merge_spec(target_path: str, spec: dict) -> None:
 BUCKET_COL = "_merge_bucket"
 
 
+def _key_cond(left: DataFrame, right: DataFrame, cols: list[str]):
+    """NULL-SAFE key-equality join condition. A plain `join(keys, ...)`
+    compares with `=`, where NULL = NULL is NULL — a null-keyed row
+    would never match its replacement and duplicate keys would
+    accumulate (while dropDuplicates / Window.partitionBy treat nulls
+    as EQUAL within a batch; the semantics must agree across batches).
+    `<=>` keeps the join a hash equi-join."""
+    cond = None
+    for k in cols:
+        c = left[k].eqNullSafe(right[k])
+        cond = c if cond is None else cond & c
+    return cond
+
+
 def _anti_join_keys(existing: DataFrame, upd_keys: DataFrame,
                     keys: list[str]) -> DataFrame:
-    """Existing rows whose key matches NO update row, with NULL-SAFE
-    key equality. A plain `join(keys, 'left_anti')` compares with `=`,
-    where NULL = NULL is NULL — a null-keyed row would never match its
-    replacement and duplicate keys would accumulate (while
-    dropDuplicates treats nulls as EQUAL within a batch; the semantics
-    must agree across batches). `<=>` keeps the join a hash equi-join."""
-    cond = None
-    for k in keys:
-        c = existing[k].eqNullSafe(upd_keys[k])
-        cond = c if cond is None else cond & c
-    return existing.join(upd_keys, cond, "left_anti")
+    """Existing rows whose key matches NO update row (null-safe)."""
+    return existing.join(upd_keys, _key_cond(existing, upd_keys, keys),
+                         "left_anti")
 
 
 def merge_upsert(spark: SparkSession, target_path: str, updates: DataFrame,

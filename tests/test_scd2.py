@@ -112,3 +112,45 @@ def test_scd2_partition_scoped_history(spark, tmp_path):
     want = sorted((r.company_number, r.company_status, r.valid_from,
                    r.valid_to, r.is_current) for r in twin.collect())
     assert got == want
+
+
+def test_scd2_null_key_closes_history(spark, tmp_path):
+    """A null-keyed key is one logical entity across batches (the same
+    contract merge_upsert keeps via its null-safe anti-join): a new
+    version must CLOSE the open null-keyed row, not pile up a second
+    open row beside it. Plain `=` key joins silently do the latter."""
+    schema = "company_number string, company_status string, " \
+             "effective_at timestamp"
+    path = os.path.join(tmp_path, "dim_null")
+    scd2_upsert(spark, path,
+                spark.createDataFrame(
+                    [(None, "active", T1), ("002", "active", T1)], schema),
+                keys=["company_number"])
+    hist = scd2_upsert(spark, path,
+                       spark.createDataFrame(
+                           [(None, "dissolved", T2)], schema),
+                       keys=["company_number"])
+    rows = sorted(((r.company_number, r.company_status, r.valid_from,
+                    r.valid_to, r.is_current) for r in hist.collect()),
+                  key=lambda t: (t[0] or "", t[2]))
+    assert rows == [
+        (None, "active", T1, T2, False),
+        (None, "dissolved", T2, None, True),
+        ("002", "active", T1, None, True),
+    ]
+    # and under the hash-bucket contract: xxhash64 over the casted key
+    # maps NULL deterministically, so the null key's history stays in
+    # one bucket and still closes correctly
+    bpath = os.path.join(tmp_path, "dim_null_bucketed")
+    scd2_upsert(spark, bpath,
+                spark.createDataFrame(
+                    [(None, "active", T1), ("002", "active", T1)], schema),
+                keys=["company_number"], hash_buckets=8)
+    bhist = scd2_upsert(spark, bpath,
+                        spark.createDataFrame(
+                            [(None, "dissolved", T2)], schema),
+                        keys=["company_number"])
+    brows = sorted(((r.company_number, r.company_status, r.valid_from,
+                     r.valid_to, r.is_current) for r in bhist.collect()),
+                   key=lambda t: (t[0] or "", t[2]))
+    assert brows == rows
