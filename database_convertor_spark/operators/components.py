@@ -183,18 +183,43 @@ def dedup_clusters(pairs: DataFrame, left_col: str, right_col: str) -> DataFrame
 def drop_near_duplicates(documents: DataFrame, pairs: DataFrame | None = None,
                          left_col: str = "doc_a",
                          right_col: str = "doc_b",
-                         clusters: DataFrame | None = None) -> DataFrame:
+                         clusters: DataFrame | None = None,
+                         score_col: str | None = None) -> DataFrame:
     """The end-to-end dedup contract: remove every non-canonical member
     of every near-dup cluster from the corpus. Pass ``clusters`` (a
     precomputed ``dedup_clusters`` frame) when the caller also needs
     the cluster map for something else (a leakage-safe split) — the
     canonical-member semantics then live HERE only, and the iterative
-    components run executes once."""
+    components run executes once.
+
+    ``score_col`` picks WHICH member of each cluster survives: by
+    default the minimum doc_id (the arbitrary-but-deterministic choice
+    most dedup papers make); with a score column the HIGHEST-scoring
+    member wins (ties → min doc_id) — the "keep the best-quality copy"
+    policy a training-data pipeline actually wants, since near-dup
+    clusters routinely mix a clean original with truncated or
+    boilerplate-wrapped mirrors.
+
+    Scale shape: the ranking window partitions by cluster_id over
+    CLUSTER MEMBERS ONLY (a frame bounded by the duplicated subset,
+    not the corpus), and clusters are small by construction — no
+    corpus-sized window anywhere."""
     if clusters is None:
         if pairs is None:
             raise ValueError("drop_near_duplicates needs pairs or clusters")
         clusters = dedup_clusters(pairs, left_col, right_col)
-    losers = (clusters
-              .filter(~F.col("is_canonical"))
-              .select(F.col("doc_id")))
+    if score_col is None:
+        losers = (clusters
+                  .filter(~F.col("is_canonical"))
+                  .select(F.col("doc_id")))
+    else:
+        from pyspark.sql import Window
+        members = (documents.select("doc_id", score_col)
+                   .join(clusters.select("doc_id", "cluster_id"), "doc_id"))
+        w = (Window.partitionBy("cluster_id")
+             .orderBy(F.col(score_col).desc_nulls_last(),
+                      F.col("doc_id").asc()))
+        losers = (members.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") > 1)
+                  .select("doc_id"))
     return documents.join(losers, "doc_id", "left_anti")

@@ -1676,6 +1676,57 @@ _add(
 )
 
 
+# ====================================== ANN: 8-bit scalar quantization
+def _ann_sq8(spark, sf):
+    emb, = _t(spark, sf, "embeddings")
+    queries = emb.filter(emb.vec_id < 5)
+    return similarity_search.sq8_topk(queries, emb, k=5)
+
+
+_add(
+    "ann_sq8_topk",
+    _ann_sq8,
+    f"""
+    WITH dims AS (
+      SELECT i AS pos,
+             min(CAST(embedding[i + 1] AS DOUBLE)) AS mn,
+             max(CAST(embedding[i + 1] AS DOUBLE)) AS mx
+      FROM embeddings, range(64) t(i)  -- dim=64 (DuckDB 1.0 range()
+                                       -- cannot lateral-correlate)
+      GROUP BY i),
+    stats AS (SELECT list(mn ORDER BY pos) AS mins,
+                     list(mx ORDER BY pos) AS maxs FROM dims),
+    deq AS (
+      SELECT e.vec_id,
+             list_transform(range(1, 65), d ->
+               s.mins[d]
+               + (CAST(CASE WHEN s.maxs[d] = s.mins[d] THEN 0
+                       ELSE CAST(round(
+                              (CAST(e.embedding[d] AS DOUBLE) - s.mins[d])
+                              / (s.maxs[d] - s.mins[d]) * 255) AS INTEGER)
+                       END AS DOUBLE)
+                  * (s.maxs[d] - s.mins[d])) / 255.0) AS sq_emb
+      FROM embeddings e CROSS JOIN stats s),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+          FROM embeddings WHERE vec_id < 5),
+    pairs AS (
+      SELECT q.query_id, d.vec_id AS neighbor_id,
+             {_COS.format(a='q.q_emb', b='d.sq_emb')} AS sim
+      FROM deq d CROSS JOIN q WHERE d.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, CAST(rn AS INTEGER) AS rank,
+           round(sim, 4) AS cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rn
+      FROM pairs) WHERE rn <= 5
+    """,
+    "similarity-search",
+    "8-bit scalar-quantized cosine top-k: per-dim min/max codebook "
+    "(one exploded scan), asymmetric search — full-precision queries "
+    "against the affine-dequantized int8 corpus (4x index footprint "
+    "cut; quantization error enters once, not twice)",
+)
+
+
 # ============================================================= ANN: IVF top-k
 def _ann_ivf(spark, sf):
     emb, = _t(spark, sf, "embeddings")
@@ -1788,6 +1839,97 @@ _add(
     """,
     "text-analysis,C24",
     "per-document quality signals + composite score",
+)
+
+
+# ================================== dedup: quality-aware representative
+def _corpus_deduped_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """corpus_deduped's keep-best-quality twin: near-dup clusters keep
+    the HIGHEST quality_score member (ties → min doc_id) instead of the
+    min-doc_id member — the selection policy a training-data pipeline
+    actually wants, since a cluster routinely mixes a clean original
+    with truncated or boilerplate-wrapped mirrors. Same pair source,
+    same CC, same anti-join shape; only the winner rule differs
+    (components.drop_near_duplicates(score_col=...))."""
+    from ..functions.text import quality_score
+
+    docs, = _t(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", "lang", "n_chars",
+        quality_score(F.col("text")).alias("quality_score"))
+    pairs = dedup.ngram_jaccard_pairs(docs, on_budget_exceeded="route")
+    return components.drop_near_duplicates(
+        scored, pairs, score_col="quality_score")
+
+
+_add(
+    "corpus_deduped_keep_best",
+    _corpus_deduped_keep_best,
+    f"""
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id, lang, CAST(n_chars // 100 AS INTEGER) AS band,
+             {_TOKS.format(c='lower(text)')} AS toks
+      FROM documents),
+    pairs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round({_jaccard('a.toks', 'b.toks')}, 4) AS jaccard
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id)
+      WHERE jaccard >= 0.5),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a),
+    members AS (
+      SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+    qt AS (
+      SELECT doc_id, text,
+             {_TOKS_ALL.format(c='text')} AS toks,
+             {_TOKS_ALL.format(c='lower(text)')} AS ltoks
+      FROM documents),
+    qm AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+                            AS DOUBLE) / len(toks) END AS mtl,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_extract_all(text, '[^\\w\\s]'))
+                            AS DOUBLE) / length(text) END AS pr,
+             CASE WHEN len(ltoks) = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(ltoks,
+                            x -> list_contains({_STOPWORDS_SQL}, x)))
+                            AS DOUBLE) / len(ltoks) END AS sr
+      FROM qt),
+    q AS (
+      SELECT doc_id,
+             CAST((CASE WHEN n_tokens >= 20 THEN 25 ELSE 0 END)
+                + (CASE WHEN mtl BETWEEN 3.0 AND 12.0 THEN 25 ELSE 0 END)
+                + (CASE WHEN pr < 0.2 THEN 25 ELSE 0 END)
+                + (CASE WHEN sr > 0.01 THEN 25 ELSE 0 END) AS INTEGER)
+               AS quality_score
+      FROM qm),
+    losers AS (
+      SELECT doc_id FROM (
+        SELECT m.doc_id,
+               row_number() OVER (
+                 PARTITION BY m.cluster_id
+                 ORDER BY q.quality_score DESC NULLS LAST,
+                          m.doc_id ASC) AS rn
+        FROM members m JOIN q USING (doc_id)) WHERE rn > 1)
+    SELECT d2.doc_id, d2.lang, d2.n_chars, q.quality_score
+    FROM documents d2 JOIN q USING (doc_id)
+    WHERE d2.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+    "dedup",
+    "quality-aware dedup product: near-dup clusters keep their "
+    "highest-quality_score member (ties -> min doc_id) instead of the "
+    "min-id member — keep-the-best-copy selection over the same "
+    "pairs -> components -> anti-join chain",
 )
 
 
@@ -5054,9 +5196,17 @@ _WINDOW_R9 = [
 #     doc_bpe_merges, doc_bpe_token_counts;
 #   - CHANGED: index sidecar cache rekeyed to content digest +
 #     deep-copy returns -> doc_hybrid_search_indexed(+_many),
-#     doc_text_index_search(+_many) (share the landed-index read path).
+#     doc_text_index_search(+_many) (share the landed-index read path);
+#   - NEW mid-round: corpus_deduped_keep_best (quality-aware cluster
+#     representative — drop_near_duplicates(score_col=...)) and
+#     ann_sq8_topk (8-bit scalar-quantized asymmetric cosine top-k);
+#     pricing_summary / market_segment_revenue rotate out (both
+#     hard-green in r9 and many prior rounds).
 _WINDOW_R10 = [
-    # changed in round 10 (head)
+    # NEW mid-round-10 (head): quality-aware dedup representative and
+    # 8-bit scalar-quantized ANN — first driver-green rows wanted
+    "corpus_deduped_keep_best", "ann_sq8_topk",
+    # changed in round 10
     "dedup_minhash_lsh", "corpus_deduped", "training_corpus_pipeline",
     "dedup_family_agreement", "dedup_incremental_pairs_lsh",
     "doc_bpe_byte_merges",      # NEW in round 10: first oracle rows
@@ -5070,7 +5220,7 @@ _WINDOW_R10 = [
     "ann_pq_topk", "ann_pq_rerank", "doc_bigram_logprob",
     "benchmark_contamination_fraction", "corpus_source_cap",
     "corpus_vocab_stats", "doc_cross_dup_spans", "top_terms_two_pass",
-    "pricing_summary", "market_segment_revenue", "ann_ivf_topk",
+    "ann_ivf_topk",
     "ann_ivf_multiprobe", "embedding_kmeans_clusters", "ann_ivf_kmeans",
     "doc_dup_spans", "doc_span_removal", "doc_line_dedup",
     "doc_lm_logprob", "doc_dsir_weights", "doc_perplexity_buckets",

@@ -56,6 +56,24 @@ def test_drop_near_duplicates(spark):
     assert kept == {1, 10, 20, 99}
 
 
+def test_drop_near_duplicates_keep_best(spark):
+    """score_col flips the winner rule: highest score per cluster wins
+    (ties -> min doc_id); singletons untouched; null scores lose to
+    any scored member."""
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 90), (3, 90), (4, 5),        # cluster {1,2,3,4}
+         (10, None), (11, 50),                     # cluster {10,11}
+         (20, 70), (21, 70), (22, 70),             # cluster {20,21,22}
+         (99, 1)],                                 # singleton
+        "doc_id int, score int")
+    pairs = spark.createDataFrame(EDGES, ["doc_a", "doc_b"])
+    kept = {r.doc_id for r in
+            drop_near_duplicates(docs, pairs, score_col="score").collect()}
+    # 2 beats 3 on the id tiebreak; 11 beats null-scored 10;
+    # 20 wins the three-way tie; 99 is no cluster member at all
+    assert kept == {2, 11, 20, 99}
+
+
 def test_connected_components_raises_on_iteration_cap(spark):
     from database_convertor_spark.operators.components import (
         connected_components,

@@ -704,3 +704,37 @@ def test_search_ivfpq_index_local_equals_dataframe_path(spark, tmp_path):
         spark, path, qdf, k=5, nprobe=2).collect()))
     assert fresh_local == fresh_df
     assert fresh_local != want
+
+
+def test_sq8_codes_and_recall(spark):
+    """SQ8 invariants: codes are 8-bit (0..255) ints; a constant
+    dimension encodes to 0; asymmetric dequantized search recovers
+    almost all of the exact top-5 on the fixture (64-dim, 8-bit ->
+    per-dim error <= (max-min)/510, far below fixture separation)."""
+    from database_convertor_spark.operators.similarity_search import (
+        sq8_encode,
+        sq8_fit,
+        sq8_topk,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    stats = sq8_fit(emb)
+    codes = sq8_encode(emb, stats)
+    mn, mx = codes.select(
+        F.min(F.array_min("code")), F.max(F.array_max("code"))).first()
+    assert 0 <= mn and mx <= 255
+
+    # a constant dimension must encode to code 0 and dequantize back
+    # to its constant (the max==min guard)
+    const = emb.select(
+        "vec_id", F.concat(F.array(F.lit(0.5)), "embedding").alias("embedding"))
+    cstats = sq8_fit(const)
+    ccodes = sq8_encode(const, cstats)
+    assert ccodes.select(F.max(F.element_at("code", 1))).first()[0] == 0
+
+    queries = emb.filter(emb.vec_id < 5)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(queries, emb, k=5).collect()}
+    sq = {(r.query_id, r.neighbor_id)
+          for r in sq8_topk(queries, emb, k=5).collect()}
+    recall = len(exact & sq) / len(exact)
+    assert recall >= 0.9, recall
