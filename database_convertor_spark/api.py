@@ -248,11 +248,14 @@ class Engine:
 
     # ------------------------------------------------------ corpus curation
     def curate_corpus(self, documents: DataFrame,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      keep: str = "min_id") -> DataFrame:
         """Training-corpus curation: Gopher quality filter -> blocked
-        near-dup removal; returns surviving document rows."""
+        near-dup removal; returns surviving document rows.
+        ``keep='best_quality'`` makes each near-dup cluster keep its
+        highest-quality_score member instead of the min-id one."""
         from .pipelines.corpus import curate_corpus
-        return curate_corpus(documents, threshold)
+        return curate_corpus(documents, threshold, keep=keep)
 
     def prepare_training_corpus(self, documents: DataFrame,
                                 **kwargs) -> dict[str, DataFrame]:
@@ -585,6 +588,14 @@ class Engine:
             return ann_pq_topk(queries, corpus, k=k, m=m, ks=ks)
         return ann_pq_rerank(queries, corpus, k=k, m=m, ks=ks,
                              shortlist=rerank_shortlist)
+
+    def ann_sq8(self, queries: DataFrame, corpus: DataFrame,
+                k: int = 5) -> DataFrame:
+        """8-bit scalar-quantized cosine top-k: per-dim min/max
+        codebook, asymmetric search (full-precision queries against
+        the dequantized int8 corpus) — the 4x-smaller-index scan."""
+        from .operators.similarity_search import sq8_topk
+        return sq8_topk(queries, corpus, k=k)
 
     def ann_ivfpq(self, queries: DataFrame, corpus: DataFrame,
                   k: int = 5, n_cells: int = 8, m: int = 4,

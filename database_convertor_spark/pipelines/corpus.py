@@ -30,9 +30,19 @@ from ..functions.text import gopher_passes, quality_score, tokens
 from ..operators import components, curation, dedup
 
 
-def curate_corpus(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+def curate_corpus(documents: DataFrame, threshold: float = 0.5,
+                  keep: str = "min_id") -> DataFrame:
     """Quality-filter then near-dedup the corpus; returns surviving
-    document rows (all input columns)."""
+    document rows (all input columns).
+
+    ``keep`` picks each near-dup cluster's survivor: ``"min_id"``
+    (default, the deterministic-arbitrary choice) or
+    ``"best_quality"`` — the highest ``quality_score`` member wins
+    (ties → min doc_id), so a cluster mixing a clean original with
+    truncated mirrors keeps the clean copy."""
+    if keep not in ("min_id", "best_quality"):
+        raise ValueError(f"keep={keep!r}: expected 'min_id' or "
+                         "'best_quality'")
     kept = documents.filter(gopher_passes(F.col("text")))
     # budget-estimate on the raw scan: the filtered frame would re-run
     # the gopher predicate for the gate's histogram, and the raw
@@ -40,6 +50,10 @@ def curate_corpus(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(kept, threshold=threshold,
                                       estimate_on=documents,
                                       on_budget_exceeded="route")
+    if keep == "best_quality":
+        scored = kept.withColumn("__q", quality_score(F.col("text")))
+        return components.drop_near_duplicates(
+            scored, pairs, score_col="__q").drop("__q")
     return components.drop_near_duplicates(kept, pairs)
 
 

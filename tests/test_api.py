@@ -274,3 +274,46 @@ def test_engine_ingest_documents_pins_pair_path(engine, spark):
     want = sorted(r.doc_id for r in ingest_documents(
         new, corpus, pair_path="lsh").collect())
     assert got == want == [11]   # the corpus near-dup is dropped
+
+
+def test_engine_curate_corpus_keep_best(engine, spark):
+    """keep='best_quality' flips the cluster survivor from min-id to
+    highest-quality_score (the stopword-bearing twin scores 100 vs the
+    stopword-free twin's 75), and rejects unknown policies. Both twins
+    pass Gopher (>=50 alphabetic words, mean len in [3,10]) and land
+    in the same (lang, n_chars//100) block with token Jaccard ~0.96."""
+    import pytest
+
+    content = [f"alpha{a}{b}" for a in "abcdefgh" for b in "abcdefg"][:55]
+    low = " ".join(content)                       # no stopwords -> 75
+    high = " ".join(content + ["the", "and"])     # stopwords -> 100
+    other = " ".join(f"omega{a}{b}" for a in "abcdefgh"
+                     for b in "abcdefg")[: len(low)] + " the"
+    docs = spark.createDataFrame(
+        [(1, low, "en", "s", len(low)),
+         (2, high, "en", "s", len(high)),
+         (3, other, "en", "s", len(other))],
+        ["doc_id", "text", "lang", "source", "n_chars"])
+    kept_min = sorted(r.doc_id for r in
+                      engine.curate_corpus(docs, threshold=0.3).collect())
+    best_df = engine.curate_corpus(docs, threshold=0.3,
+                                   keep="best_quality")
+    kept_best = sorted(r.doc_id for r in best_df.collect())
+    assert kept_min == [1, 3]        # min-id survivor
+    assert kept_best == [2, 3]       # quality survivor
+    assert "__q" not in best_df.columns
+    with pytest.raises(ValueError, match="keep="):
+        engine.curate_corpus(docs, keep="longest")
+
+
+def test_engine_ann_sq8_matches_operator(engine, spark):
+    from database_convertor_spark.operators.similarity_search import sq8_topk
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(emb.vec_id < 3)
+    got = sorted(map(tuple, engine.ann_sq8(queries, emb, k=3).collect()))
+    want = sorted(map(tuple, sq8_topk(queries, emb, k=3).collect()))
+    assert got == want
