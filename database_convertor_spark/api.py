@@ -589,6 +589,15 @@ class Engine:
         return ann_pq_rerank(queries, corpus, k=k, m=m, ks=ks,
                              shortlist=rerank_shortlist)
 
+    def project_embeddings(self, embeddings: DataFrame,
+                           out_dim: int = 16) -> DataFrame:
+        """Johnson-Lindenstrauss Rademacher projection of the
+        embedding column to ``out_dim`` dims, exploded as
+        (vec_id, pos, value) — the pre-ANN / pre-clustering
+        scan-width cut."""
+        from .operators.similarity_search import rp_project
+        return rp_project(embeddings, out_dim=out_dim)
+
     def ann_sq8(self, queries: DataFrame, corpus: DataFrame,
                 k: int = 5) -> DataFrame:
         """8-bit scalar-quantized cosine top-k: per-dim min/max

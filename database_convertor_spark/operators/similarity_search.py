@@ -199,6 +199,62 @@ def sq8_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
                     F.round("_sim", 4).alias("cosine")))
 
 
+def rp_planes(dim: int, out_dim: int) -> list[list[float]]:
+    """Deterministic Rademacher projection planes for
+    Johnson–Lindenstrauss reduction: sign(j, d) = +1/-1 from bit 0 of
+    md5("rp:j:d") — the dedup.srp_signs seed recipe under a distinct
+    'rp:' namespace (so the JL planes never correlate with the SRP-LSH
+    hyperplanes), reproducible in Python plan literals and in the
+    DuckDB oracle through the same md5 arithmetic."""
+    from ..functions.text import _hash_const
+
+    return [[1.0 if _hash_const(f"rp:{j}:{d}") % 2 else -1.0
+             for d in range(dim)] for j in range(out_dim)]
+
+
+def rp_project(embeddings: DataFrame, out_dim: int = 16,
+               dim: int | None = None,
+               vec_col: str = "embedding") -> DataFrame:
+    """Johnson–Lindenstrauss random projection (Achlioptas 2003's
+    Rademacher variant — public result): y_j = <x, r_j> / sqrt(out_dim)
+    for out_dim fixed ±1 hyperplanes. Distances/inner products are
+    preserved within (1±ε) w.h.p. at out_dim = O(log n / ε²) — the
+    standard pre-ANN / pre-clustering dimensionality cut (64→16 here
+    is a 4x scan/shuffle-width reduction for every downstream
+    k-means / IVF / brute-force pass).
+
+    Pure higher-order-function expressions (one zip_with+aggregate dot
+    per output dim, plan literals for the planes) — JVM-side, no UDF,
+    no shuffle: a projection is embarrassingly row-parallel. Output is
+    EXPLODED (vec_id, pos, value) with value rounded to 6dp — scalar
+    columns so driver-facing consumers (and the value-hash oracle)
+    never sort an array column.
+
+    ``dim`` defaults to the actual embedding length (one head() on a
+    narrow size() projection — the embedding_srp_pairs discipline: a
+    wrong caller dim would NULL every dot product)."""
+    if dim is None:
+        row = embeddings.select(
+            F.size(F.col(vec_col)).alias("n")).head()
+        if row is None:
+            raise ValueError("rp_project: empty embeddings input")
+        dim = row["n"]
+    planes = rp_planes(dim, out_dim)
+    scale = float(out_dim) ** 0.5
+    outs = []
+    for j in range(out_dim):
+        sv = F.array(*[F.lit(s) for s in planes[j]])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col).cast("array<double>"), sv,
+                       lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+        outs.append(F.round(dot / F.lit(scale), 6))
+    return embeddings.select(
+        "vec_id",
+        F.posexplode(F.array(*outs)).alias("pos", "value")).select(
+        "vec_id", F.col("pos").cast("int").alias("pos"), "value")
+
+
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
     """IVF-bucketed ANN: only corpus vectors in the query's bucket are
     scored (label = coarse centroid assignment). The bucket equi-join

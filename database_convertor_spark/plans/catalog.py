@@ -1727,6 +1727,35 @@ _add(
 )
 
 
+# ================================ JL random projection (dim reduction)
+_add(
+    "embedding_rp_project",
+    lambda spark, sf: similarity_search.rp_project(
+        _t(spark, sf, "embeddings")[0].filter("vec_id < 200"),
+        out_dim=16),
+    """
+    WITH planes AS (
+      SELECT j, list_transform(range(1, 65), d ->
+        CASE WHEN ('0x' || substr(md5('rp:' || CAST(j AS VARCHAR)
+                   || ':' || CAST(d - 1 AS VARCHAR)), 1, 15))::BIGINT
+                  % 2 = 1
+             THEN 1.0 ELSE -1.0 END) AS sv
+      FROM range(16) t(j)),
+    base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+             FROM embeddings WHERE vec_id < 200)
+    SELECT b.vec_id, CAST(p.j AS INTEGER) AS pos,
+           round(list_dot_product(b.emb, p.sv) / sqrt(16.0), 6) AS value
+    FROM base b CROSS JOIN planes p
+    """,
+    "similarity-search",
+    "Johnson-Lindenstrauss Rademacher projection 64->16 dims "
+    "(Achlioptas 2003): md5-seeded +-1 hyperplanes as plan literals, "
+    "one HOF dot per output dim, no shuffle — the standard pre-ANN / "
+    "pre-clustering scan-width cut, emitted exploded (vec_id, pos, "
+    "value)",
+)
+
+
 # ============================================================= ANN: IVF top-k
 def _ann_ivf(spark, sf):
     emb, = _t(spark, sf, "embeddings")
@@ -5205,7 +5234,7 @@ _WINDOW_R9 = [
 _WINDOW_R10 = [
     # NEW mid-round-10 (head): quality-aware dedup representative and
     # 8-bit scalar-quantized ANN — first driver-green rows wanted
-    "corpus_deduped_keep_best", "ann_sq8_topk",
+    "corpus_deduped_keep_best", "ann_sq8_topk", "embedding_rp_project",
     # changed in round 10
     "dedup_minhash_lsh", "corpus_deduped", "training_corpus_pipeline",
     "dedup_family_agreement", "dedup_incremental_pairs_lsh",
@@ -5227,7 +5256,7 @@ _WINDOW_R10 = [
     "doc_chunks", "doc_token_counts", "doc_winnow_fingerprints",
     "dedup_embedding_cosine", "dedup_winnowing",
     "training_shard_packing", "orders_page_keyset",
-    "corpus_temperature_sample", "corpus_mixture_sample",
+    "corpus_temperature_sample",
     "corpus_unimax_allocation", "fuzzy_match_customers",
 ]
 

@@ -738,3 +738,51 @@ def test_sq8_codes_and_recall(spark):
           for r in sq8_topk(queries, emb, k=5).collect()}
     recall = len(exact & sq) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_rp_project_norms_and_determinism(spark):
+    """JL contract at out_dim=16: E[||y||^2] = ||x||^2 (unbiased
+    Rademacher projection) — per-vector ratios are chi-square-noisy
+    (var 2/16) so we bound the per-vector band loosely and the
+    40-vector MEAN tightly; the md5-seeded planes make every value
+    bit-reproducible across calls, and an exact near-duplicate pair
+    stays near-duplicate after projection (the signal SemDeDup/ANN
+    consume downstream)."""
+    import math
+
+    from database_convertor_spark.operators.similarity_search import (
+        rp_project,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings").filter("vec_id < 40")
+    rows = rp_project(emb, out_dim=16).collect()
+    assert len(rows) == 40 * 16
+    proj = {}
+    for r in rows:
+        proj.setdefault(r.vec_id, [0.0] * 16)[r.pos] = r.value
+    exact = {r.vec_id: [float(x) for x in r.embedding]
+             for r in emb.collect()}
+    ratios = [sum(v * v for v in proj[i])
+              / sum(v * v for v in exact[i]) for i in proj]
+    assert all(0.1 < r < 4.0 for r in ratios), (min(ratios), max(ratios))
+    mean = sum(ratios) / len(ratios)
+    assert 0.85 < mean < 1.25, mean
+
+    # a self-duplicate projects to an identical vector, so the
+    # projected cosine of a true near-dup pair stays ~1
+    dup = emb.limit(1).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding",
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")])
+    both = emb.limit(1).unionByName(dup.select(*emb.columns))
+    pr = {}
+    for r in rp_project(both, out_dim=16).collect():
+        pr.setdefault(r.vec_id, [0.0] * 16)[r.pos] = r.value
+    (a, b) = sorted(pr)
+    dot = sum(x * y for x, y in zip(pr[a], pr[b]))
+    na = math.sqrt(sum(x * x for x in pr[a]))
+    nb = math.sqrt(sum(y * y for y in pr[b]))
+    assert dot / (na * nb) > 0.999
+
+    again = {(r.vec_id, r.pos): r.value
+             for r in rp_project(emb, out_dim=16).collect()}
+    assert all(again[(i, p)] == proj[i][p]
+               for i in proj for p in range(16))
