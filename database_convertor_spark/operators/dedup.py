@@ -294,6 +294,100 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
     return _jaccard_filter(pairs, threshold)
 
 
+def containment_pairs(documents: DataFrame, threshold: float = 0.9,
+                      max_candidate_pairs: float | None = 5_000_000,
+                      on_budget_exceeded: str = "raise") -> DataFrame:
+    """Token-set CONTAINMENT near-duplicates: pairs where the smaller
+    doc's token set is >= ``threshold`` contained in the bigger doc's
+    (|A∩B| / |A| with |A| <= |B|). This is the predicate Jaccard
+    blocking structurally CANNOT see: a truncated mirror or a
+    quote-wrapped copy pairs docs of very different lengths, so the
+    (lang, n_chars-band) equi-join never forms the candidate and the
+    Jaccard score punishes the length gap even when it does. The
+    keep-best dedup policy wants exactly these pairs.
+
+    Algorithm — prefix filtering (Chaudhuri et al., ICDE'06; the
+    SSJoin/PPJoin family — public): order each lang's vocabulary by
+    (document frequency, token); if c(A,B) >= t then A's
+    |A| - ceil(t|A|) + 1 RAREST tokens must intersect B's full set
+    (fewer exclusions cannot avoid the overlap), so joining A-prefix
+    tokens against B-full tokens is EXACT — zero recall loss — and
+    candidate mass rides the document frequency of each doc's rarest
+    tokens, not block population. (ngram_jaccard_pairs' scale note
+    measured prefix filtering as the WORSE blocking for Jaccard on
+    this corpus's flat vocabulary; for containment there is no band
+    alternative — prefix filtering is the exact algorithm, and the
+    candidate-mass gate below keeps the flat-vocabulary failure mode
+    from running quadratic silently.)
+
+    Candidate-mass gate (the pair-family discipline): the exact
+    pre-dedup candidate row mass is sum over prefix rows of
+    (df(token) - 1) — known BEFORE the join from the same df table
+    the ordering needs, no pairs materialized. Past
+    ``max_candidate_pairs`` the operator raises naming the remedies
+    (raise ``threshold`` — the prefix shrinks linearly in 1-t; split
+    the corpus by source/lang; or ``'ignore'`` on a cluster that can
+    absorb the mass). No 'route': MinHash estimates Jaccard, not
+    containment — there is nothing semantically equivalent to route
+    to, and pretending otherwise would silently change the predicate.
+
+    Output: (doc_small, doc_big, containment) rounded to 4dp,
+    doc_small strictly smaller (ties broken by doc_id).
+    """
+    if on_budget_exceeded not in ("raise", "ignore"):
+        raise ValueError(
+            f"on_budget_exceeded must be 'raise' or 'ignore', got "
+            f"{on_budget_exceeded!r}")
+    docs = documents.select(
+        "doc_id", "lang",
+        F.array_distinct(tokens(F.lower(F.col("text")))).alias("toks"))
+    docs = docs.withColumn("n", F.size("toks"))
+    tok = docs.select("doc_id", "lang", "n",
+                      F.explode("toks").alias("tok"))
+    dfreq = tok.groupBy("lang", "tok").agg(F.count("*").alias("df"))
+    ranked = tok.join(dfreq, ["lang", "tok"])
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    pref_len = (F.col("n")
+                - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + 1)
+    prefix = (ranked.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= pref_len))
+    if max_candidate_pairs is not None and on_budget_exceeded == "raise":
+        prefix = prefix.persist()
+        row = prefix.agg(F.sum(F.col("df") - 1).alias("m")).first()
+        mass = float(row["m"] or 0)
+        if mass > max_candidate_pairs:
+            prefix.unpersist()
+            raise ValueError(
+                f"containment_pairs: exact candidate row mass "
+                f"{mass:,.0f} (sum of df-1 over prefix tokens) exceeds "
+                f"max_candidate_pairs={max_candidate_pairs:,.0f} — the "
+                f"corpus's rarest-token prefixes are too frequent "
+                f"(flat vocabulary / hot tokens). Raise threshold "
+                f"(prefix shrinks linearly in 1-threshold), split the "
+                f"corpus by source, or pass on_budget_exceeded='ignore' "
+                f"on a cluster sized for the mass")
+    a, b = prefix.alias("a"), tok.alias("b")
+    smaller = ((F.col("a.n") < F.col("b.n"))
+               | ((F.col("a.n") == F.col("b.n"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id"))))
+    cand = (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                   & (F.col("a.tok") == F.col("b.tok")) & smaller)
+            .select(F.col("a.doc_id").alias("doc_small"),
+                    F.col("b.doc_id").alias("doc_big"))
+            .distinct())
+    s = docs.select(F.col("doc_id").alias("doc_small"),
+                    F.col("toks").alias("s_toks"), F.col("n").alias("s_n"))
+    g = docs.select(F.col("doc_id").alias("doc_big"),
+                    F.col("toks").alias("g_toks"))
+    c = F.round(
+        F.size(F.array_intersect("s_toks", "g_toks")).cast("double")
+        / F.col("s_n"), 4)
+    return (cand.join(s, "doc_small").join(g, "doc_big")
+            .withColumn("containment", c)
+            .filter(F.col("containment") >= threshold)
+            .select("doc_small", "doc_big", "containment"))
+
+
 def cross_corpus_overlap(corpus_a: DataFrame, corpus_b: DataFrame,
                          threshold: float = 0.5,
                          band_chars: int = 100) -> DataFrame:

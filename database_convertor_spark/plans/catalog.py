@@ -1727,6 +1727,63 @@ _add(
 )
 
 
+# ======================== containment join (truncated-mirror dedup)
+_add(
+    "dedup_containment_pairs",
+    # doc_id < 1000: the synthetic corpus's FLAT vocabulary makes
+    # almost every small doc >= 0.9-contained in some larger one
+    # (1.8M qualifying pairs at full sf0.1 — correct but a
+    # driver-compare-hostile output size), so the entry demonstrates
+    # the operator on a bounded slice, the ann_* vec_id<N precedent.
+    # on_budget_exceeded='ignore' keeps the entry a PRODUCER at any
+    # driver scale (the corpus_deduped precedent); the operator
+    # default stays 'raise' with named remedies — there is no 'route'
+    # because no approximate family estimates containment.
+    lambda spark, sf: dedup.containment_pairs(
+        _t(spark, sf, "documents")[0].filter("doc_id < 1000"),
+        threshold=0.9, on_budget_exceeded="ignore"),
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             {_TOKS.format(c='lower(text)')} AS toks
+      FROM documents WHERE doc_id < 1000),
+    d2 AS (SELECT doc_id, lang, toks, len(toks) AS n FROM d),
+    tok AS (SELECT doc_id, lang, n, unnest(toks) AS tok FROM d2),
+    dfq AS (SELECT lang, tok, count(*) AS df
+            FROM tok GROUP BY lang, tok),
+    ranked AS (
+      SELECT t.doc_id, t.lang, t.n, t.tok, f.df,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY f.df, t.tok) AS rn
+      FROM tok t JOIN dfq f ON t.lang = f.lang AND t.tok = f.tok),
+    prefix AS (
+      SELECT * FROM ranked
+      WHERE rn <= n - CAST(ceil(0.9 * n) AS INTEGER) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_small, b.doc_id AS doc_big
+      FROM prefix a JOIN tok b
+        ON a.lang = b.lang AND a.tok = b.tok
+       AND (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id)))
+    SELECT doc_small, doc_big, containment FROM (
+      SELECT c.doc_small, c.doc_big,
+             round(CAST(len(list_filter(s.toks,
+                       t -> list_contains(g.toks, t))) AS DOUBLE)
+                   / s.n, 4) AS containment
+      FROM cand c
+      JOIN d2 s ON s.doc_id = c.doc_small
+      JOIN d2 g ON g.doc_id = c.doc_big)
+    WHERE containment >= 0.9
+    """,
+    "dedup",
+    "token-set containment pairs (smaller-in-bigger >= 0.9) via EXACT "
+    "prefix filtering (Chaudhuri 2006 SSJoin): rarest-token prefixes "
+    "joined against full token lists — the truncated-mirror / "
+    "quote-wrapper detector length-band Jaccard blocking structurally "
+    "misses; candidate mass gated on the exact sum(df-1) over prefix "
+    "tokens",
+)
+
+
 # ================================ JL random projection (dim reduction)
 _add(
     "embedding_rp_project",
@@ -5235,6 +5292,7 @@ _WINDOW_R10 = [
     # NEW mid-round-10 (head): quality-aware dedup representative and
     # 8-bit scalar-quantized ANN — first driver-green rows wanted
     "corpus_deduped_keep_best", "ann_sq8_topk", "embedding_rp_project",
+    "dedup_containment_pairs",
     # changed in round 10
     "dedup_minhash_lsh", "corpus_deduped", "training_corpus_pipeline",
     "dedup_family_agreement", "dedup_incremental_pairs_lsh",
@@ -5256,7 +5314,6 @@ _WINDOW_R10 = [
     "doc_chunks", "doc_token_counts", "doc_winnow_fingerprints",
     "dedup_embedding_cosine", "dedup_winnowing",
     "training_shard_packing", "orders_page_keyset",
-    "corpus_temperature_sample",
     "corpus_unimax_allocation", "fuzzy_match_customers",
 ]
 

@@ -766,3 +766,79 @@ def test_corpus_diff_null_text_presence_flags(spark):
     assert rows[2].new_fp == NULL_TEXT_FP
     assert rows[3].old_fp == NULL_TEXT_FP
     assert rows[4].old_fp is None
+
+
+# ------------------------------------------------ containment pairs
+def test_containment_pairs_finds_truncated_mirror(spark):
+    """The predicate Jaccard blocking cannot see: a truncated mirror
+    (10 of 40 tokens) is 100% contained but Jaccard-0.25 and three
+    length bands away. containment_pairs must find it; the same-band
+    jaccard operator must not."""
+    from database_convertor_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    full = " ".join(f"tok{i:02d}" for i in range(40))
+    trunc = " ".join(f"tok{i:02d}" for i in range(10))
+    other = " ".join(f"alt{i:02d}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, full, "en", len(full)),
+         (2, trunc, "en", len(trunc)),
+         (3, other, "en", len(other))],
+        ["doc_id", "text", "lang", "n_chars"])
+    got = {(r.doc_small, r.doc_big, r.containment)
+           for r in containment_pairs(docs, threshold=0.9).collect()}
+    assert got == {(2, 1, 1.0)}
+    jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []                     # band + score both miss it
+
+
+def test_containment_pairs_exact_vs_brute_force(spark):
+    """Prefix-filter completeness theorem: the blocked result equals
+    the all-pairs brute-force containment on a small random-ish
+    corpus (no recall loss — exact algorithm, not LSH)."""
+    from database_convertor_spark.operators.dedup import containment_pairs
+
+    rows = []
+    for i in range(30):
+        n = 5 + (i * 7) % 20
+        toks = [f"w{(i * 13 + j * 5) % 37}" for j in range(n)]
+        text = " ".join(toks)
+        rows.append((i, text, "en", len(text)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "n_chars"])
+    got = {(r.doc_small, r.doc_big, r.containment)
+           for r in containment_pairs(docs, threshold=0.8).collect()}
+
+    sets = {i: set(t[1].split()) for i, t in zip(range(30), rows)}
+    want = set()
+    for a in range(30):
+        for b in range(30):
+            if a == b:
+                continue
+            sa, sb = sets[a], sets[b]
+            if (len(sa), a) > (len(sb), b):
+                continue
+            c = len(sa & sb) / len(sa)
+            if round(c, 4) >= 0.8:
+                want.add((a, b, round(c, 4)))
+    assert got == want and want          # non-trivial fixture
+
+
+def test_containment_pairs_gate_raises_with_exact_mass(spark):
+    """The candidate-mass gate: max_candidate_pairs=0 must raise
+    naming the remedies; 'ignore' runs the same plan regardless."""
+    import pytest
+
+    from database_convertor_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j", "en", 19),
+         (2, "a b c d e f g h i j k", "en", 21)],
+        ["doc_id", "text", "lang", "n_chars"])
+    with pytest.raises(ValueError, match="candidate row mass"):
+        containment_pairs(docs, threshold=0.9,
+                          max_candidate_pairs=0).collect()
+    out = containment_pairs(docs, threshold=0.9, max_candidate_pairs=0,
+                            on_budget_exceeded="ignore").collect()
+    assert {(r.doc_small, r.doc_big) for r in out} == {(1, 2)}
