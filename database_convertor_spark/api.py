@@ -589,6 +589,15 @@ class Engine:
         return ann_pq_rerank(queries, corpus, k=k, m=m, ks=ks,
                              shortlist=rerank_shortlist)
 
+    def drop_contained_docs(self, documents: DataFrame,
+                            threshold: float = 0.9) -> DataFrame:
+        """Remove docs whose token set is >= threshold contained in a
+        LARGER doc's (truncated mirrors / quote-wrapped subsets) via
+        the exact prefix-filter containment join — the predicate
+        Jaccard-cluster dedup structurally misses."""
+        from .operators.dedup import drop_contained_docs
+        return drop_contained_docs(documents, threshold=threshold)
+
     def project_embeddings(self, embeddings: DataFrame,
                            out_dim: int = 16) -> DataFrame:
         """Johnson-Lindenstrauss Rademacher projection of the

@@ -388,6 +388,27 @@ def containment_pairs(documents: DataFrame, threshold: float = 0.9,
             .select("doc_small", "doc_big", "containment"))
 
 
+def drop_contained_docs(documents: DataFrame, threshold: float = 0.9,
+                        max_candidate_pairs: float | None = 5_000_000,
+                        on_budget_exceeded: str = "raise") -> DataFrame:
+    """The containment family's consumable product: remove every doc
+    whose token set is >= ``threshold`` contained in some LARGER doc's
+    (the smaller side adds ~nothing the bigger doesn't already carry —
+    the truncated-mirror cleanup `corpus_deduped`'s Jaccard clusters
+    cannot perform). A doc appearing as ``doc_small`` in ANY
+    qualifying pair is dropped; chains resolve content-safely
+    (A ⊆ B ⊆ C drops A and B via their own pairs, keeps C). For
+    equal token sets the pair convention makes the LOWER doc_id the
+    contained side, so the higher id survives — deterministic, and
+    content-identical either way."""
+    losers = (containment_pairs(
+        documents, threshold=threshold,
+        max_candidate_pairs=max_candidate_pairs,
+        on_budget_exceeded=on_budget_exceeded)
+        .select(F.col("doc_small").alias("doc_id")).distinct())
+    return documents.join(losers, "doc_id", "left_anti")
+
+
 def cross_corpus_overlap(corpus_a: DataFrame, corpus_b: DataFrame,
                          threshold: float = 0.5,
                          band_chars: int = 100) -> DataFrame:

@@ -168,7 +168,8 @@ def sq8_encode(corpus: DataFrame, stats: DataFrame,
             .select("vec_id", enc.alias("code")))
 
 
-def sq8_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
+def sq8_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
+             stats: DataFrame | None = None) -> DataFrame:
     """Asymmetric SQ8 search: full-precision queries scored against the
     DEQUANTIZED 8-bit corpus (the standard scalar-quantization trade —
     queries keep their precision, so quantization error enters each
@@ -176,8 +177,14 @@ def sq8_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
     win is the 4x smaller index the scan streams over, not candidate
     count — compose with IVF bucket pruning (ivf_topk) when both are
     wanted. Dequantization is the exact affine inverse of sq8_encode,
-    term-for-term reproduced in the DuckDB oracle."""
-    stats = sq8_fit(corpus)
+    term-for-term reproduced in the DuckDB oracle.
+
+    ``stats`` takes a precomputed ``sq8_fit`` frame so a repeated
+    caller (batch query loops, a landed-index lifecycle) pays the
+    codebook scan once, not per search — fresh-corpus stats and
+    passed-in stats produce identical results by construction."""
+    if stats is None:
+        stats = sq8_fit(corpus)
     codes = sq8_encode(corpus, stats)
     deq = codes.crossJoin(F.broadcast(stats)).select(
         "vec_id",
@@ -232,13 +239,27 @@ def rp_project(embeddings: DataFrame, out_dim: int = 16,
 
     ``dim`` defaults to the actual embedding length (one head() on a
     narrow size() projection — the embedding_srp_pairs discipline: a
-    wrong caller dim would NULL every dot product)."""
+    wrong caller dim would NULL every dot product).
+
+    Plan-literal budget (the embedding_srp_pairs lesson): the planes
+    are dim x out_dim literals baked into the plan; past ~100k
+    products codegen/analysis time dominates, so the operator refuses
+    and names the remedy (an Arrow-batched GEMM — the
+    brute_force_topk_numpy shape — is the right tool for wide
+    projections, not a bigger expression tree)."""
     if dim is None:
         row = embeddings.select(
             F.size(F.col(vec_col)).alias("n")).head()
         if row is None:
             raise ValueError("rp_project: empty embeddings input")
         dim = row["n"]
+    if dim * out_dim > 100_000:
+        raise ValueError(
+            f"rp_project: {dim} x {out_dim} = {dim * out_dim} plan-literal "
+            "plane entries would dominate codegen/analysis time; for wide "
+            "projections use an Arrow-batched numpy GEMM (the "
+            "brute_force_topk_numpy execution shape) instead of the "
+            "expression path")
     planes = rp_planes(dim, out_dim)
     scale = float(out_dim) ** 0.5
     outs = []

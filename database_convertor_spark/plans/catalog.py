@@ -1784,6 +1784,57 @@ _add(
 )
 
 
+_add(
+    "corpus_drop_contained",
+    # same bounded slice + 'ignore' reasoning as dedup_containment_pairs
+    lambda spark, sf: dedup.drop_contained_docs(
+        _t(spark, sf, "documents")[0].filter("doc_id < 1000"),
+        threshold=0.9, on_budget_exceeded="ignore")
+    .select("doc_id", "lang", "n_chars"),
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             {_TOKS.format(c='lower(text)')} AS toks
+      FROM documents WHERE doc_id < 1000),
+    d2 AS (SELECT doc_id, lang, toks, len(toks) AS n FROM d),
+    tok AS (SELECT doc_id, lang, n, unnest(toks) AS tok FROM d2),
+    dfq AS (SELECT lang, tok, count(*) AS df
+            FROM tok GROUP BY lang, tok),
+    ranked AS (
+      SELECT t.doc_id, t.lang, t.n, t.tok, f.df,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY f.df, t.tok) AS rn
+      FROM tok t JOIN dfq f ON t.lang = f.lang AND t.tok = f.tok),
+    prefix AS (
+      SELECT * FROM ranked
+      WHERE rn <= n - CAST(ceil(0.9 * n) AS INTEGER) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_small, b.doc_id AS doc_big
+      FROM prefix a JOIN tok b
+        ON a.lang = b.lang AND a.tok = b.tok
+       AND (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id))),
+    losers AS (
+      SELECT DISTINCT doc_small AS doc_id FROM (
+        SELECT c.doc_small,
+               round(CAST(len(list_filter(s.toks,
+                         t -> list_contains(g.toks, t))) AS DOUBLE)
+                     / s.n, 4) AS containment
+        FROM cand c
+        JOIN d2 s ON s.doc_id = c.doc_small
+        JOIN d2 g ON g.doc_id = c.doc_big)
+      WHERE containment >= 0.9)
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id < 1000
+      AND doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+    "dedup",
+    "containment family's consumable product: corpus minus every doc "
+    ">= 0.9 token-contained in a larger doc (truncated mirrors / "
+    "quote-wrapped subsets add nothing the superset doesn't carry) — "
+    "prefix-filter pairs -> distinct contained side -> anti-join",
+)
+
+
 # ================================ JL random projection (dim reduction)
 _add(
     "embedding_rp_project",
@@ -5292,7 +5343,7 @@ _WINDOW_R10 = [
     # NEW mid-round-10 (head): quality-aware dedup representative and
     # 8-bit scalar-quantized ANN — first driver-green rows wanted
     "corpus_deduped_keep_best", "ann_sq8_topk", "embedding_rp_project",
-    "dedup_containment_pairs",
+    "dedup_containment_pairs", "corpus_drop_contained",
     # changed in round 10
     "dedup_minhash_lsh", "corpus_deduped", "training_corpus_pipeline",
     "dedup_family_agreement", "dedup_incremental_pairs_lsh",
@@ -5311,7 +5362,7 @@ _WINDOW_R10 = [
     "ann_ivf_multiprobe", "embedding_kmeans_clusters", "ann_ivf_kmeans",
     "doc_dup_spans", "doc_span_removal", "doc_line_dedup",
     "doc_lm_logprob", "doc_dsir_weights", "doc_perplexity_buckets",
-    "doc_chunks", "doc_token_counts", "doc_winnow_fingerprints",
+    "doc_chunks", "doc_token_counts",
     "dedup_embedding_cosine", "dedup_winnowing",
     "training_shard_packing", "orders_page_keyset",
     "corpus_unimax_allocation", "fuzzy_match_customers",

@@ -842,3 +842,26 @@ def test_containment_pairs_gate_raises_with_exact_mass(spark):
     out = containment_pairs(docs, threshold=0.9, max_candidate_pairs=0,
                             on_budget_exceeded="ignore").collect()
     assert {(r.doc_small, r.doc_big) for r in out} == {(1, 2)}
+
+
+def test_drop_contained_docs_chain_and_survivor(spark):
+    """Product semantics: A ⊆ B ⊆ C drops A and B via their own pairs
+    and keeps C; an unrelated doc is untouched; equal token sets keep
+    the HIGHER doc_id (the pair convention's contained side is the
+    lower id)."""
+    from database_convertor_spark.operators.dedup import drop_contained_docs
+
+    a = " ".join(f"tok{i:02d}" for i in range(10))
+    b = " ".join(f"tok{i:02d}" for i in range(25))
+    c = " ".join(f"tok{i:02d}" for i in range(40))
+    other = " ".join(f"alt{i:02d}" for i in range(15))
+    dup1 = "same words here exactly"
+    dup2 = "exactly here words same"      # equal token SET
+    docs = spark.createDataFrame(
+        [(1, a, "en", len(a)), (2, b, "en", len(b)), (3, c, "en", len(c)),
+         (4, other, "en", len(other)),
+         (5, dup1, "en", len(dup1)), (6, dup2, "en", len(dup2))],
+        ["doc_id", "text", "lang", "n_chars"])
+    kept = sorted(r.doc_id for r in
+                  drop_contained_docs(docs, threshold=0.9).collect())
+    assert kept == [3, 4, 6]

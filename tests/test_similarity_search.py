@@ -786,3 +786,28 @@ def test_rp_project_norms_and_determinism(spark):
              for r in rp_project(emb, out_dim=16).collect()}
     assert all(again[(i, p)] == proj[i][p]
                for i in proj for p in range(16))
+
+
+def test_rp_project_refuses_plan_literal_blowup(spark):
+    import pytest
+
+    from database_convertor_spark.operators.similarity_search import (
+        rp_project,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings").limit(1)
+    with pytest.raises(ValueError, match="plan-literal"):
+        rp_project(emb, out_dim=2000)
+
+
+def test_sq8_topk_precomputed_stats_identical(spark):
+    from database_convertor_spark.operators.similarity_search import (
+        sq8_fit,
+        sq8_topk,
+    )
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    queries = emb.filter(emb.vec_id < 3)
+    fresh = sorted(map(tuple, sq8_topk(queries, emb, k=3).collect()))
+    reused = sorted(map(tuple,
+                        sq8_topk(queries, emb, k=3,
+                                 stats=sq8_fit(emb)).collect()))
+    assert fresh == reused
