@@ -31,6 +31,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_incremental_pairs_lsh",
+    "dedup_containment_pairs",
     "dedup_simhash",
     "dedup_winnowing",
     "dedup_embedding_srp",
@@ -50,6 +51,8 @@ HEADLINE = [
     "training_shard_packing",
     "training_corpus_pipeline",
     "ann_brute_topk",
+    "ann_sq8_topk",
+    "embedding_rp_project",
     "ann_ivf_multiprobe",
     "ann_ivf_kmeans",
     "ann_pq_topk",

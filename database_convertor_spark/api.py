@@ -589,6 +589,16 @@ class Engine:
         return ann_pq_rerank(queries, corpus, k=k, m=m, ks=ks,
                              shortlist=rerank_shortlist)
 
+    def benchmark_containment(self, benchmark: DataFrame,
+                              documents: DataFrame,
+                              threshold: float = 0.9) -> DataFrame:
+        """Benchmark-item-in-training-doc pairs by exact token-set
+        containment (the decontamination question n-gram overlap
+        approximates): (needle_id, doc_id, containment)."""
+        from .operators.dedup import cross_corpus_containment
+        return cross_corpus_containment(benchmark, documents,
+                                        threshold=threshold)
+
     def drop_contained_docs(self, documents: DataFrame,
                             threshold: float = 0.9) -> DataFrame:
         """Remove docs whose token set is >= threshold contained in a

@@ -409,6 +409,83 @@ def drop_contained_docs(documents: DataFrame, threshold: float = 0.9,
     return documents.join(losers, "doc_id", "left_anti")
 
 
+def cross_corpus_containment(needles: DataFrame, haystack: DataFrame,
+                             threshold: float = 0.9,
+                             max_candidate_pairs: float | None = 5_000_000,
+                             on_budget_exceeded: str = "raise") -> DataFrame:
+    """Directional containment across TWO corpora: pairs where a
+    ``needles`` doc's token set is >= ``threshold`` contained in a
+    ``haystack`` doc's — the decontamination question n-gram overlap
+    approximates from below ("is this benchmark item quoted inside a
+    training document?"), asked exactly at the token-set level. No
+    size predicate: the direction is fixed by the sides, not by
+    length.
+
+    Same exact prefix filter as ``containment_pairs``, with the global
+    token order taken from HAYSTACK document frequency (needle tokens
+    absent from the haystack get df 0 and sort FIRST into the prefix —
+    maximally selective: they match nothing, and a needle whose whole
+    prefix is haystack-absent provably cannot reach the threshold
+    against any haystack doc, so it correctly produces zero
+    candidates). Candidate mass is the exact sum of haystack df over
+    needle prefix tokens, known before any join; past the budget the
+    operator raises (``'ignore'`` runs regardless — no approximate
+    route exists for containment).
+
+    Output: (needle_id, doc_id, containment) rounded to 4dp."""
+    if on_budget_exceeded not in ("raise", "ignore"):
+        raise ValueError(
+            f"on_budget_exceeded must be 'raise' or 'ignore', got "
+            f"{on_budget_exceeded!r}")
+
+    def _prep(frame):
+        d = frame.select(
+            "doc_id", "lang",
+            F.array_distinct(tokens(F.lower(F.col("text")))).alias("toks"))
+        return d.withColumn("n", F.size("toks"))
+
+    nd, hs = _prep(needles), _prep(haystack)
+    h_tok = hs.select("doc_id", "lang", F.explode("toks").alias("tok"))
+    dfreq = h_tok.groupBy("lang", "tok").agg(F.count("*").alias("df"))
+    n_tok = nd.select("doc_id", "lang", "n", F.explode("toks").alias("tok"))
+    ranked = (n_tok.join(dfreq, ["lang", "tok"], "left")
+              .withColumn("df", F.coalesce("df", F.lit(0))))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    pref_len = (F.col("n")
+                - F.ceil(F.lit(threshold) * F.col("n")).cast("int") + 1)
+    prefix = (ranked.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= pref_len))
+    if max_candidate_pairs is not None and on_budget_exceeded == "raise":
+        prefix = prefix.persist()
+        mass = float(prefix.agg(F.sum("df")).first()[0] or 0)
+        if mass > max_candidate_pairs:
+            prefix.unpersist()
+            raise ValueError(
+                f"cross_corpus_containment: exact candidate row mass "
+                f"{mass:,.0f} (sum of haystack df over needle prefix "
+                f"tokens) exceeds max_candidate_pairs="
+                f"{max_candidate_pairs:,.0f}. Raise threshold, split "
+                f"the haystack by source, or pass "
+                f"on_budget_exceeded='ignore' on a cluster sized for "
+                f"the mass")
+    a, b = prefix.alias("a"), h_tok.alias("b")
+    cand = (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                   & (F.col("a.tok") == F.col("b.tok")))
+            .select(F.col("a.doc_id").alias("needle_id"),
+                    F.col("b.doc_id").alias("doc_id"))
+            .distinct())
+    s = nd.select(F.col("doc_id").alias("needle_id"),
+                  F.col("toks").alias("s_toks"), F.col("n").alias("s_n"))
+    g = hs.select("doc_id", F.col("toks").alias("g_toks"))
+    c = F.round(
+        F.size(F.array_intersect("s_toks", "g_toks")).cast("double")
+        / F.col("s_n"), 4)
+    return (cand.join(s, "needle_id").join(g, "doc_id")
+            .withColumn("containment", c)
+            .filter(F.col("containment") >= threshold)
+            .select("needle_id", "doc_id", "containment"))
+
+
 def cross_corpus_overlap(corpus_a: DataFrame, corpus_b: DataFrame,
                          threshold: float = 0.5,
                          band_chars: int = 100) -> DataFrame:

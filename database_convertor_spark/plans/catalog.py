@@ -1835,6 +1835,60 @@ _add(
 )
 
 
+_add(
+    "benchmark_containment_pairs",
+    # the benchmark_contamination_fraction convention: doc_id % 97 == 0
+    # is the benchmark slice, the rest is the training corpus
+    lambda spark, sf: (lambda docs: dedup.cross_corpus_containment(
+        docs.filter("doc_id % 97 = 0"),
+        docs.filter("doc_id % 97 <> 0"),
+        threshold=0.9))(_t(spark, sf, "documents")[0]),
+    f"""
+    WITH nd AS (
+      SELECT doc_id, lang,
+             {_TOKS.format(c='lower(text)')} AS toks
+      FROM documents WHERE doc_id % 97 = 0),
+    nd2 AS (SELECT doc_id, lang, toks, len(toks) AS n FROM nd),
+    hs AS (
+      SELECT doc_id, lang,
+             {_TOKS.format(c='lower(text)')} AS toks
+      FROM documents WHERE doc_id % 97 <> 0),
+    h_tok AS (SELECT doc_id, lang, unnest(toks) AS tok FROM hs),
+    dfq AS (SELECT lang, tok, count(*) AS df
+            FROM h_tok GROUP BY lang, tok),
+    n_tok AS (SELECT doc_id, lang, n, unnest(toks) AS tok FROM nd2),
+    ranked AS (
+      SELECT t.doc_id, t.lang, t.n, t.tok, COALESCE(f.df, 0) AS df,
+             row_number() OVER (PARTITION BY t.doc_id
+                                ORDER BY COALESCE(f.df, 0), t.tok) AS rn
+      FROM n_tok t LEFT JOIN dfq f
+        ON t.lang = f.lang AND t.tok = f.tok),
+    prefix AS (
+      SELECT * FROM ranked
+      WHERE rn <= n - CAST(ceil(0.9 * n) AS INTEGER) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS needle_id, b.doc_id AS doc_id
+      FROM prefix a JOIN h_tok b
+        ON a.lang = b.lang AND a.tok = b.tok)
+    SELECT needle_id, doc_id, containment FROM (
+      SELECT c.needle_id, c.doc_id,
+             round(CAST(len(list_filter(s.toks,
+                       t -> list_contains(g.toks, t))) AS DOUBLE)
+                   / s.n, 4) AS containment
+      FROM cand c
+      JOIN nd2 s ON s.doc_id = c.needle_id
+      JOIN hs g ON g.doc_id = c.doc_id)
+    WHERE containment >= 0.9
+    """,
+    "dedup,curation",
+    "cross-corpus directional containment (benchmark-item-in-"
+    "training-doc, the exact token-set form of the decontamination "
+    "question): needle prefixes ordered by HAYSTACK df (absent "
+    "tokens df=0 sort first — maximally selective), exact prefix "
+    "filter, gate on the exact sum-of-df mass",
+)
+
+
 # ================================ JL random projection (dim reduction)
 _add(
     "embedding_rp_project",
@@ -5344,6 +5398,7 @@ _WINDOW_R10 = [
     # 8-bit scalar-quantized ANN — first driver-green rows wanted
     "corpus_deduped_keep_best", "ann_sq8_topk", "embedding_rp_project",
     "dedup_containment_pairs", "corpus_drop_contained",
+    "benchmark_containment_pairs",
     # changed in round 10
     "dedup_minhash_lsh", "corpus_deduped", "training_corpus_pipeline",
     "dedup_family_agreement", "dedup_incremental_pairs_lsh",
@@ -5356,7 +5411,7 @@ _WINDOW_R10 = [
     "doc_bm25_search", "doc_bm25_snippets", "doc_hybrid_search",
     "doc_tfidf_keywords", "dedup_semantic", "ann_ivfpq_topk",
     "ann_pq_topk", "ann_pq_rerank", "doc_bigram_logprob",
-    "benchmark_contamination_fraction", "corpus_source_cap",
+    "benchmark_contamination_fraction",
     "corpus_vocab_stats", "doc_cross_dup_spans", "top_terms_two_pass",
     "ann_ivf_topk",
     "ann_ivf_multiprobe", "embedding_kmeans_clusters", "ann_ivf_kmeans",

@@ -865,3 +865,37 @@ def test_drop_contained_docs_chain_and_survivor(spark):
     kept = sorted(r.doc_id for r in
                   drop_contained_docs(docs, threshold=0.9).collect())
     assert kept == [3, 4, 6]
+
+
+def test_cross_corpus_containment_directional(spark):
+    """A benchmark item quoted inside a longer training doc is found
+    (containment 1.0); the reverse direction is NOT emitted (the
+    needle side is fixed); a needle with no haystack-shared rare
+    tokens produces zero candidates (df-0 prefix short-circuit);
+    the gate raises with the exact sum-of-df mass."""
+    import pytest
+
+    from database_convertor_spark.operators.dedup import (
+        cross_corpus_containment,
+    )
+
+    bench_item = "what is the capital of atlantis exactly"
+    training = ("some long document that asks what is the capital of "
+                "atlantis exactly and then rambles on about many "
+                "other things for a while")
+    unrelated = "completely disjoint vocabulary zebra quokka lemur"
+    needles = spark.createDataFrame(
+        [(100, bench_item, "en", len(bench_item)),
+         (101, unrelated, "en", len(unrelated))],
+        ["doc_id", "text", "lang", "n_chars"])
+    hay = spark.createDataFrame(
+        [(1, training, "en", len(training)),
+         (2, "nothing related here at all", "en", 27)],
+        ["doc_id", "text", "lang", "n_chars"])
+    got = {(r.needle_id, r.doc_id, r.containment)
+           for r in cross_corpus_containment(needles, hay,
+                                             threshold=0.9).collect()}
+    assert got == {(100, 1, 1.0)}
+    with pytest.raises(ValueError, match="candidate row mass"):
+        cross_corpus_containment(needles, hay, threshold=0.9,
+                                 max_candidate_pairs=0).collect()

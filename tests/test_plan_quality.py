@@ -99,7 +99,8 @@ def test_pairwise_ops_have_no_cartesian(spark):
                  "dedup_embedding_srp", "ann_pq_topk", "ann_pq_rerank",
                  "ann_ivfpq_topk", "ann_hard_negatives",
                  "doc_bm25_search", "doc_tfidf_keywords",
-                 "doc_bigram_logprob"]:
+                 "doc_bigram_logprob", "dedup_containment_pairs",
+                 "benchmark_containment_pairs"]:
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         # NL is allowed only on documented broadcast paths (the
@@ -296,3 +297,12 @@ def test_srp_verify_plan_is_mass_adaptive(spark):
     assert njoins(narrow) == 3
     streamed = embedding_srp_pairs(emb, max_candidate_pairs=None)
     assert njoins(streamed) == 1
+
+
+def test_rp_project_plan_has_no_shuffle(spark):
+    """The JL projection is embarrassingly row-parallel: plan-literal
+    planes, per-row dots, posexplode — no Exchange anywhere (the 100
+    TB cost is exactly one read of the embedding column)."""
+    plan = _plan(spark, "embedding_rp_project")
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
