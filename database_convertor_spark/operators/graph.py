@@ -119,3 +119,57 @@ def supplier_neighborhood(lineitem: DataFrame, supplier: DataFrame,
                       mine.neighbor_suppkey == supplier.s_suppkey)
             .select("neighbor_suppkey", F.col("s_name").alias("neighbor_name"),
                     "shared_parts"))
+
+
+def pagerank(pairs: DataFrame, damping: float = 0.85, n_iter: int = 5,
+             id_a: str = "supp_a", id_b: str = "supp_b") -> DataFrame:
+    """PageRank over an undirected edge list (Brin & Page 1998 —
+    public algorithm), the centrality upgrade of the shared-officer
+    network the reference only ever materializes as raw edges
+    (database.py:666-695): which suppliers sit at the CENTER of the
+    shared-part graph, not just who touches whom.
+
+    Each of the ``n_iter`` power iterations is ONE equi-join
+    (edges ⨝ deg ⨝ ranks) + ONE map-side-combining groupBy — the
+    standard distributed PageRank shape; per-iteration work is
+    O(|edges|) shuffled on the node key, never quadratic. Ranks are
+    rounded to 6dp each iteration, which (a) makes the fixpoint
+    engine-portable — both the Spark run and the DuckDB oracle start
+    every iteration from IDENTICAL doubles, so float-sum
+    order-sensitivity cannot compound across iterations — and (b)
+    changes values by < 5e-7/iteration, far below any ranking use.
+    Symmetric edges mean no dangling nodes (every node has
+    out-degree >= 1), so the damping term needs no dangling-mass
+    redistribution.
+
+    At 5 iterations the plan is a fixed 5-deep join tree (no
+    checkpoint needed); callers iterating to convergence at cluster
+    scale should truncate lineage per round with
+    ``components.ensure_checkpoint_dir`` + ``checkpoint()``, the CC
+    module's discipline.
+
+    Output: (node, pagerank) — ranks sum to ~1 over the graph.
+    """
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(
+                 pairs.select(F.col(id_b).alias("src"),
+                              F.col(id_a).alias("dst")))
+             .distinct())
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("pagerank", F.lit(0.0))
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
+    base = (1 - damping) / n
+    for _ in range(n_iter):
+        contrib = (edges.join(deg, "src")
+                   .join(ranks.withColumnRenamed("node", "src"), "src")
+                   .groupBy(F.col("dst").alias("node"))
+                   .agg(F.sum(F.col("r") / F.col("deg")).alias("s")))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .select("node",
+                         F.round(F.lit(base) + F.lit(damping)
+                                 * F.coalesce("s", F.lit(0.0)),
+                                 6).alias("r")))
+    return ranks.select("node", F.col("r").alias("pagerank"))

@@ -487,6 +487,46 @@ _add(
     "shared-officer-style graph edges: self-join + countDistinct + HAVING",
 )
 
+# ============================================ PageRank over the edges
+_PR_STEPS = "".join(f""",
+    r{k} AS (
+      SELECT x.node, round((1 - 0.85) / (SELECT n FROM nn)
+             + 0.85 * COALESCE(c.s, 0.0), 6) AS r
+      FROM nodes x LEFT JOIN (
+        SELECT e.dst AS node, sum(p.r / d.deg) AS s
+        FROM edges e JOIN deg d ON e.src = d.src
+                     JOIN r{k - 1} p ON p.node = e.src
+        GROUP BY e.dst) c ON c.node = x.node)""" for k in range(1, 6))
+
+_add(
+    "supplier_pagerank",
+    lambda spark, sf: graph.pagerank(
+        graph.shared_supplier_pairs(*_t(spark, sf, "lineitem"))),
+    f"""
+    WITH ed0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b
+      FROM ed0 a JOIN ed0 b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+      HAVING count(DISTINCT a.l_partkey) >= 3),
+    edges AS (SELECT supp_a AS src, supp_b AS dst FROM pairs
+              UNION SELECT supp_b, supp_a FROM pairs),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT src AS node FROM deg),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)
+    {_PR_STEPS}
+    SELECT node, r AS pagerank FROM r5
+    """,
+    "graph",
+    "PageRank centrality over the shared-supplier graph (5 power "
+    "iterations, damping 0.85, 6dp-rounded per iteration so the "
+    "fixpoint is engine-portable): one equi-join + one map-side-"
+    "combining groupBy per iteration — the distributed PageRank "
+    "shape, O(edges) per round",
+)
+
 # ========================================================================= J4
 _add(
     "supplier_neighborhood",
@@ -5398,7 +5438,7 @@ _WINDOW_R10 = [
     # 8-bit scalar-quantized ANN — first driver-green rows wanted
     "corpus_deduped_keep_best", "ann_sq8_topk", "embedding_rp_project",
     "dedup_containment_pairs", "corpus_drop_contained",
-    "benchmark_containment_pairs",
+    "benchmark_containment_pairs", "supplier_pagerank",
     # changed in round 10
     "dedup_minhash_lsh", "corpus_deduped", "training_corpus_pipeline",
     "dedup_family_agreement", "dedup_incremental_pairs_lsh",
@@ -5412,7 +5452,7 @@ _WINDOW_R10 = [
     "doc_tfidf_keywords", "dedup_semantic", "ann_ivfpq_topk",
     "ann_pq_topk", "ann_pq_rerank", "doc_bigram_logprob",
     "benchmark_contamination_fraction",
-    "corpus_vocab_stats", "doc_cross_dup_spans", "top_terms_two_pass",
+    "corpus_vocab_stats", "doc_cross_dup_spans",
     "ann_ivf_topk",
     "ann_ivf_multiprobe", "embedding_kmeans_clusters", "ann_ivf_kmeans",
     "doc_dup_spans", "doc_span_removal", "doc_line_dedup",

@@ -59,3 +59,20 @@ def test_incremental_noop_changeset_keeps_edges(spark):
     out = refresh_edges_incremental(
         edges, lineitem.select("l_partkey", "l_suppkey"), empty, min_shared=3)
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, edges.collect()))
+
+
+def test_pagerank_star_graph(spark):
+    """PageRank invariants on a star: the hub outranks every leaf,
+    leaves tie exactly (symmetric roles + per-iteration rounding),
+    and total mass stays ~1 (no dangling leakage on a symmetric
+    graph)."""
+    from database_convertor_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)], ["supp_a", "supp_b"])
+    rows = {r.node: r.pagerank for r in pagerank(pairs).collect()}
+    assert set(rows) == set(range(7))
+    hub, leaves = rows[0], [rows[i] for i in range(1, 7)]
+    assert all(hub > lv for lv in leaves)
+    assert len(set(leaves)) == 1
+    assert abs(sum(rows.values()) - 1.0) < 1e-4
