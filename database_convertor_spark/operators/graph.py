@@ -142,26 +142,36 @@ def pagerank(pairs: DataFrame, damping: float = 0.85, n_iter: int = 5,
     out-degree >= 1), so the damping term needs no dangling-mass
     redistribution.
 
-    At 5 iterations the plan is a fixed 5-deep join tree (no
-    checkpoint needed); callers iterating to convergence at cluster
-    scale should truncate lineage per round with
+    Lineage discipline: edges/deg are persisted once and each
+    iteration's ranks are persisted and MATERIALIZED before the next
+    builds on them (rank frames are node-sized — tiny), so iteration
+    k+1's plan reads an InMemoryRelation instead of replaying
+    iterations 1..k (an unpersisted loop planned 159 exchanges at 5
+    iterations; persisted it is ~3/iteration). Callers iterating to
+    convergence at cluster scale should graduate to
     ``components.ensure_checkpoint_dir`` + ``checkpoint()``, the CC
-    module's discipline.
+    module's executor-loss-safe discipline.
 
     Output: (node, pagerank) — ranks sum to ~1 over the graph.
     """
+    from pyspark.storagelevel import StorageLevel
+
     edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
              .unionByName(
                  pairs.select(F.col(id_b).alias("src"),
                               F.col(id_a).alias("dst")))
-             .distinct())
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+             .distinct()).persist(StorageLevel.MEMORY_AND_DISK)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
     nodes = deg.select(F.col("src").alias("node"))
     n = nodes.count()
     if n == 0:
+        edges.unpersist()
+        deg.unpersist()
         return nodes.withColumn("pagerank", F.lit(0.0))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("r"))
     base = (1 - damping) / n
+    prev = None
     for _ in range(n_iter):
         contrib = (edges.join(deg, "src")
                    .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -171,5 +181,15 @@ def pagerank(pairs: DataFrame, damping: float = 0.85, n_iter: int = 5,
                  .select("node",
                          F.round(F.lit(base) + F.lit(damping)
                                  * F.coalesce("s", F.lit(0.0)),
-                                 6).alias("r")))
+                                 6).alias("r"))
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+        ranks.count()                  # materialize before stacking
+        if prev is not None:
+            prev.unpersist()
+        prev = ranks
+    # the final ranks frame is materialized in cache; the builder
+    # frames can release their slots (an evicted-final-cache recompute
+    # would replay from source — correct, just cold)
+    edges.unpersist()
+    deg.unpersist()
     return ranks.select("node", F.col("r").alias("pagerank"))

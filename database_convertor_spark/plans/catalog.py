@@ -503,18 +503,24 @@ _add(
     lambda spark, sf: graph.pagerank(
         graph.shared_supplier_pairs(*_t(spark, sf, "lineitem"))),
     f"""
-    WITH ed0 AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-    pairs AS (
+    WITH ed0 AS MATERIALIZED (SELECT DISTINCT l_partkey, l_suppkey
+                              FROM lineitem),
+    pairs AS MATERIALIZED (
       SELECT a.l_suppkey AS supp_a, b.l_suppkey AS supp_b
       FROM ed0 a JOIN ed0 b
         ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
       GROUP BY 1, 2
       HAVING count(DISTINCT a.l_partkey) >= 3),
-    edges AS (SELECT supp_a AS src, supp_b AS dst FROM pairs
-              UNION SELECT supp_b, supp_a FROM pairs),
-    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-    nodes AS (SELECT src AS node FROM deg),
-    nn AS (SELECT count(*) AS n FROM nodes),
+    -- MATERIALIZED: each unrolled iteration references edges/deg, and
+    -- DuckDB would otherwise INLINE (re-execute) the expensive pair
+    -- self-join once per reference — 253 s at sf0.1 inlined vs ~5 s
+    -- materialized; the Spark side persists the same frames
+    edges AS MATERIALIZED (SELECT supp_a AS src, supp_b AS dst FROM pairs
+                           UNION SELECT supp_b, supp_a FROM pairs),
+    deg AS MATERIALIZED (SELECT src, count(*) AS deg
+                         FROM edges GROUP BY src),
+    nodes AS MATERIALIZED (SELECT src AS node FROM deg),
+    nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
     r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)
     {_PR_STEPS}
     SELECT node, r AS pagerank FROM r5
