@@ -1935,6 +1935,96 @@ _add(
 )
 
 
+# ======================================== engine-portable sketches
+from ..operators import sketches as _sketches
+
+_add(
+    "events_hll_users",
+    lambda spark, sf: _sketches.hll_distinct(
+        _t(spark, sf, "events")[0], "user_id", m=256),
+    f"""
+    WITH h AS (
+      SELECT {_MD5_60.format(x='CAST(user_id AS VARCHAR)')} AS h
+      FROM events WHERE user_id IS NOT NULL),
+    r AS (
+      SELECT CAST(h % 256 AS INTEGER) AS register,
+             CAST(CASE WHEN (h >> 8) > 0
+                  THEN 52 - length(bin(h >> 8)) + 1
+                  ELSE 53 END AS INTEGER) AS rho
+      FROM h),
+    regs AS (SELECT register, max(rho) AS max_rho
+             FROM r GROUP BY register),
+    allm AS (SELECT CAST(i AS INTEGER) AS register FROM range(256) t(i)),
+    filled AS (SELECT COALESCE(regs.max_rho, 0) AS max_rho
+               FROM allm LEFT JOIN regs USING (register)),
+    agg AS (SELECT sum(power(2.0, -max_rho)) AS z,
+                   sum(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END) AS v
+            FROM filled)
+    SELECT 256 AS n_registers, CAST(v AS INTEGER) AS n_zero_registers,
+           round(CASE WHEN ((0.7213 / (1 + 1.079 / 256)) * 256 * 256 / z)
+                           <= 2.5 * 256 AND v > 0
+                 THEN CAST(256 AS DOUBLE)
+                      * ln(CAST(256 AS DOUBLE) / v)
+                 ELSE (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / z
+                 END, 2) AS hll_estimate
+    FROM agg
+    """,
+    "sketches,A1-A3",
+    "HyperLogLog distinct users (Flajolet 2007) with ENGINE-PORTABLE "
+    "determinism: md5-derived registers, rho via binary-string length "
+    "(no float log2), dyadic 2^-M register sums (exact in any order) "
+    "— a sketch under the full value-hash gate, not a range check; "
+    "the A1-A3 distinct-count monitoring shape at 100 TB",
+)
+
+_add(
+    "doc_bloom_decontamination",
+    # %97 benchmark-slice convention (benchmark_contamination_fraction)
+    lambda spark, sf: (lambda docs: _sketches.bloom_contamination(
+        docs.filter("doc_id % 97 <> 0"),
+        docs.filter("doc_id % 97 = 0")))(_t(spark, sf, "documents")[0]),
+    f"""
+    WITH bdocs AS (
+      SELECT doc_id, {_TOKS_ALL.format(c='lower(text)')} AS tk
+      FROM documents WHERE doc_id % 97 = 0),
+    bsh AS (SELECT DISTINCT unnest(list_distinct({_SHINGLE5_SQL})) AS e
+            FROM bdocs),
+    bits AS (
+      SELECT DISTINCT CAST({_MD5_60.format(x="e || '#b0'")} % 65536
+                           AS INTEGER) AS pos FROM bsh
+      UNION
+      SELECT CAST({_MD5_60.format(x="e || '#b1'")} % 65536
+                  AS INTEGER) FROM bsh
+      UNION
+      SELECT CAST({_MD5_60.format(x="e || '#b2'")} % 65536
+                  AS INTEGER) FROM bsh),
+    cdocs AS (
+      SELECT doc_id, {_TOKS_ALL.format(c='lower(text)')} AS tk
+      FROM documents WHERE doc_id % 97 <> 0),
+    csh AS (SELECT DISTINCT doc_id,
+                   unnest(list_distinct({_SHINGLE5_SQL})) AS sh
+            FROM cdocs),
+    hits AS (
+      SELECT doc_id, sh FROM csh
+      WHERE CAST({_MD5_60.format(x="sh || '#b0'")} % 65536 AS INTEGER)
+              IN (SELECT pos FROM bits)
+        AND CAST({_MD5_60.format(x="sh || '#b1'")} % 65536 AS INTEGER)
+              IN (SELECT pos FROM bits)
+        AND CAST({_MD5_60.format(x="sh || '#b2'")} % 65536 AS INTEGER)
+              IN (SELECT pos FROM bits))
+    SELECT doc_id, count(*) AS n_hit_shingles
+    FROM hits GROUP BY doc_id
+    """,
+    "sketches,curation",
+    "Bloom-filter decontamination: benchmark 5-shingles set 3 "
+    "md5-salted bits of a 65536-bit filter that broadcasts as a "
+    "position dimension (<= m rows regardless of benchmark size); a "
+    "doc is flagged when a shingle finds ALL its bits set — no false "
+    "negatives, documented FPR, and probing 100 TB is a broadcast "
+    "semi-join instead of a benchmark-corpus join",
+)
+
+
 # ================================ JL random projection (dim reduction)
 _add(
     "embedding_rp_project",
@@ -5440,8 +5530,11 @@ _WINDOW_R9 = [
 #     pricing_summary / market_segment_revenue rotate out (both
 #     hard-green in r9 and many prior rounds).
 _WINDOW_R10 = [
-    # NEW mid-round-10 (head): quality-aware dedup representative and
-    # 8-bit scalar-quantized ANN — first driver-green rows wanted
+    # NEW mid-round-10 (head): engine-portable sketches (md5-register
+    # HyperLogLog, broadcast-dim Bloom decontamination), quality-aware
+    # dedup representative and 8-bit scalar-quantized ANN — first
+    # driver-green rows wanted
+    "events_hll_users", "doc_bloom_decontamination",
     "corpus_deduped_keep_best", "ann_sq8_topk", "embedding_rp_project",
     "dedup_containment_pairs", "corpus_drop_contained",
     "benchmark_containment_pairs", "supplier_pagerank",
@@ -5463,7 +5556,8 @@ _WINDOW_R10 = [
     "ann_ivf_multiprobe", "embedding_kmeans_clusters", "ann_ivf_kmeans",
     "doc_dup_spans", "doc_span_removal", "doc_line_dedup",
     "doc_lm_logprob", "doc_dsir_weights", "doc_perplexity_buckets",
-    "doc_chunks", "doc_token_counts",
+    # doc_chunks / doc_token_counts rotate out (hard-green since r2,
+    # unchanged code) to hold the window at 50
     "dedup_embedding_cosine", "dedup_winnowing",
     "training_shard_packing", "orders_page_keyset",
     "corpus_unimax_allocation", "fuzzy_match_customers",
