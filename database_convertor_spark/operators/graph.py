@@ -193,3 +193,65 @@ def pagerank(pairs: DataFrame, damping: float = 0.85, n_iter: int = 5,
     edges.unpersist()
     deg.unpersist()
     return ranks.select("node", F.col("r").alias("pagerank"))
+
+
+def triangle_counts(pairs: DataFrame, id_a: str = "supp_a",
+                    id_b: str = "supp_b") -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected edge list — the cohesion upgrade of the shared-officer
+    network (reference database.py:666-695 materializes raw edges
+    only): which suppliers sit inside tightly-interlocked cliques vs
+    merely touching many others.
+
+    Scale design — DEGREE-ORDERED ORIENTATION (Suri & Vassilvitskii
+    2011, "the curse of the last reducer"; public methodology): each
+    edge is directed from its lower-(degree, id) endpoint to the
+    higher, wedges are generated only at each edge's LOW-degree end,
+    and a wedge closes into a triangle iff its two far endpoints are
+    an edge. Wedge fan-out per node is then bounded by its ORIENTED
+    out-degree — O(sqrt(m)) max instead of max raw degree — so a
+    celebrity node (the exact skew that kills naive triangle joins)
+    generates almost no wedges; total work is O(m^1.5) worst case,
+    shuffled as two equi-joins, never a node-keyed quadratic blowup.
+    Every triangle is counted exactly once, at its minimum-order
+    vertex.
+
+    Output: (node, deg, n_triangles, clustering_coeff) for every node
+    of the graph; clustering_coeff = 2T / deg(deg-1) rounded to 6dp
+    (the one float step, rounded far above ulp divergence).
+    """
+    edges = (pairs.select(F.least(id_a, id_b).alias("u"),
+                          F.greatest(id_a, id_b).alias("v"))
+             .filter(F.col("u") != F.col("v")).distinct())
+    deg = (edges.select(F.col("u").alias("node"))
+           .unionByName(edges.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("deg")))
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    e = edges.join(du, "u").join(dv, "v")
+    u_first = (F.col("du") < F.col("dv")) | \
+        ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"))
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    # wedge far-pair emitted in NODE-ID order so it joins the canonical
+    # (u < v) edge set directly, whatever the closing edge's own
+    # degree orientation is
+    wedges = (o1.join(o2, (F.col("o1.src") == F.col("o2.src"))
+                      & (F.col("o1.dst") < F.col("o2.dst")))
+              .select(F.col("o1.src").alias("x"),
+                      F.col("o1.dst").alias("a"),
+                      F.col("o2.dst").alias("b")))
+    closure = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    tris = wedges.join(closure, ["a", "b"])
+    per_node = (tris.select(F.explode(F.array("x", "a", "b")).alias("node"))
+                .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
+    t = F.coalesce("n_triangles", F.lit(0)).cast("bigint")
+    return (deg.join(per_node, "node", "left")
+            .select("node", "deg", t.alias("n_triangles"),
+                    F.when(F.col("deg") >= 2,
+                           F.round(F.lit(2.0) * t
+                                   / (F.col("deg")
+                                      * (F.col("deg") - F.lit(1.0))), 6))
+                    .otherwise(F.lit(0.0)).alias("clustering_coeff")))

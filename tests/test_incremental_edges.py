@@ -76,3 +76,49 @@ def test_pagerank_star_graph(spark):
     assert all(hub > lv for lv in leaves)
     assert len(set(leaves)) == 1
     assert abs(sum(rows.values()) - 1.0) < 1e-4
+
+
+def test_triangle_counts_match_bruteforce(spark):
+    """Degree-ordered orientation must count exactly the triangles a
+    brute-force driver-side enumeration finds, with the textbook
+    clustering coefficient."""
+    from itertools import combinations
+
+    from database_convertor_spark.operators.graph import triangle_counts
+
+    lineitem = read_table(spark, SF_SMALL, "lineitem")
+    pairs = shared_supplier_pairs(lineitem, min_shared=2)
+    adj: dict[int, set[int]] = {}
+    for r in pairs.collect():
+        adj.setdefault(r.supp_a, set()).add(r.supp_b)
+        adj.setdefault(r.supp_b, set()).add(r.supp_a)
+    want_tri = {n: 0 for n in adj}
+    for n, nbrs in adj.items():
+        for a, b in combinations(sorted(nbrs), 2):
+            if b in adj.get(a, ()):  # triangle (n, a, b)
+                want_tri[n] += 1
+    # each triangle visited once per vertex above -> already per-node
+    got = {r.node: (r.deg, r.n_triangles, r.clustering_coeff)
+           for r in triangle_counts(pairs).collect()}
+    assert set(got) == set(adj)
+    for n in adj:
+        deg, t, cc = got[n]
+        assert deg == len(adj[n])
+        assert t == want_tri[n], (n, t, want_tri[n])
+        want_cc = (round(2.0 * want_tri[n] / (deg * (deg - 1)), 6)
+                   if deg >= 2 else 0.0)
+        assert abs(cc - want_cc) < 1e-9
+
+
+def test_triangle_counts_orientation_invariant(spark):
+    """Feeding the edge list with endpoints swapped (id_b < id_a) must
+    give identical results — canonicalization is internal."""
+    from database_convertor_spark.operators.graph import triangle_counts
+
+    lineitem = read_table(spark, SF_SMALL, "lineitem")
+    pairs = shared_supplier_pairs(lineitem, min_shared=2)
+    flipped = pairs.select(F.col("supp_b").alias("supp_a"),
+                           F.col("supp_a").alias("supp_b"))
+    a = {tuple(r) for r in triangle_counts(pairs).collect()}
+    b = {tuple(r) for r in triangle_counts(flipped).collect()}
+    assert a == b
