@@ -125,3 +125,62 @@ def bloom_contamination(documents: DataFrame, benchmark: DataFrame,
         probed = p if probed is None else probed.intersect(p)
     return (probed.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_hit_shingles")))
+
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 64) -> DataFrame:
+    """The k smallest distinct md5 hash values of ``col`` — the KMV
+    (k-minimum-values) distinct sketch (Bar-Yossef et al. 2002,
+    public). Mergeable (k smallest of a union of sketches) and, unlike
+    HLL, INTERSECTABLE: the k smallest union hashes are a uniform
+    sample of the union, so shared membership estimates Jaccard.
+    One distinct-shuffle on the hash + a TakeOrdered top-k — never a
+    global sort."""
+    h = md5_long(F.col(col).cast("string"))
+    return (df.filter(F.col(col).isNotNull())
+            .select(h.alias("h")).distinct()
+            .orderBy("h").limit(k))
+
+
+def _kmv_est(n, hm, k: int):
+    """Distinct estimate from sketch size ``n`` and kth-smallest hash
+    ``hm``: exact below k (the sketch IS the distinct set), else the
+    classic (k-1)/U_(k) with U normalized over the 60-bit hash space.
+    int->double and one IEEE division — bit-identical across engines."""
+    full = F.lit(float(k - 1)) * F.lit(1152921504606846976.0) / hm
+    return F.when(n < k, n.cast("double")).otherwise(full)
+
+
+def kmv_overlap(df_a: DataFrame, df_b: DataFrame, col: str,
+                k: int = 64) -> DataFrame:
+    """One-row KMV set-overlap estimate between ``col``'s distinct
+    values in two frames: (k, est_a, est_b, est_union, jaccard_est,
+    est_intersection). Jaccard is the shared-membership fraction of
+    the k-smallest-union sample (denominator = union sketch size, so
+    below k everything degrades to EXACT set arithmetic); the
+    intersection estimate is jaccard x union — the inclusion-
+    exclusion-free route HLL cannot take. All joins are over <=k-row
+    frames; the only corpus-sized work is the two hash distincts."""
+    sa = kmv_sketch(df_a, col, k).withColumn("in_a", F.lit(1))
+    sb = kmv_sketch(df_b, col, k).withColumn("in_b", F.lit(1))
+    un = (sa.select("h").unionByName(sb.select("h")).distinct()
+          .orderBy("h").limit(k))
+    joined = un.join(sa, "h", "left").join(sb, "h", "left")
+    stats_a = sa.agg(F.count(F.lit(1)).alias("na"),
+                     F.max("h").alias("ha"))
+    stats_b = sb.agg(F.count(F.lit(1)).alias("nb"),
+                     F.max("h").alias("hb"))
+    stats_u = joined.agg(
+        F.count(F.lit(1)).alias("nu"), F.max("h").alias("hu"),
+        F.sum(F.when(F.col("in_a").isNotNull()
+                     & F.col("in_b").isNotNull(), 1)
+              .otherwise(0)).alias("n_both"))
+    row = stats_u.crossJoin(stats_a).crossJoin(stats_b)  # 1x1x1 rows
+    est_u = _kmv_est(F.col("nu"), F.col("hu"), k)
+    jacc = F.col("n_both") / F.col("nu")
+    return row.select(
+        F.lit(k).alias("k"),
+        F.round(_kmv_est(F.col("na"), F.col("ha"), k), 2).alias("est_a"),
+        F.round(_kmv_est(F.col("nb"), F.col("hb"), k), 2).alias("est_b"),
+        F.round(est_u, 2).alias("est_union"),
+        F.round(jacc, 6).alias("jaccard_est"),
+        F.round(jacc * est_u, 2).alias("est_intersection"))

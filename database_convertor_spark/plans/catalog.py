@@ -2070,6 +2070,55 @@ _add(
     "semi-join instead of a benchmark-corpus join",
 )
 
+_add(
+    "events_kmv_overlap",
+    lambda spark, sf: (lambda ev: _sketches.kmv_overlap(
+        ev.filter("event_type = 'click'"),
+        ev.filter("event_type = 'purchase'"),
+        "user_id", k=64))(_t(spark, sf, "events")[0]),
+    f"""
+    WITH sa AS (
+      SELECT DISTINCT {_MD5_60.format(x='CAST(user_id AS VARCHAR)')} AS h
+      FROM events WHERE event_type = 'click' AND user_id IS NOT NULL
+      ORDER BY h LIMIT 64),
+    sb AS (
+      SELECT DISTINCT {_MD5_60.format(x='CAST(user_id AS VARCHAR)')} AS h
+      FROM events WHERE event_type = 'purchase' AND user_id IS NOT NULL
+      ORDER BY h LIMIT 64),
+    un AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+           ORDER BY h LIMIT 64),
+    sta AS (SELECT count(*) AS na, max(h) AS ha FROM sa),
+    stb AS (SELECT count(*) AS nb, max(h) AS hb FROM sb),
+    stu AS (
+      SELECT count(*) AS nu, max(un.h) AS hu,
+             sum(CASE WHEN un.h IN (SELECT h FROM sa)
+                       AND un.h IN (SELECT h FROM sb)
+                  THEN 1 ELSE 0 END) AS n_both
+      FROM un)
+    SELECT 64 AS k,
+           round(CASE WHEN na < 64 THEN CAST(na AS DOUBLE)
+                 ELSE 63.0 * 1152921504606846976.0 / ha END, 2) AS est_a,
+           round(CASE WHEN nb < 64 THEN CAST(nb AS DOUBLE)
+                 ELSE 63.0 * 1152921504606846976.0 / hb END, 2) AS est_b,
+           round(CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+                 ELSE 63.0 * 1152921504606846976.0 / hu END, 2)
+             AS est_union,
+           round(CAST(n_both AS DOUBLE) / nu, 6) AS jaccard_est,
+           round((CAST(n_both AS DOUBLE) / nu)
+                 * CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+                   ELSE 63.0 * 1152921504606846976.0 / hu END, 2)
+             AS est_intersection
+    FROM stu, sta, stb
+    """,
+    "sketches,A1-A3",
+    "KMV (k-minimum-values) set-overlap sketch (Bar-Yossef 2002): "
+    "distinct / union / Jaccard / INTERSECTION estimates between "
+    "click and purchase user sets from two 64-hash sketches — the "
+    "intersect-capable sketch HLL is not; corpus-sized work is two "
+    "hash distincts + TakeOrdered top-k, every downstream join is "
+    "over <=k rows",
+)
+
 
 # ================================ JL random projection (dim reduction)
 _add(
@@ -5581,6 +5630,7 @@ _WINDOW_R10 = [
     # dedup representative and 8-bit scalar-quantized ANN — first
     # driver-green rows wanted
     "events_hll_users", "doc_bloom_decontamination", "supplier_triangles",
+    "events_kmv_overlap",
     "corpus_deduped_keep_best", "ann_sq8_topk", "embedding_rp_project",
     "dedup_containment_pairs", "corpus_drop_contained",
     "benchmark_containment_pairs", "supplier_pagerank",
@@ -5601,12 +5651,13 @@ _WINDOW_R10 = [
     "ann_ivf_topk",
     "ann_ivf_multiprobe", "embedding_kmeans_clusters", "ann_ivf_kmeans",
     "doc_dup_spans", "doc_span_removal", "doc_line_dedup",
-    "doc_lm_logprob", "doc_dsir_weights", "doc_perplexity_buckets",
+    "doc_lm_logprob", "doc_dsir_weights",
     # doc_chunks / doc_token_counts rotate out (hard-green since r2,
     # unchanged code) to hold the window at 50
     "dedup_embedding_cosine", "dedup_winnowing",
-    # orders_page_keyset rotates out (hard-green + plan-asserted in
-    # pytest) to hold the window at 50
+    # orders_page_keyset (hard-green + plan-asserted in pytest) and
+    # doc_perplexity_buckets (hard-green since r4, unchanged code)
+    # rotate out to hold the window at 50
     "training_shard_packing",
     "corpus_unimax_allocation", "fuzzy_match_customers",
 ]

@@ -68,3 +68,39 @@ def test_bloom_has_no_false_negatives(spark):
     flagged = {r.doc_id for r in
                bloom_contamination(corp, bench).collect()}
     assert truth <= flagged
+
+
+def test_kmv_exact_below_k(spark):
+    """With fewer than k distinct values the sketch IS the distinct
+    set: every estimate must be exact, jaccard the true Jaccard."""
+    from database_convertor_spark.operators.sketches import kmv_overlap
+
+    ev = read_table(spark, SF_SMALL, "events")
+    a = ev.filter("event_type = 'click'")
+    b = ev.filter("event_type = 'purchase'")
+    na = a.select("user_id").distinct().count()
+    nb = b.select("user_id").distinct().count()
+    nu = a.select("user_id").unionByName(
+        b.select("user_id")).distinct().count()
+    ni = (a.select("user_id").distinct()
+          .intersect(b.select("user_id").distinct()).count())
+    row = kmv_overlap(a, b, "user_id", k=4096).first()
+    assert row.est_a == na and row.est_b == nb
+    assert row.est_union == nu
+    assert abs(row.est_intersection - ni) < 0.51
+    assert abs(row.jaccard_est - ni / nu) < 1e-6
+
+
+def test_kmv_estimate_envelope(spark):
+    """Past the exact regime, the (k-1)/U_(k) estimator with k=64 has
+    ~12.5% standard error; pin a 35% envelope (deterministic md5 —
+    can never flake)."""
+    from database_convertor_spark.operators.sketches import (
+        kmv_overlap, kmv_sketch)
+
+    ev = read_table(spark, SF_SMALL, "events")
+    exact = ev.select("event_id").distinct().count()
+    assert exact > 64  # estimator regime, not the exact one
+    row = kmv_overlap(ev, ev.limit(0), "event_id", k=64).first()
+    assert abs(row.est_a - exact) / exact < 0.35, (row.est_a, exact)
+    assert kmv_sketch(ev, "event_id", k=64).count() == 64
