@@ -1141,6 +1141,64 @@ def srp_band_keys(vec: Column, dim: int, nbits: int = SRP_BITS,
     return F.array(*bands)
 
 
+def _srp_signatures(e: DataFrame, dim: int, nbits: int,
+                    band_bits: int) -> DataFrame:
+    """(vec_id, _emb, _bands) with ``_bands`` computed by an
+    Arrow-batched numpy kernel — bit-identical to
+    ``srp_band_keys`` (guide §4.2: the per-bit
+    ``aggregate(zip_with(...))`` expression tree is interpreted
+    CodegenFallback, ~nbits x dim boxed ops per row; the numpy kernel
+    does the same arithmetic as ``dim`` vectorized fused rank-2
+    updates per batch). Equivalence argument, pinned by
+    ``test_srp_numpy_signatures_match_expression``:
+
+    - products: the hyperplane entries are exactly +-1.0, so
+      ``a * b`` is an exact sign flip in both engines;
+    - fold order: the expression computes
+      ``acc = (((0 + v0*s0) + v1*s1) + ...)`` left to right; the
+      kernel accumulates ``acc += V[:, d] * s[d]`` over d in the same
+      order — identical IEEE-double operation sequence;
+    - sign test: the expression tests ``round(dot, 6) >= 0`` where
+      Catalyst rounds via BigDecimal.valueOf (shortest-roundtrip
+      decimal, HALF_UP). Because shortest-roundtrip reprs of
+      distinct doubles are distinct and order-preserving, and the
+      double nearest -5e-7 reprs to exactly "-5e-07",
+      ``round(dot, 6) >= 0  <=>  dot > -5e-7`` for every double
+      (boundary doubles fuzz-checked in the test).
+
+    A side benefit at scale: the hyperplane signs live in the
+    function closure, not as nbits x dim plan literals, so long
+    re-bandings (nbits=480) no longer pay plan-build/codegen cost.
+    """
+    import pandas as pd
+
+    signs = srp_signs(dim, nbits)
+    id_type = dict(e.dtypes)["vec_id"]
+    n_bands = nbits // band_bits
+
+    def bands(batches):
+        import numpy as np
+
+        S = np.asarray(signs)                      # (nbits, dim)
+        shifts = 1 << np.arange(band_bits, dtype=np.int64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.vstack(pdf["_emb"].to_numpy())  # (n, dim) float64
+            acc = np.zeros((len(V), nbits))
+            for d in range(dim):                   # exact left fold
+                acc += V[:, d, None] * S[:, d]
+            bits = acc > -5e-7                     # == round(.,6) >= 0
+            vals = (bits.reshape(len(V), n_bands, band_bits)
+                    * shifts).sum(axis=2).astype("int32")
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "_emb": pdf["_emb"],
+                                "_bands": list(vals)})
+
+    return e.mapInPandas(
+        bands, f"vec_id {id_type}, _emb array<double>, _bands array<int>")
+
+
 def embedding_srp_pairs(embeddings: DataFrame,
                         threshold: float = 0.95,
                         dim: int | None = None,
@@ -1233,10 +1291,7 @@ def embedding_srp_pairs(embeddings: DataFrame,
     e = spread(embeddings).select(
         "vec_id",
         F.col("embedding").cast("array<double>").alias("_emb"))
-    sigs = e.select(
-        "vec_id", "_emb",
-        srp_band_keys(F.col("_emb"), dim, nbits=nbits,
-                      band_bits=band_bits).alias("_bands"))
+    sigs = _srp_signatures(e, dim, nbits=nbits, band_bits=band_bits)
     sigs = swap_persisted(
         "srp_sigs", sigs.persist(StorageLevel.MEMORY_AND_DISK))
     banded = sigs.select(

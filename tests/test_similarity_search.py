@@ -140,6 +140,38 @@ def test_ivf_kmeans_multiprobe_recall_beats_chance(spark):
     assert len(approx & exact) / len(exact) >= 0.4  # chance = 0.25
 
 
+def test_srp_numpy_signatures_match_expression(spark):
+    """The r10 Arrow-batched SRP signature kernel is bit-identical to
+    the ``srp_band_keys`` expression path it replaced (same fold
+    order, exact +-1 products, round(.,6)>=0 == dot > -5e-7): every
+    fixture vector, the planted near-twins included, gets the same
+    band keys from both engines."""
+    from database_convertor_spark.operators.dedup import (
+        _srp_signatures,
+        srp_band_keys,
+    )
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    twin = F.concat(F.array(F.lit(0.0).cast("float")),
+                    F.slice(F.col("embedding"), 2, 63))
+    base = (emb.select("vec_id", "embedding")
+            .unionByName(emb.filter(F.col("vec_id") < 100)
+                         .select((F.col("vec_id") + 100000).alias("vec_id"),
+                                 twin.alias("embedding"))))
+    e = base.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_emb"))
+    want = {r.vec_id: list(r.b) for r in e.select(
+        "vec_id", srp_band_keys(F.col("_emb"), 64).alias("b")).collect()}
+    got = {r.vec_id: list(r._bands)
+           for r in _srp_signatures(e, 64, 128, 16).collect()}
+    assert got == want
+    # the kernel must also round-trip the vectors unchanged
+    back = {r.vec_id: list(r._emb)
+            for r in _srp_signatures(e, 64, 128, 16).collect()}
+    orig = {r.vec_id: list(r._emb) for r in e.collect()}
+    assert back == orig
+
+
 def test_srp_pairs_recover_planted_twins_without_labels(spark):
     """SRP-LSH embedding near-dup: scaled twins (cosine exactly 1.0)
     produce IDENTICAL signatures, so recall on them is certain — and
