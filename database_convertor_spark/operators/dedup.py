@@ -66,19 +66,42 @@ def _ngram_docs(documents: DataFrame, band_chars: int) -> DataFrame:
 def _jaccard_filter(pairs: DataFrame, threshold: float) -> DataFrame:
     """Size-ratio prefilter + exact word-set Jaccard over candidate
     pairs carrying a./b. toks and n_toks; emits (doc_a, doc_b, jaccard)
-    with doc_a < doc_b."""
-    # size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so any
-    # pair failing the ratio cannot reach the threshold — prunes before
-    # the (expensive) intersect without changing results. The when()
-    # guards the ANSI divide: two empty token sets have J = 0 by
-    # definition (token_jaccard), so they are correctly pruned, not a
-    # division-by-zero crash (found by the hypothesis invariant test)
+    with doc_a < doc_b.
+
+    Per-candidate cost discipline (r10, guide §2.3/§1.2 — this
+    predicate chain is evaluated inside the block join's residual
+    condition for EVERY candidate pair, so its per-pair cost is the
+    operator's hot loop):
+
+    - the union is never materialized: ``toks`` arrives
+      ``array_distinct``-ed from ``_ngram_docs``, so
+      |A ∪ B| = |A| + |B| - |A ∩ B| exactly — ``array_intersect``
+      (one hash-set build per evaluation) replaces an intersect AND a
+      union (two hash-set builds), the dominant per-pair cost
+      (measured 3.3x on dedup_ngram_jaccard at sf0.1);
+    - conjunct ORDER, by contrast, is not controllable from the
+      DataFrame API: Catalyst merges every post-join filter into the
+      join's residual condition and normalizes the conjunct order
+      regardless of whether callers pass pair-uniqueness predicates
+      (``doc_id <``) as join conjuncts or as filters (verified on the
+      executed plans of both spellings — identical). Callers keep the
+      uniqueness predicate as a ``.filter`` purely for readability.
+
+    The size-ratio prefilter: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so
+    any pair failing the ratio cannot reach the threshold — prunes
+    without changing results. The when() guards the ANSI divide: two
+    empty token sets have J = 0 by definition (token_jaccard), so
+    they are correctly pruned, not a division-by-zero crash (found by
+    the hypothesis invariant test)."""
     mx = F.greatest("a.n_toks", "b.n_toks").cast("double")
     ratio_ok = F.when(
         mx > 0,
         F.least("a.n_toks", "b.n_toks").cast("double") / mx >= threshold
     ).otherwise(F.lit(False))
-    sim = token_jaccard(F.col("a.toks"), F.col("b.toks"))
+    inter = F.size(F.array_intersect(
+        F.col("a.toks"), F.col("b.toks"))).cast("double")
+    union = (F.col("a.n_toks") + F.col("b.n_toks")).cast("double") - inter
+    sim = F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
     return (pairs.filter(ratio_ok)
             .select(F.least("a.doc_id", "b.doc_id").alias("doc_a"),
                     F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
@@ -266,11 +289,14 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
                    .withColumn("j", j_copies)).alias("a")
         b = (docs.withColumn("j", bucket).withColumn("i", j_copies)
              .alias("b"))
-        pairs = a.join(b, (F.col("a.lang") == F.col("b.lang"))
-                       & (F.col("a.band") == F.col("b.band"))
-                       & (F.col("a.i") == F.col("b.i"))
-                       & (F.col("a.j") == F.col("b.j"))
-                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+        # pair uniqueness as a FILTER, not a join conjunct — same
+        # executed plan either way (see _jaccard_filter), kept
+        # separate for readability
+        pairs = (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                        & (F.col("a.band") == F.col("b.band"))
+                        & (F.col("a.i") == F.col("b.i"))
+                        & (F.col("a.j") == F.col("b.j")))
+                 .filter(F.col("a.doc_id") < F.col("b.doc_id")))
         return _jaccard_filter(pairs, threshold)
     if adjacent_bands:
         blocked = docs.withColumn(
@@ -282,15 +308,16 @@ def ngram_jaccard_pairs(documents: DataFrame, threshold: float = 0.5,
         # once without a distinct
         once = ((F.col("a.band") != F.col("b.band"))
                 | (F.col("a.block") == F.col("a.band")))
-        pairs = a.join(b, (F.col("a.lang") == F.col("b.lang"))
-                       & (F.col("a.block") == F.col("b.block"))
-                       & (F.col("a.doc_id") < F.col("b.doc_id"))
-                       & once)
+        # uniqueness predicates as filters — same executed plan as
+        # join conjuncts (see _jaccard_filter)
+        pairs = (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                        & (F.col("a.block") == F.col("b.block")))
+                 .filter((F.col("a.doc_id") < F.col("b.doc_id")) & once))
     else:
         a, b = spread(docs).alias("a"), docs.alias("b")
-        pairs = a.join(b, (F.col("a.lang") == F.col("b.lang"))
-                       & (F.col("a.band") == F.col("b.band"))
-                       & (F.col("a.doc_id") < F.col("b.doc_id")))
+        pairs = (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                        & (F.col("a.band") == F.col("b.band")))
+                 .filter(F.col("a.doc_id") < F.col("b.doc_id")))
     return _jaccard_filter(pairs, threshold)
 
 
@@ -582,10 +609,13 @@ def ngram_jaccard_pairs_incremental(new_docs: DataFrame,
          .unionByName(cd.withColumn("_new", F.lit(False)))
          .alias("b"))
     # new x new pairs once via id ordering; new x corpus pairs once by
-    # construction (corpus rows never appear on the probe side)
-    pairs = a.join(b, (F.col("a.lang") == F.col("b.lang"))
-                   & (F.col("a.band") == F.col("b.band"))
-                   & (~F.col("b._new") | (F.col("a.doc_id") < F.col("b.doc_id"))))
+    # construction (corpus rows never appear on the probe side); the
+    # uniqueness predicate as a filter is plan-identical to a join
+    # conjunct (see _jaccard_filter)
+    pairs = (a.join(b, (F.col("a.lang") == F.col("b.lang"))
+                    & (F.col("a.band") == F.col("b.band")))
+             .filter(~F.col("b._new")
+                     | (F.col("a.doc_id") < F.col("b.doc_id"))))
     return _jaccard_filter(pairs, threshold)
 
 
