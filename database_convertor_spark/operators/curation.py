@@ -591,9 +591,11 @@ def mixture_sample(documents: DataFrame,
 
 
 # -------------------------------------------------- sequence packing
-def assign_chunk_bins(chunks: DataFrame, documents: DataFrame,
+def assign_chunk_bins(chunks: DataFrame, documents: DataFrame | None,
                       budget: int = 512, n_shards: int = 4,
-                      salt: str = "pack") -> DataFrame:
+                      salt: str = "pack",
+                      extra_partition_cols: tuple[str, ...] = ()
+                      ) -> DataFrame:
     """Training-shard sequence packing: assign token chunks to
     fixed-token-budget bins by contiguous concatenation (the GPT-style
     pack-then-split discipline: chunks are laid end-to-end in
@@ -612,13 +614,25 @@ def assign_chunk_bins(chunks: DataFrame, documents: DataFrame,
     Output: the input chunk columns + (lang, shard, bin_id) — the
     write path partitions by (lang, shard) and sorts by bin_id to lay
     training shards on disk.
+
+    ``documents=None`` skips the lang join when ``chunks`` already
+    carries a ``lang`` column (a chunker that carried it through —
+    one corpus pass instead of a re-join against the document
+    frame's lineage). ``extra_partition_cols`` extends the packing
+    window's partition key (e.g. a train/val ``split`` column): the
+    running offset then restarts per extra-key value, so a fused
+    single-pass run reproduces EXACTLY the bins of one run per value.
     """
-    lang = documents.select("doc_id", "lang")
+    if documents is None:
+        c = chunks
+    else:
+        lang = documents.select("doc_id", "lang")
+        c = chunks.join(lang, "doc_id")
     shard = (md5_long(F.concat(F.lit(salt),
                                F.col("doc_id").cast("string")))
              % n_shards).alias("shard")
-    c = chunks.join(lang, "doc_id").withColumn("shard", shard)
-    w = (Window.partitionBy("lang", "shard")
+    c = c.withColumn("shard", shard)
+    w = (Window.partitionBy(*extra_partition_cols, "lang", "shard")
          .orderBy("doc_id", "chunk_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum("n_tokens").over(w)
@@ -658,7 +672,8 @@ def redact_documents(documents: DataFrame) -> DataFrame:
 
 # ----------------------------------------------------- document chunking
 def chunk_documents(documents: DataFrame, chunk_tokens: int = 128,
-                    overlap: int = 16) -> DataFrame:
+                    overlap: int = 16,
+                    carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Split each document into <=``chunk_tokens``-token chunks with
     ``overlap`` tokens of context carried between neighbors — the
     sequence-packing precursor every training pipeline runs. One
@@ -667,10 +682,15 @@ def chunk_documents(documents: DataFrame, chunk_tokens: int = 128,
 
     A trailing chunk fully contained in its predecessor (start >
     n - overlap) is not emitted. Output: (doc_id, chunk_id, n_tokens,
-    chunk_text)."""
+    chunk_text) plus any ``carry_cols`` — per-document columns copied
+    onto every chunk row (lets a caller chunk several logical
+    sub-corpora, e.g. train and val, in ONE pass instead of one pass
+    per label — chunking is per-row, so the fused output restricted
+    to a label equals that label's separate run)."""
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
+    carry = list(carry_cols)
     toks = tokens(F.col("text"))
     # tokenize ONCE per doc in a projection below the explode: written
     # in the same select as the generator, the token array would be
@@ -678,20 +698,20 @@ def chunk_documents(documents: DataFrame, chunk_tokens: int = 128,
     # Generate-parent plan audit's finding — same bug class as the
     # doc_nb_quality scan fix)
     base = documents.select("doc_id", toks.alias("_tk"),
-                            F.size(toks).alias("_n"))
+                            F.size(toks).alias("_n"), *carry)
     n = F.col("_n")
     starts = F.filter(
         F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride)),
         lambda s: (s == 1) | (s + overlap <= n))
     return (base
-            .select("doc_id", "_tk",
+            .select("doc_id", "_tk", *carry,
                     F.posexplode(starts).alias("chunk_id", "start"))
             .select("doc_id", "chunk_id",
                     F.size(F.slice(F.col("_tk"), F.col("start"),
                                    chunk_tokens)).alias("n_tokens"),
                     F.array_join(F.slice(F.col("_tk"), F.col("start"),
                                          chunk_tokens), " ")
-                    .alias("chunk_text")))
+                    .alias("chunk_text"), *carry))
 
 
 # ----------------------------------------------- leakage-safe train split
@@ -721,11 +741,24 @@ def leakage_safe_split(documents: DataFrame, pairs: DataFrame | None = None,
         clusters = dedup_clusters(pairs, "doc_a", "doc_b")
     clusters = clusters.select("doc_id", "cluster_id")
     labeled = documents.select("doc_id").join(clusters, "doc_id", "left")
-    key = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
-    gate = md5_long(F.concat(F.lit(salt), key.cast("string"))) % 1_000_000
-    split = F.when(gate < int(val_frac * 1_000_000),
-                   F.lit("val")).otherwise(F.lit("train"))
+    split = split_expr(F.col("cluster_id"), F.col("doc_id"),
+                       val_frac, salt)
     return labeled.select("doc_id", split.alias("split"))
+
+
+def split_expr(cluster_id: Column, doc_id: Column, val_frac: float,
+               salt: str = "split") -> Column:
+    """The leakage-safe train/val gate as a bare Column — identical
+    values to ``leakage_safe_split``. For callers that already joined
+    the cluster map onto the document frame: computing the label
+    in-place avoids re-executing the document lineage a second time
+    inside a separate (doc_id, split) frame (the split frame is
+    derived FROM the documents, so joining it back doubles the
+    upstream subtree in one plan)."""
+    key = F.coalesce(cluster_id, doc_id)
+    gate = md5_long(F.concat(F.lit(salt), key.cast("string"))) % 1_000_000
+    return F.when(gate < int(val_frac * 1_000_000),
+                  F.lit("val")).otherwise(F.lit("train"))
 
 
 # ------------------------------------------- quality-threshold selection

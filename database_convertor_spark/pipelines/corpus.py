@@ -243,6 +243,22 @@ def prepare_training_corpus(documents: DataFrame, *,
             kept, window=cut_dup_spans).drop("n_tokens_removed")
     if benchmark is not None:
         kept = curation.decontaminate(kept, benchmark)
+    # persist the hygiene chain's output (r10, guide §5): it is
+    # consumed by the pair join (materialized inside the components
+    # checkpoint), by the curated anti-join, and by the labeled frame
+    # — without the persist each consumer re-runs
+    # gopher+redact+line-dedup from the scan (~2.6 s per re-execution
+    # profiled at sf0.1; A/B of the full query: 10.6 s -> 7.2 s).
+    # Slot-bounded (one cached frame per session slot, released on the
+    # next different-plan swap) so repeated invocations never
+    # accumulate executor cache
+    from pyspark.storagelevel import StorageLevel
+
+    from ..plans.persist_slots import swap_persisted
+
+    kept = swap_persisted(
+        "training_pipeline_kept",
+        kept.persist(StorageLevel.MEMORY_AND_DISK))
     # budget-estimate on the raw scan, not the multi-stage `kept`
     # sub-plan (the gate's one histogram aggregate would otherwise
     # eagerly execute the whole hygiene chain an extra time); raw
@@ -258,20 +274,42 @@ def prepare_training_corpus(documents: DataFrame, *,
     if temperature_alpha is not None:
         curated = curation.temperature_sample(
             curated, alpha=temperature_alpha, null_stratum=True)
-    split = curation.leakage_safe_split(curated, val_frac=val_frac,
-                                        clusters=clusters)
-    labeled = curated.join(split, "doc_id")
-    train = labeled.filter(F.col("split") == "train").drop("split")
-    val = labeled.filter(F.col("split") == "val").drop("split")
+    # the split label as an IN-PLACE column (r10, guide §2.4/§1.2):
+    # the previous shape — leakage_safe_split builds a (doc_id, split)
+    # frame FROM curated, then curated joins it back — put the whole
+    # hygiene+anti-join subtree into `labeled` TWICE (once directly,
+    # once inside the split frame) and paid a join. One left join
+    # against the (checkpointed, cheap) cluster map + the same gate
+    # expression yields identical rows: the split frame's doc_ids are
+    # exactly curated's, so the inner join was a left join in disguise
+    labeled = (curated
+               .join(clusters.select("doc_id", "cluster_id"),
+                     "doc_id", "left")
+               .withColumn("split", curation.split_expr(
+                   F.col("cluster_id"), F.col("doc_id"), val_frac))
+               .drop("cluster_id"))
     if chunk_tokens is not None:
-        docs_for_lang = curated.select("doc_id", "lang")
-        train = curation.chunk_documents(train, chunk_tokens, overlap)
-        val = curation.chunk_documents(val, chunk_tokens, overlap)
+        # fused single-pass chunk+pack (r10): chunking is per-row and
+        # the packing window restarts per (split, lang, shard), so
+        # chunking the labeled frame ONCE with the split carried
+        # through produces bit-identical train/val chunks to one
+        # chunk+pack pass per side — at half the executions of the
+        # hygiene/dedup subtree (profiled 2.6 s per re-execution at
+        # sf0.1)
+        carry = ("split", "lang") if pack_budget is not None else ("split",)
+        chunks_all = curation.chunk_documents(
+            labeled, chunk_tokens, overlap, carry_cols=carry)
         if pack_budget is not None:
-            train = curation.assign_chunk_bins(
-                train, docs_for_lang, budget=pack_budget)
-            val = curation.assign_chunk_bins(
-                val, docs_for_lang, budget=pack_budget)
+            chunks_all = curation.assign_chunk_bins(
+                chunks_all, None, budget=pack_budget,
+                extra_partition_cols=("split",))
+        train = (chunks_all.filter(F.col("split") == "train")
+                 .drop("split"))
+        val = chunks_all.filter(F.col("split") == "val").drop("split")
+    else:
+        chunks_all = None
+        train = labeled.filter(F.col("split") == "train").drop("split")
+        val = labeled.filter(F.col("split") == "val").drop("split")
     n = F.size(tokens(F.col("text")))
     report = (curated
               .select("lang", n.alias("_n"))
@@ -279,7 +317,14 @@ def prepare_training_corpus(documents: DataFrame, *,
               .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
                    F.sum("_n").cast("long").alias("total_tokens"),
                    F.round(F.avg("_n"), 4).alias("avg_tokens")))
-    return {"train": train, "val": val, "report": report}
+    out = {"train": train, "val": val, "report": report}
+    if chunks_all is not None:
+        # the fused frame itself, split column included — consumers
+        # that want BOTH sides (the catalog's per-bin roll-up) read it
+        # directly and execute the pipeline subtree once, not once per
+        # side re-unioned
+        out["chunks"] = chunks_all
+    return out
 
 
 def curation_stats(documents: DataFrame, threshold: float = 0.5) -> DataFrame:

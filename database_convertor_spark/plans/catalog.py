@@ -4064,9 +4064,12 @@ def _training_pipeline_demo(spark: SparkSession, sf: str) -> DataFrame:
     out = corpus_pipeline.prepare_training_corpus(
         docs, threshold=0.5, redact=True, line_dedup=True,
         chunk_tokens=32, overlap=8, val_frac=0.1, pack_budget=128)
-    chunks = (out["train"].withColumn("split", F.lit("train"))
-              .unionByName(out["val"].withColumn("split", F.lit("val"))))
-    return (chunks.groupBy("split", "lang", "shard", "bin_id")
+    # out["chunks"] is the fused single-pass frame with the split
+    # column already on it — identical rows to
+    # union(train+'train', val+'val') (train/val ARE its two split
+    # filters), at ONE execution of the pipeline subtree instead of
+    # one per side (r10; oracle unchanged, re-certified)
+    return (out["chunks"].groupBy("split", "lang", "shard", "bin_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"),
                  F.sum("n_tokens").cast("long").alias("bin_tokens")))
 

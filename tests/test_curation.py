@@ -364,6 +364,64 @@ def test_prepare_training_corpus_line_dedup_temperature_packing(spark):
     assert all(t_counts[lang] <= b_counts[lang] for lang in t_counts)
 
 
+def test_fused_chunk_pack_matches_per_side_runs(spark):
+    """r10 optimization guard: prepare_training_corpus chunks+packs
+    the labeled frame ONCE with the split carried through (window
+    keyed by (split, lang, shard)). The fused out['chunks'] restricted
+    to each side must be row-identical to the pre-optimization shape —
+    leakage_safe_split joined back, then one chunk+bin pass PER side."""
+    from database_convertor_spark.operators import curation, dedup
+    from database_convertor_spark.operators.components import (
+        dedup_clusters, drop_near_duplicates)
+    from database_convertor_spark.functions.text import gopher_passes
+    from database_convertor_spark.pipelines.corpus import (
+        prepare_training_corpus)
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    docs = read_table(spark, SF_SMALL, "documents")
+    out = prepare_training_corpus(
+        docs, threshold=0.5, redact=True, line_dedup=True,
+        chunk_tokens=32, overlap=8, val_frac=0.1, pack_budget=128)
+
+    # reference: the historical per-side shape, from the same stages
+    kept = docs.filter(gopher_passes(F.col("text")))
+    kept = curation.redact_documents(kept)
+    kept = kept.drop("text").join(
+        curation.dedup_lines_keep_first(kept), "doc_id")
+    pairs = dedup.ngram_jaccard_pairs(kept, threshold=0.5,
+                                      estimate_on=docs,
+                                      on_budget_exceeded="route")
+    clusters = dedup_clusters(pairs, "doc_a", "doc_b")
+    curated = drop_near_duplicates(kept, clusters=clusters)
+    split = curation.leakage_safe_split(curated, val_frac=0.1,
+                                        clusters=clusters)
+    labeled = curated.join(split, "doc_id")
+    docs_for_lang = curated.select("doc_id", "lang")
+    ref = {}
+    for side in ("train", "val"):
+        leg = labeled.filter(F.col("split") == side).drop("split")
+        leg = curation.chunk_documents(leg, 32, 8)
+        ref[side] = curation.assign_chunk_bins(
+            leg, docs_for_lang, budget=128)
+
+    for side in ("train", "val"):
+        got = sorted(
+            (tuple(r) for r in out[side]
+             .select("doc_id", "chunk_id", "n_tokens", "chunk_text",
+                     "lang", "shard", "bin_id").collect()))
+        want = sorted(
+            (tuple(r) for r in ref[side]
+             .select("doc_id", "chunk_id", "n_tokens", "chunk_text",
+                     "lang", "shard", "bin_id").collect()))
+        assert got == want, f"{side}: fused != per-side"
+        assert got  # non-degenerate
+    # and out['chunks'] is exactly the union of its two side filters
+    n_all = out["chunks"].count()
+    assert n_all == out["train"].count() + out["val"].count()
+
+
 def test_engine_facade_round4_surface(spark):
     """The facade exposes the new operators (thin pass-throughs)."""
     from database_convertor_spark.api import Engine
