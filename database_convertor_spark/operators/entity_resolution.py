@@ -376,6 +376,90 @@ def _ladder_score(pairs: DataFrame) -> tuple[Column, Column]:
     return confidence, method
 
 
+def _duckdb_available() -> bool:
+    try:
+        import duckdb  # noqa: F401
+        return True
+    except ImportError:  # pragma: no cover - env without duckdb
+        return False
+
+
+def _duckdb_lev_rescue(residual: DataFrame, rnorm: DataFrame,
+                       left_key: str, right_key: str,
+                       threshold: float, par: int) -> DataFrame:
+    """Exact nested-loop levenshtein rescue executed NATIVELY inside
+    Arrow-batched tasks (guide §4.2: hand whole batches to vectorized
+    native code): each task cross-joins its residual-left batch against
+    the broadcast dimension in an embedded DuckDB and returns ONLY the
+    per-left argmax row (confidence desc, right_key asc — the same
+    ordering the caller's max-struct aggregate applies), already
+    filtered to ``confidence >= threshold``.
+
+    Pre-aggregation is exact by algebra: max is associative, and within
+    this rung a left never meets the same right twice, so the rung's
+    struct-max equals its row_number()=1 row; unioning that single row
+    with the other rungs before the final argmax is identical to
+    unioning every pair. The JVM expression twin computed the full
+    ladder on |residual| x |dim| rows through codegen (measured 4.8 s
+    on 14M pairs at sf0.1); the native cross join + early argmax
+    returns |residual| rows instead and never materializes the pair
+    frame outside the C++ engine (~0.5 s same data). The scoring SQL is
+    copied verbatim from the catalog's DuckDB oracle ladder, so
+    cross-engine rounding agreement is inherited, not re-derived.
+
+    Bounded by the caller's exact-rescue gate: the dimension
+    (<= exact_rescue_limit rows of (key, normalized name)) is collected
+    once and broadcast; each task holds it plus one Arrow batch."""
+    spark = residual.sparkSession
+    rights = rnorm.select(right_key, "_rnorm").toPandas()
+    b_rights = spark.sparkContext.broadcast(rights)
+    lk_t = dict(residual.dtypes)[left_key]
+    rk_t = dict(rnorm.dtypes)[right_key]
+    sql = f'''
+        SELECT "{left_key}", "{right_key}", confidence, match_method
+        FROM (
+          SELECT *, row_number() OVER (
+                       PARTITION BY "{left_key}"
+                       ORDER BY confidence DESC NULLS LAST,
+                                "{right_key}") AS _rn
+          FROM (
+            SELECT l."{left_key}", r."{right_key}",
+                   round(CASE WHEN l._lnorm = r._rnorm THEN 1.0
+                         ELSE CASE WHEN greatest(length(l._lnorm),
+                                                 length(r._rnorm)) = 0
+                                   THEN 1.0
+                              ELSE 1.0 - CAST(levenshtein(l._lnorm,
+                                                          r._rnorm)
+                                              AS DOUBLE)
+                                         / greatest(length(l._lnorm),
+                                                    length(r._rnorm))
+                              END END, 4) AS confidence,
+                   CASE WHEN l._lnorm = r._rnorm THEN 'exact_name'
+                        ELSE 'fuzzy_name' END AS match_method
+            FROM l CROSS JOIN r))
+        WHERE _rn = 1 AND confidence >= {float(threshold)!r}
+    '''
+
+    def rung(batches):
+        import duckdb
+
+        con = duckdb.connect()
+        # one thread per task: Spark already runs one task per core;
+        # DuckDB's default (all cores) would oversubscribe 32x
+        con.execute("SET threads TO 1")
+        con.register("r", b_rights.value)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            con.register("l", pdf)
+            yield con.execute(sql).df()
+
+    return (residual.select(left_key, "_lnorm")
+            .repartition(par)
+            .mapInPandas(rung, f"{left_key} {lk_t}, {right_key} {rk_t}, "
+                               f"confidence double, match_method string"))
+
+
 def fuzzy_join(left: DataFrame, right: DataFrame,
                left_name: str, right_name: str,
                left_key: str, right_key: str,
@@ -494,6 +578,15 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
         pairs = _block_on_tokens(
             lnorm, rnorm, n_right=n_right if lev_rescue else None,
             cap_mega_tokens=lev_rescue)
+        if lev_rescue:
+            # the candidate set is consumed twice (the scored rung AND
+            # the residual anti-join's build side); it is pair-budget
+            # capped in this regime and its dropDuplicates already
+            # shuffles the full candidate set, so a disk-backed persist
+            # adds no asymptotic cost while halving the blocking work
+            pairs = swap_persisted(
+                "fuzzy_block_pairs",
+                pairs.persist(StorageLevel.MEMORY_AND_DISK))
         confidence, method = _ladder_score(pairs)
         scored = pairs.select(left_key, right_key,
                               confidence.alias("confidence"),
@@ -503,6 +596,16 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
             # rescue rung: only lefts with ZERO token candidates enter.
             blocked_lefts = pairs.select(left_key).distinct()
             residual = lnorm.join(blocked_lefts, left_key, "left_anti")
+            # The residual subtree embeds the whole blocking join (the
+            # anti-join's build side); every rescue rung consuming it
+            # re-executes that chain from the scan (measured: 3 token
+            # blocking passes per fuzzy_match_customers run). Persist
+            # once — session-slot-bounded, <= |left| rows of
+            # (key, name, tokens), same discipline as the dimension
+            # persist above.
+            residual = swap_persisted(
+                "fuzzy_residual",
+                residual.persist(StorageLevel.MEMORY_AND_DISK))
             if (exact_rescue_limit and n_right <= exact_rescue_limit
                     and n_left * n_right <= max_rescue_pairs):
                 # exact regime: every residual left against the whole
@@ -515,7 +618,34 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
                 # drops argmax pairs whose only shared grams are
                 # ubiquitous (round 3: 1,144/1,500 wrong rows at
                 # sf0.01).
-                if agg_top1:
+                if agg_top1 and not use_difflib and _duckdb_available():
+                    # native split-rung evaluation (guide §4.2): the
+                    # lev rung runs as a DuckDB cross join + per-left
+                    # argmax inside Arrow-batched tasks
+                    # (_duckdb_lev_rescue — exactness argument there);
+                    # the jaccard-correction rung is unchanged. All
+                    # legs shed _lnorm/_rnorm — the agg path never
+                    # reads them, and dropping them here keeps the
+                    # union legs aligned with the rung's
+                    # pre-aggregated 4-column rows.
+                    lev_rung = _duckdb_lev_rescue(
+                        residual, rnorm, left_key, right_key,
+                        threshold, par)
+                    ltok = residual.select(
+                        left_key, "_lnorm", "_ltoks",
+                        F.explode_outer("_ltoks").alias("_tok"))
+                    rtok = rnorm.select(
+                        right_key, "_rnorm", "_rtoks",
+                        F.explode_outer("_rtoks").alias("_tok"))
+                    corr = ltok.join(F.broadcast(rtok), "_tok").drop("_tok")
+                    c_conf, c_method = _ladder_score(corr)
+                    corr_rung = corr.select(
+                        left_key, right_key, c_conf.alias("confidence"),
+                        c_method.alias("match_method"))
+                    rescue_scored = lev_rung.unionByName(corr_rung)
+                    scored = scored.select(left_key, right_key,
+                                           "confidence", "match_method")
+                elif agg_top1:
                     # split-rung evaluation, exact by algebra: a
                     # residual pair sharing NO token (stopwords
                     # included) has jaccard 0 and subset false, so its

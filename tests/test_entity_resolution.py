@@ -193,3 +193,25 @@ def test_fuzzy_rank1_exemption_answers_to_budget(spark):
                    top_k=1, exact_rescue_limit=0,
                    max_rescue_pairs=50_000_000).collect()
     assert "rank-1" not in " ".join(str(x.message) for x in w2)
+
+
+def test_duckdb_rescue_rung_matches_expression_rung(spark, monkeypatch):
+    """r10 optimization pin: the native DuckDB lev-rescue rung
+    (_duckdb_lev_rescue, pre-aggregated per-left argmax) must produce
+    byte-identical fuzzy_join output to the historical JVM
+    expression nested loop it replaced."""
+    import database_convertor_spark.operators.entity_resolution as er
+    from database_convertor_spark.sources.readers import read_table
+
+    from .conftest import SF_SMALL
+
+    customer = read_table(spark, SF_SMALL, "customer")
+    supplier = read_table(spark, SF_SMALL, "supplier")
+
+    fast = er.fuzzy_join(customer, supplier, "c_name", "s_name",
+                         "c_custkey", "s_suppkey", top_k=1).collect()
+    monkeypatch.setattr(er, "_duckdb_available", lambda: False)
+    slow = er.fuzzy_join(customer, supplier, "c_name", "s_name",
+                         "c_custkey", "s_suppkey", top_k=1).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
+    assert len(fast) > 0

@@ -62,8 +62,13 @@ def test_fuzzy_is_blocking_first(spark):
     # candidate generation is a hash/merge equi-join on the token key
     assert any(j in plan for j in
                ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
-    # exactly the ONE gated nested loop (the exact rescue), no more
-    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # the gated exact rescue runs NATIVELY inside Arrow-batched tasks
+    # (r10: _duckdb_lev_rescue — the JVM nested loop emitted 14M pair
+    # rows through codegen; the native rung returns one argmax row per
+    # residual left), so the plan carries a MapInPandas node and ZERO
+    # JVM nested loops
+    assert "MapInPandas" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 0
     assert "LeftAnti" in plan                    # residual restriction
     assert "RoundRobinPartitioning" in plan      # rescue probe spread out
     assert "CartesianProduct" not in plan
