@@ -331,9 +331,11 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, n_iter: int = 5,
     each iteration; the DATA never leaves executors. Per iteration one
     ``mapInPandas`` pass scores each Arrow batch against the codebook
     with a single (batch x dim) @ (dim x k) GEMM and emits only the
-    k x dim partial sums + counts + inertia of that batch; a
-    groupBy(cluster, dim) over those codebook-sized partials is the
-    whole shuffle. (A pure-expression argmin was tried first: every
+    k x dim partial sums + counts + inertia of that batch; the
+    partials are collected directly and summed driver-side when
+    npart x k fits the budget (one stage per iteration), else a
+    groupBy(cluster, dim) reduction bounds what reaches the driver.
+    (A pure-expression argmin was tried first: every
     iteration's new centroid LITERALS force a fresh whole-stage-codegen
     compile of a k x dim expression tree — ~2s/iteration of compile
     for milliseconds of data work. The GEMM path recompiles nothing.)
@@ -372,6 +374,17 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, n_iter: int = 5,
         if normalize:
             C = _norm_rows(C)
         dim = C.shape[1]
+        # Partial-reduction route (guide §2.4 — remove shuffles
+        # outright): each task emits <= k codebook-sized partial rows,
+        # so up to ``npart x k`` rows reach the driver. Under the
+        # budget they are collected DIRECTLY and summed driver-side —
+        # one stage per iteration instead of map + posexplode/groupBy
+        # + reduce (measured 0.42s -> 0.22s per iteration at sf0.1).
+        # Past the budget (a 100 TB scan is ~10^5-10^6 tasks, whose
+        # partials would be GBs) the grouped reduction stays: the
+        # shuffle is codebook-sized per task either way.
+        npart = emb.rdd.getNumPartitions()
+        direct = npart * k <= 65536
         inertia: list[float] = []
         for _ in range(n_iter):
             bc = spark.sparkContext.broadcast(C)
@@ -396,28 +409,34 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, n_iter: int = 5,
                                     "d": float(mind[m].sum())})
                     yield pd.DataFrame(out)
 
-            agg = (emb.mapInPandas(
-                       partials,
-                       "c int, s array<double>, n long, d double")
-                   .select("c", "n", "d",
-                           F.posexplode("s").alias("p", "x"))
-                   .groupBy("c", "p")
-                   .agg(F.sum("x").alias("sx"),
-                        F.sum(F.when(F.col("p") == 0, F.col("n"))
-                              .otherwise(0)).alias("np"),
-                        F.sum(F.when(F.col("p") == 0, F.col("d"))
-                              .otherwise(0.0)).alias("dp"))
-                   .collect())
-            # per (cluster, dim): sum of partial sums; counts/inertia
-            # ride dim 0 only so they are not multiplied by dim
+            mp = emb.mapInPandas(
+                partials, "c int, s array<double>, n long, d double")
             sums = np.zeros((k, dim))
             counts = np.zeros(k)
             sq_sum = 0.0
-            for row in agg:
-                sums[row.c, row.p] = row.sx
-                if row.p == 0:
-                    counts[row.c] = row.np
-                    sq_sum += row.dp
+            if direct:
+                for row in mp.collect():
+                    sums[row.c] += np.asarray(row.s, dtype="float64")
+                    counts[row.c] += row.n
+                    sq_sum += row.d
+            else:
+                agg = (mp.select("c", "n", "d",
+                                 F.posexplode("s").alias("p", "x"))
+                       .groupBy("c", "p")
+                       .agg(F.sum("x").alias("sx"),
+                            F.sum(F.when(F.col("p") == 0, F.col("n"))
+                                  .otherwise(0)).alias("np"),
+                            F.sum(F.when(F.col("p") == 0, F.col("d"))
+                                  .otherwise(0.0)).alias("dp"))
+                       .collect())
+                # per (cluster, dim): sum of partial sums; counts/
+                # inertia ride dim 0 only so they are not multiplied
+                # by dim
+                for row in agg:
+                    sums[row.c, row.p] = row.sx
+                    if row.p == 0:
+                        counts[row.c] = row.np
+                        sq_sum += row.dp
             newC = C.copy()  # an emptied cluster keeps its centroid
             nz = counts > 0
             newC[nz] = sums[nz] / counts[nz, None]
@@ -440,11 +459,19 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, n_iter: int = 5,
 
 def kmeans_assign(corpus: DataFrame, centroids: list[list[float]],
                   id_col: str = "vec_id", vec_col: str = "embedding",
-                  normalize: bool = False) -> DataFrame:
+                  normalize: bool = False,
+                  carry_vec: bool = False) -> DataFrame:
     """(id, cluster_id) under a fixed codebook: a shuffle-free
     Arrow-batched argmin (one GEMM per batch against the broadcast
     codebook) — the write path that lands a corpus partitioned by
-    cluster for IVF file pruning. ``normalize`` must match the fit."""
+    cluster for IVF file pruning. ``normalize`` must match the fit.
+
+    ``carry_vec=True`` additionally returns the (double-cast, raw —
+    never normalized) vector as ``_v``: consumers that need the
+    assignment AND the vector (the IVFPQ residual builder) read it
+    from this one pass instead of equi-joining the assignment back to
+    the corpus — one scan and zero shuffles where the join shape paid
+    two scans plus a sort-merge exchange (guide §2.4)."""
     import numpy as np
     import pandas as pd
 
@@ -463,12 +490,18 @@ def kmeans_assign(corpus: DataFrame, centroids: list[list[float]],
             if normalize:
                 X = _norm_rows(X)
             d2 = (X ** 2).sum(1)[:, None] - 2 * X @ cents.T + c_sq
-            yield pd.DataFrame({id_col: pdf["_id"],
-                                "cluster_id": d2.argmin(axis=1)})
+            out = {id_col: pdf["_id"],
+                   "cluster_id": d2.argmin(axis=1)}
+            if carry_vec:
+                out["_v"] = pdf["_v"]
+            yield pd.DataFrame(out)
 
+    schema = f"{id_col} {id_t}, cluster_id int"
+    if carry_vec:
+        schema += ", _v array<double>"
     return (corpus.select(F.col(id_col).alias("_id"),
                           F.col(vec_col).cast("array<double>").alias("_v"))
-            .mapInPandas(assign, f"{id_col} {id_t}, cluster_id int"))
+            .mapInPandas(assign, schema))
 
 
 def _probe_and_search(queries: DataFrame, labeled_corpus: DataFrame,
@@ -683,13 +716,6 @@ def pq_fit(corpus: DataFrame, m: int = 4, ks: int = 8, n_iter: int = 3,
 
     from ..functions.text import md5_long
 
-    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).head()
-    if dim_row is None:
-        raise ValueError("pq_fit: empty corpus — nothing to train on")
-    dim = dim_row.d
-    if dim % m:
-        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
-    sub = dim // m
     spark = corpus.sparkSession
     emb = corpus.select(F.col(id_col).alias("_id"),
                         F.col(vec_col).cast("array<double>").alias("_v"))
@@ -701,9 +727,19 @@ def pq_fit(corpus: DataFrame, m: int = 4, ks: int = 8, n_iter: int = 3,
                 .orderBy("_h", "_id").limit(ks).collect())
         if not init:
             raise ValueError("pq_fit: empty corpus — nothing to train on")
+        # dim rides the init rows (full vectors) — no separate head job
+        dim = len(init[0]._v)
+        if dim % m:
+            raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+        sub = dim // m
         k = len(init)            # fewer rows than ks: k clamps
         X0 = np.vstack([np.asarray(r._v, dtype="float64") for r in init])
         C = [X0[:, j * sub:(j + 1) * sub].copy() for j in range(m)]
+        # same partial-reduction route as kmeans_fit: <= npart x m x k
+        # codebook-sized partial rows — collect directly under the
+        # budget, grouped reduction past it
+        npart = emb.rdd.getNumPartitions()
+        direct = npart * m * k <= 65536
         for _ in range(n_iter):
             bc = spark.sparkContext.broadcast(C)
 
@@ -726,22 +762,27 @@ def pq_fit(corpus: DataFrame, m: int = 4, ks: int = 8, n_iter: int = 3,
                                         "n": int(msk.sum())})
                     yield pd.DataFrame(out)
 
-            agg = (emb.mapInPandas(
-                       partials,
-                       "j int, c int, s array<double>, n long")
-                   .select("j", "c", "n",
-                           F.posexplode("s").alias("p", "x"))
-                   .groupBy("j", "c", "p")
-                   .agg(F.sum("x").alias("sx"),
-                        F.sum(F.when(F.col("p") == 0, F.col("n"))
-                              .otherwise(0)).alias("np"))
-                   .collect())
+            mp = emb.mapInPandas(
+                partials, "j int, c int, s array<double>, n long")
             sums = np.zeros((m, k, sub))
             counts = np.zeros((m, k))
-            for row in agg:
-                sums[row.j, row.c, row.p] = row.sx
-                if row.p == 0:
-                    counts[row.j, row.c] = row.np
+            if direct:
+                for row in mp.collect():
+                    sums[row.j, row.c] += np.asarray(row.s,
+                                                     dtype="float64")
+                    counts[row.j, row.c] += row.n
+            else:
+                agg = (mp.select("j", "c", "n",
+                                 F.posexplode("s").alias("p", "x"))
+                       .groupBy("j", "c", "p")
+                       .agg(F.sum("x").alias("sx"),
+                            F.sum(F.when(F.col("p") == 0, F.col("n"))
+                                  .otherwise(0)).alias("np"))
+                       .collect())
+                for row in agg:
+                    sums[row.j, row.c, row.p] = row.sx
+                    if row.p == 0:
+                        counts[row.j, row.c] = row.np
             for j in range(m):
                 newC = C[j].copy()   # emptied cluster keeps centroid
                 nz = counts[j] > 0
@@ -756,14 +797,17 @@ def pq_fit(corpus: DataFrame, m: int = 4, ks: int = 8, n_iter: int = 3,
 
 def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]],
               id_col: str = "vec_id", vec_col: str = "embedding",
-              ) -> DataFrame:
+              carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """(id, codes array<int>) under fixed PQ codebooks — the
     compressed-index write path: a shuffle-free Arrow-batched argmin
     per subspace (one (batch x sub) @ (sub x ks) GEMM each, expanded-
     form squared L2, lowest code on ties — the same arithmetic
     contract as ``kmeans_assign``). At scale the output is m
     small ints per vector, landed once and scanned by every ADC
-    query instead of the raw floats."""
+    query instead of the raw floats. ``carry_cols`` pass through
+    unchanged (same single-pass rationale as
+    ``kmeans_assign(carry_vec=True)`` — an IVFPQ build carries the
+    cell label through instead of joining it back on)."""
     import numpy as np
     import pandas as pd
 
@@ -772,7 +816,8 @@ def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]],
     m = len(C)
     sub = C[0].shape[1]
     bc = spark.sparkContext.broadcast(C)
-    id_t = dict(corpus.dtypes)[id_col]
+    dtypes = dict(corpus.dtypes)
+    id_t = dtypes[id_col]
 
     def encode(batches):
         books = bc.value
@@ -786,12 +831,18 @@ def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]],
                 d2 = ((Xj ** 2).sum(1)[:, None] - 2 * Xj @ cents.T
                       + (cents ** 2).sum(1))
                 codes[:, j] = d2.argmin(axis=1)
-            yield pd.DataFrame({id_col: pdf["_id"],
-                                "codes": list(codes)})
+            out = {id_col: pdf["_id"], "codes": list(codes)}
+            for c in carry_cols:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
+    schema = f"{id_col} {id_t}, codes array<int>"
+    for c in carry_cols:
+        schema += f", {c} {dtypes[c]}"
     return (corpus.select(F.col(id_col).alias("_id"),
-                          F.col(vec_col).cast("array<double>").alias("_v"))
-            .mapInPandas(encode, f"{id_col} {id_t}, codes array<int>"))
+                          F.col(vec_col).cast("array<double>").alias("_v"),
+                          *[F.col(c) for c in carry_cols])
+            .mapInPandas(encode, schema))
 
 
 def ann_pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
@@ -922,10 +973,8 @@ def ivfpq_fit_encode(corpus: DataFrame, n_cells: int = 8, m: int = 4,
     coarse = [[round(x, 9) for x in c] for c in coarse]
     res = _ivfpq_residuals(corpus, coarse, slot="ivfpq_res_fit")
     books = pq_fit(res, m=m, ks=ks, n_iter=n_iter)
-    codes = (pq_encode(res, books)
-             .join(res.select("vec_id", F.col("cluster_id").alias("cell")),
-                   "vec_id")
-             .select("vec_id", "cell", "codes"))
+    codes = (pq_encode(res, books, carry_cols=("cluster_id",))
+             .select("vec_id", F.col("cluster_id").alias("cell"), "codes"))
     return coarse, books, codes
 
 
@@ -941,15 +990,17 @@ def _ivfpq_residuals(corpus: DataFrame, coarse: list,
 
     from ..plans.persist_slots import swap_persisted
 
-    assign = kmeans_assign(corpus, coarse)
+    # carry_vec: assignment and vector come out of ONE corpus pass —
+    # the former corpus.join(assign) shape re-scanned the corpus and
+    # paid a sort-merge exchange to reunite a row with its own label
+    assign = kmeans_assign(corpus, coarse, carry_vec=True)
     coarse_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in coarse])
-    res = (corpus.join(assign, "vec_id")
-           .select("vec_id", "cluster_id",
-                   F.zip_with(F.col("embedding").cast("array<double>"),
-                              F.element_at(coarse_lit,
-                                           F.col("cluster_id") + 1),
-                              lambda a, b: F.round(a - b, 9))
-                   .alias("embedding")))
+    res = (assign.select("vec_id", "cluster_id",
+                         F.zip_with(F.col("_v"),
+                                    F.element_at(coarse_lit,
+                                                 F.col("cluster_id") + 1),
+                                    lambda a, b: F.round(a - b, 9))
+                         .alias("embedding")))
     return swap_persisted(slot, res.persist(StorageLevel.MEMORY_AND_DISK))
 
 
@@ -961,10 +1012,8 @@ def ivfpq_encode_under(corpus: DataFrame, coarse: list,
     them). Returns (vec_id, cell, codes) ready to append to the
     cell-partitioned codes table."""
     res = _ivfpq_residuals(corpus, coarse, slot="ivfpq_res_under")
-    return (pq_encode(res, books)
-            .join(res.select("vec_id", F.col("cluster_id").alias("cell")),
-                  "vec_id")
-            .select("vec_id", "cell", "codes"))
+    return (pq_encode(res, books, carry_cols=("cluster_id",))
+            .select("vec_id", F.col("cluster_id").alias("cell"), "codes"))
 
 
 def _ivfpq_probes(queries: DataFrame, coarse: list,
