@@ -322,12 +322,20 @@ def land_text_index(documents: DataFrame, path: str,
     # a continuous production deployment keeps; measured ~5x cheaper
     # guard at the sf10 probe). Token-less docs are listed too — they
     # are indexed (they count in N) even though they left no postings.
-    (documents.select("doc_id").distinct()
+    # n_docs counts EVERY document (bm25's N), token-less included —
+    # observed on the manifest write itself (the Observation node sits
+    # BELOW the distinct, so it counts documents rows), folding what
+    # was a separate corpus-scan job into this one; sumdl re-derives
+    # from the landed postings (sum of tf == total token count; empty
+    # docs contribute 0 either way)
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    (documents.select("doc_id")
+     .observe(obs, F.count(F.lit(1)).alias("n"))
+     .distinct()
      .write.mode("overwrite").parquet(os.path.join(path, "_manifest")))
-    # n_docs counts EVERY document (bm25's N), token-less included;
-    # sumdl re-derives from the landed postings (sum of tf == total
-    # token count; empty docs contribute 0 either way)
-    n_docs = documents.count()
+    n_docs = int(obs.get["n"])
     spark = documents.sparkSession
     spark.catalog.refreshByPath(path)
     agg = (spark.read.parquet(path)
