@@ -118,10 +118,83 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
     return row.n, row.x
 
 
+def _local_components(e0: DataFrame) -> DataFrame | None:
+    """Driver-side connected components for edge sets under the local
+    budget: label propagation with pointer doubling, executed as
+    native hash joins in an embedded DuckDB (O(log n) rounds). Output
+    contract identical to the star rounds — one row per distinct node,
+    component = minimum reachable node id; at the fixpoint every edge
+    carries equal labels and no label can drop below the component
+    minimum, so the fixpoint IS the minimum. Returns None (caller
+    falls back to the distributed rounds) on asymmetric src/dst types
+    or null endpoints — the star rounds' coalesce semantics for those
+    are not worth reproducing locally."""
+    try:
+        import duckdb
+    except ImportError:  # pragma: no cover - env without duckdb
+        return None
+    from pyspark.sql import types as T
+
+    if e0.schema[0].dataType != e0.schema[1].dataType:
+        return None
+    pdf = e0.toPandas()
+    if len(pdf) and (pdf["a"].isna().any() or pdf["b"].isna().any()):
+        return None
+    con = duckdb.connect()
+    con.register("e_raw", pdf)
+    con.execute("CREATE TEMP TABLE edges AS "
+                "SELECT a, b FROM e_raw WHERE a <> b "
+                "UNION SELECT b AS a, a AS b FROM e_raw WHERE a <> b")
+    con.execute("CREATE TEMP TABLE lab AS SELECT node, node AS comp FROM "
+                "(SELECT a AS node FROM e_raw "
+                " UNION SELECT b AS node FROM e_raw)")
+    while True:
+        # one neighbor-min sweep ...
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE lab2 AS "
+            "SELECT l.node, "
+            "       least(l.comp, coalesce(min(nl.comp), l.comp)) AS comp "
+            "FROM lab l "
+            "LEFT JOIN edges e ON e.a = l.node "
+            "LEFT JOIN lab nl ON nl.node = e.b "
+            "GROUP BY l.node, l.comp")
+        # ... then a pointer jump (comp <- comp[comp]): doubles the
+        # propagation distance per round, so chains converge in
+        # O(log n) rounds instead of O(diameter)
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE lab3 AS "
+            "SELECT l.node, least(l.comp, c.comp) AS comp "
+            "FROM lab2 l JOIN lab2 c ON c.node = l.comp")
+        changed = con.execute(
+            "SELECT count(*) FROM lab3 j JOIN lab l ON l.node = j.node "
+            "WHERE j.comp <> l.comp").fetchone()[0]
+        con.execute("CREATE OR REPLACE TEMP TABLE lab AS "
+                    "SELECT * FROM lab3")
+        if changed == 0:
+            break
+    out = con.execute(
+        "SELECT node, comp AS component FROM lab").df()
+    dt = e0.schema[0].dataType
+    schema = T.StructType([T.StructField("node", dt),
+                           T.StructField("component", dt)])
+    return e0.sparkSession.createDataFrame(out, schema)
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
-                         max_iterations: int = 20) -> DataFrame:
+                         max_iterations: int = 20,
+                         local_edges_budget: int = 5_000_000) -> DataFrame:
     """Edge list (undirected) -> (node, component) where component is
-    the minimum node id reachable. Output one row per distinct node."""
+    the minimum node id reachable. Output one row per distinct node.
+
+    ``local_edges_budget`` (guide §1.2 — the distributed algorithm is
+    the wrong algorithm under a size threshold): when the deduped edge
+    list fits the budget, the components are computed driver-side in
+    one native pass over the already-checkpointed edges instead of
+    O(log n) star rounds of shuffle+checkpoint jobs (each round is a
+    full Spark job; measured ~0.5 s/round at sf0.1 for microseconds
+    of actual graph work). The distributed rounds remain the path for
+    every edge set past the budget — a 100 TB near-dup graph never
+    collects. 0 disables the local path."""
     sc = edges.sparkSession.sparkContext
     ensure_checkpoint_dir(sc)
     # materialize the input ONCE: the edge list is usually the output
@@ -132,6 +205,10 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     e0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
           .distinct()
           .checkpoint(eager=True))
+    if local_edges_budget and e0.count() <= local_edges_budget:
+        local = _local_components(e0)
+        if local is not None:
+            return local
     nodes = (e0.select(F.col("a").alias("node"))
              .unionByName(e0.select(F.col("b").alias("node")))
              .distinct())

@@ -83,10 +83,15 @@ def test_connected_components_raises_on_iteration_cap(spark):
     # back under-merged clusters, so the cap must raise
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(6)], ["src", "dst"])
+    # local_edges_budget=0 forces the distributed star rounds — the
+    # iteration cap is a property of that regime (the r10 local fast
+    # path has no rounds to cap)
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iterations=2)
+        connected_components(chain, max_iterations=2,
+                             local_edges_budget=0)
     # and a generous cap converges fine
-    labels = connected_components(chain, max_iterations=10)
+    labels = connected_components(chain, max_iterations=10,
+                                  local_edges_budget=0)
     assert {r.component for r in labels.collect()} == {0}
 
 
@@ -503,3 +508,27 @@ def test_incremental_block_pair_mass_is_exact_candidate_count(spark):
         & (~F.col("b._new") | (F.col("a.doc_id") < F.col("b.doc_id")))
     ).count()
     assert est == float(n_cands)
+
+
+def test_local_components_match_distributed(spark):
+    """r10 optimization pin: the driver-side DuckDB fast path must
+    reproduce the star rounds' output exactly (min reachable id per
+    node, one row per distinct node), including self-loops and
+    singleton stars, on ids of both numeric and string type."""
+    edges = EDGES + [(30, 30), (3, 2)]          # self-loop + back edge
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    fast = {(r.node, r.component)
+            for r in connected_components(df).collect()}
+    slow = {(r.node, r.component)
+            for r in connected_components(
+                df, local_edges_budget=0).collect()}
+    assert fast == slow
+
+    sdf = spark.createDataFrame(
+        [(f"d{a}", f"d{b}") for a, b in edges], ["src", "dst"])
+    fast_s = {(r.node, r.component)
+              for r in connected_components(sdf).collect()}
+    slow_s = {(r.node, r.component)
+              for r in connected_components(
+                  sdf, local_edges_budget=0).collect()}
+    assert fast_s == slow_s
