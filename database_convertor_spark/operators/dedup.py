@@ -17,6 +17,8 @@ Scale design notes:
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 - resolves pandas_udf type hints
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -365,10 +367,21 @@ def containment_pairs(documents: DataFrame, threshold: float = 0.9,
         raise ValueError(
             f"on_budget_exceeded must be 'raise' or 'ignore', got "
             f"{on_budget_exceeded!r}")
+    from pyspark.storagelevel import StorageLevel
+
+    # The tokenized doc frame feeds FIVE consumers (df build, prefix
+    # ranking, the candidate join's full-token side, and the two
+    # verify-join sides) — unpersisted, each re-scanned the parquet
+    # and re-ran the tokenize regex + array_distinct (5 scans in the
+    # r11 before-plan). One bounded persist slot (guide §5 reuse;
+    # ~tokens-per-doc x 8B per row, spilled to disk past memory)
+    # collapses them to one pass.
     docs = documents.select(
         "doc_id", "lang",
         F.array_distinct(tokens(F.lower(F.col("text")))).alias("toks"))
     docs = docs.withColumn("n", F.size("toks"))
+    docs = swap_persisted("containment_docs",
+                          docs.persist(StorageLevel.MEMORY_AND_DISK))
     tok = docs.select("doc_id", "lang", "n",
                       F.explode("toks").alias("tok"))
     dfreq = tok.groupBy("lang", "tok").agg(F.count("*").alias("df"))
@@ -465,13 +478,20 @@ def cross_corpus_containment(needles: DataFrame, haystack: DataFrame,
             f"on_budget_exceeded must be 'raise' or 'ignore', got "
             f"{on_budget_exceeded!r}")
 
-    def _prep(frame):
+    from pyspark.storagelevel import StorageLevel
+
+    def _prep(frame, slot):
+        # same one-pass tokenize discipline as ``containment_pairs``:
+        # each side feeds 2-3 consumers (df/ranking + verify join)
         d = frame.select(
             "doc_id", "lang",
             F.array_distinct(tokens(F.lower(F.col("text")))).alias("toks"))
-        return d.withColumn("n", F.size("toks"))
+        d = d.withColumn("n", F.size("toks"))
+        return swap_persisted(slot,
+                              d.persist(StorageLevel.MEMORY_AND_DISK))
 
-    nd, hs = _prep(needles), _prep(haystack)
+    nd = _prep(needles, "containment_needles")
+    hs = _prep(haystack, "containment_haystack")
     h_tok = hs.select("doc_id", "lang", F.explode("toks").alias("tok"))
     dfreq = h_tok.groupBy("lang", "tok").agg(F.count("*").alias("df"))
     n_tok = nd.select("doc_id", "lang", "n", F.explode("toks").alias("tok"))
@@ -639,12 +659,58 @@ def _minhash_signature(base_col: Column, num_hashes: int) -> Column:
         for i in range(num_hashes)])
 
 
+# num_hashes -> Arrow-batched signature UDF (constructed once per
+# width; a per-call construction would re-pickle the closure into
+# every plan built)
+_MINHASH_SIG_UDFS: dict[int, object] = {}
+
+
+def _minhash_sig_udf(num_hashes: int):
+    """Arrow-batched numpy twin of ``_minhash_signature`` over the
+    precomputed base hashes (guide §4.2 — the r10 SRP recipe ported):
+    the expression path evaluates ``num_hashes`` interpreted
+    ``array_min(transform(...))`` HOF passes per doc (CodegenFallback,
+    boxed per-shingle ops); the kernel computes the identical affine
+    family in ONE (n_shingles x num_hashes) int64 matrix op per doc.
+
+    Bit-identity (pinned by ``test_minhash_kernel_matches_expression``):
+    A_i < HASH_PRIME < 2^30 and base hashes < HASH_PRIME, so
+    A_i*b + B_i < 2^60 + 2^30 — exact in int64 in both engines, and
+    numpy's % on non-negative int64 equals the JVM's. An empty/NULL
+    shingle array yields [NULL] * num_hashes exactly as
+    ``array_min(transform(NULL|[]))`` does."""
+    import pandas as pd
+    import numpy as np
+
+    if num_hashes not in _MINHASH_SIG_UDFS:
+        A = np.asarray(MINHASH_A[:num_hashes], dtype=np.int64)
+        B = np.asarray(MINHASH_B[:num_hashes], dtype=np.int64)
+        nulls = [None] * num_hashes
+
+        @F.pandas_udf("array<long>")
+        def sig_from_base(bhs: pd.Series) -> pd.Series:
+            out = []
+            for bh in bhs:
+                if bh is None or len(bh) == 0:
+                    out.append(nulls)
+                    continue
+                b = np.asarray(bh, dtype=np.int64)
+                out.append(((b[:, None] * A + B) % HASH_PRIME)
+                           .min(axis=0).tolist())
+            return pd.Series(out)
+
+        _MINHASH_SIG_UDFS[num_hashes] = sig_from_base
+    return _MINHASH_SIG_UDFS[num_hashes]
+
+
 def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
                        shingle_n: int = 3) -> DataFrame:
     # signature computation is the expensive projection — spread the
     # (possibly single-file) input before it, not after; the base-hash
     # array is projected as its own column so md5 runs once per shingle
-    # (not once per hash-family member)
+    # (not once per hash-family member). The affine-min fold itself is
+    # the Arrow kernel (r11): only the narrow base-hash array crosses
+    # the Python boundary; shingling and md5 stay JVM/oracle-side.
     documents = documents.repartition(
         documents.sparkSession.sparkContext.defaultParallelism)
     return (documents
@@ -654,7 +720,7 @@ def minhash_signatures(documents: DataFrame, num_hashes: int = 32,
                                 lambda s: md5_long(s) % HASH_PRIME)
                     .alias("_bh"))
             .select("doc_id", "sh",
-                    _minhash_signature(F.col("_bh"), num_hashes).alias("sig")))
+                    _minhash_sig_udf(num_hashes)(F.col("_bh")).alias("sig")))
 
 
 def _minhash_band_keys(bands: int, rows_per_band: int):
@@ -877,6 +943,61 @@ def simhash64(text: Column) -> Column:
     return votes_to_simhash(simhash_votes(text))
 
 
+def _simhash_token_hashes(text: Column) -> Column:
+    """Per-doc md5-60 hashes of the distinct lowered tokens — the
+    JVM-side half of the kernelized SimHash: the hash stays the exact
+    oracle-checkable ``md5_long`` expression, one interpreted
+    ``transform`` pass per doc."""
+    toks = F.array_distinct(tokens(F.lower(text)))
+    return F.transform(toks, lambda t: md5_long(t))
+
+
+def _make_simhash_udf():
+    """Arrow-batched numpy twin of ``votes_to_simhash(simhash_votes())``
+    over precomputed token hashes (guide §4.2 — the r10 SRP recipe
+    ported): the expression path folds an ``aggregate(zip_with(...))``
+    over per-token 60-wide bit arrays — interpreted CodegenFallback,
+    ~60 boxed ops + one array allocation per TOKEN — where the kernel
+    unpacks the same bits with two integer matrix ops per doc.
+
+    Bit-identity (pinned by ``test_simhash_kernel_matches_expression``):
+    all arithmetic is exact int64 — votes[k] = 2*ones_k - n, bit k set
+    iff votes[k] > 0 iff 2*ones_k > n; an empty/NULL token array folds
+    to all-zero votes, hence hash 0, exactly as the expression's
+    when/otherwise chain does."""
+    import pandas as pd
+    import numpy as np
+
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def simhash_from_hashes(hs: pd.Series) -> pd.Series:
+        out = np.zeros(len(hs), dtype=np.int64)
+        for i, h in enumerate(hs):
+            if h is None or len(h) == 0:
+                continue
+            hh = np.asarray(h, dtype=np.int64)
+            ones = ((hh[:, None] >> shifts) & 1).sum(axis=0)
+            bits = (2 * ones) > len(hh)
+            out[i] = int((bits.astype(np.int64) << shifts).sum())
+        return pd.Series(out)
+
+    return simhash_from_hashes
+
+
+_SIMHASH_UDF = None
+
+
+def simhash64_fast(text: Column) -> Column:
+    """Kernelized SimHash column: JVM md5-60 token hashing (one
+    ``transform`` pass, oracle-identical hash) + the numpy bit-fold
+    UDF. Result-identical to ``simhash64`` (tested)."""
+    global _SIMHASH_UDF
+    if _SIMHASH_UDF is None:
+        _SIMHASH_UDF = _make_simhash_udf()
+    return _SIMHASH_UDF(_simhash_token_hashes(text))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance via bit_count(xor)."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -945,9 +1066,13 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
             f"into {n_blocks} blocks")
     width = SIMHASH_BITS // n_blocks
     mask = (1 << width) - 1
+    # r11 (guide §4.2, the SRP recipe): the 60-bit fingerprint fold is
+    # an Arrow-batched numpy kernel over JVM-side md5-60 token hashes —
+    # the old per-doc aggregate(zip_with(...)) vote fold was interpreted
+    # CodegenFallback costing ~60 boxed ops per TOKEN. Bit-identity
+    # pinned by test_simhash_kernel_matches_expression.
     sh = (spread(documents)
-          .select("doc_id", simhash_votes(F.col("text")).alias("_v"))
-          .select("doc_id", votes_to_simhash(F.col("_v")).alias("sh")))
+          .select("doc_id", simhash64_fast(F.col("text")).alias("sh")))
     blocks = [F.shiftright(F.col("sh"), c * width)
               .bitwiseAND(F.lit(mask)) for c in range(n_blocks)]
     keys = []
@@ -1619,7 +1744,79 @@ def winnow_fingerprints(documents: DataFrame, k: int = 10,
 
     Output: (doc_id, fp) — distinct winnowed fingerprints per doc.
     Reference has no analog (beyond-reference training-data operator).
+
+    r11 (guide §4.2 — the SRP recipe ported to the last HOF-heavy
+    signature): the per-doc k-gram hashing + window-min now runs as an
+    Arrow-batched Python kernel (``_winnow_fps_udf``) — the expression
+    path paid O(chars) interpreted md5 ``transform`` nodes PLUS
+    O(chars x w) ``array_min(slice(...))`` boxed compares per doc,
+    all CodegenFallback; the kernel does the identical arithmetic
+    (hashlib md5 is the same public digest; numpy sliding-window min)
+    per batch. Normalization stays a JVM regex. Bit-identity pinned by
+    ``test_winnow_kernel_matches_expression``.
     """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    nb = spread(documents).select("doc_id", norm.alias("_norm"))
+    return (nb.select("doc_id",
+                      _winnow_fps_udf(k, w)(F.col("_norm")).alias("_fps"))
+            .select("doc_id", F.explode_outer("_fps").alias("fp"))
+            .filter(F.col("fp").isNotNull()))
+
+
+# (k, w) -> Arrow-batched fingerprint UDF (constructed once per shape)
+_WINNOW_UDFS: dict[tuple[int, int], object] = {}
+
+
+def _winnow_fps_udf(k: int, w: int):
+    """Per-doc winnowed fingerprint kernel: md5-60 every character
+    k-gram of the normalized text (``int(md5(utf8).hexdigest()[:15],
+    16)`` — the exact ``md5_long`` arithmetic; Python slices strings
+    by codepoints exactly as Spark's ``substring`` does), then keep
+    the min of each w-window (short docs: global min), first-occurrence
+    deduplicated — the order ``array_distinct`` preserves."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    if (k, w) not in _WINNOW_UDFS:
+
+        @F.pandas_udf("array<long>")
+        def winnow_fps(norms: pd.Series) -> pd.Series:
+            from numpy.lib.stride_tricks import sliding_window_view
+
+            md5 = hashlib.md5
+            out = []
+            for s in norms:
+                if s is None:
+                    out.append([])
+                    continue
+                m = len(s) - (k - 1)
+                if m < 1:
+                    out.append([])
+                    continue
+                h = np.fromiter(
+                    (int(md5(s[i:i + k].encode("utf-8"))
+                         .hexdigest()[:15], 16) for i in range(m)),
+                    dtype=np.int64, count=m)
+                if m >= w:
+                    fps = sliding_window_view(h, w).min(axis=1)
+                    out.append(pd.unique(fps).tolist())
+                else:
+                    out.append([int(h.min())])
+            return pd.Series(out)
+
+        _WINNOW_UDFS[(k, w)] = winnow_fps
+    return _WINNOW_UDFS[(k, w)]
+
+
+def _winnow_fingerprints_expr(documents: DataFrame, k: int = 10,
+                              w: int = 8) -> DataFrame:
+    """The pure-expression winnowing path (pre-r11) — kept as the
+    kernel's equivalence twin for the bit-identity test; arithmetic
+    documented in ``winnow_fingerprints``."""
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
