@@ -317,9 +317,29 @@ def _norm_rows(mat):
     return mat / np.where(n == 0, 1.0, n)
 
 
+def _md5_init_vecs(corpus: DataFrame, n: int, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> list[list[float]]:
+    """The deterministic k-means init selection as its own job: the
+    ``n`` rows with the smallest (md5(id), id) — content-independent
+    and engine-reproducible — returned as double vectors in init
+    order. Shared by ``kmeans_fit``/``pq_fit`` (their default) and by
+    ``ivfpq_fit_encode``, which collects max(n_cells, ks) rows ONCE
+    and feeds both fits from the single collect (r11 — one init
+    barrier instead of two in the IVFADC build chain)."""
+    from ..functions.text import md5_long
+
+    rows = (corpus.select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).cast("array<double>").alias("_v"),
+                md5_long(F.col(id_col).cast("string")).alias("_h"))
+            .orderBy("_h", "_id").limit(n).collect())
+    return [list(r._v) for r in rows]
+
+
 def kmeans_fit(corpus: DataFrame, k: int = 8, n_iter: int = 5,
                id_col: str = "vec_id", vec_col: str = "embedding",
                normalize: bool = False,
+               init_vecs: list[list[float]] | None = None,
                ) -> tuple[list[list[float]], list[float]]:
     """Lloyd's k-means over the embedding column — trains the IVF
     coarse quantizer instead of trusting a precomputed ``label``
@@ -353,36 +373,45 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, n_iter: int = 5,
     import numpy as np
     import pandas as pd
 
-    from ..functions.text import md5_long
-
     spark = corpus.sparkSession
     emb = corpus.select(F.col(id_col).alias("_id"),
                         F.col(vec_col).cast("array<double>").alias("_v"))
     emb = emb.persist()
     try:
-        init = (emb.select(
-                    "_id", "_v",
-                    md5_long(F.col("_id").cast("string")).alias("_h"))
-                .orderBy("_h", "_id").limit(k).collect())
-        if not init:
+        if init_vecs is None:
+            init_vecs = _md5_init_vecs(emb, k, id_col="_id", vec_col="_v")
+        else:
+            init_vecs = init_vecs[:k]
+        if not init_vecs:
             raise ValueError("kmeans_fit: empty corpus — nothing to train on")
         # fewer rows than requested clusters: every row is its own
         # centroid (k silently clamps — the counts/sums arrays below
         # are sized by the ACTUAL codebook, not the request)
-        k = len(init)
-        C = np.vstack([np.asarray(r._v, dtype="float64") for r in init])
+        k = len(init_vecs)
+        C = np.vstack([np.asarray(v, dtype="float64") for v in init_vecs])
         if normalize:
             C = _norm_rows(C)
         dim = C.shape[1]
         # Partial-reduction route (guide §2.4 — remove shuffles
-        # outright): each task emits <= k codebook-sized partial rows,
-        # so up to ``npart x k`` rows reach the driver. Under the
-        # budget they are collected DIRECTLY and summed driver-side —
-        # one stage per iteration instead of map + posexplode/groupBy
-        # + reduce (measured 0.42s -> 0.22s per iteration at sf0.1).
-        # Past the budget (a 100 TB scan is ~10^5-10^6 tasks, whose
-        # partials would be GBs) the grouped reduction stays: the
-        # shuffle is codebook-sized per task either way.
+        # outright): each task accumulates its batches' codebook-sized
+        # partials IN the generator and emits <= k rows per TASK (r11,
+        # round-10 advice — the per-BATCH emission made driver collect
+        # volume scale with batches-per-partition, so the 65,536-row
+        # budget below did not bound what it claimed to), so up to
+        # ``npart x k`` rows reach the driver. Under the budget they
+        # are collected DIRECTLY and summed driver-side — one stage
+        # per iteration instead of map + posexplode/groupBy + reduce
+        # (measured 0.42s -> 0.22s per iteration at sf0.1). Past the
+        # budget (a 100 TB scan is ~10^5-10^6 tasks, whose partials
+        # would be GBs) the grouped reduction stays: the shuffle is
+        # codebook-sized per task either way. Summation ORDER: each
+        # task folds its batches' partials left to right and the driver
+        # folds tasks in partition order — on a single-partition input
+        # (every driver fixture) the addition chain is bit-identical to
+        # the per-batch collect's; across tasks the grouping changes,
+        # which is inside the contract float summation already has
+        # (shuffle- and engine-order-nondeterministic; centroids are
+        # rounding-stabilized downstream, oracle re-verified).
         npart = emb.rdd.getNumPartitions()
         direct = npart * k <= 65536
         inertia: list[float] = []
@@ -392,6 +421,11 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, n_iter: int = 5,
             def partials(batches):
                 cents = bc.value
                 c_sq = (cents ** 2).sum(axis=1)
+                kk, dd = cents.shape
+                t_sums = np.zeros((kk, dd))
+                t_counts = np.zeros(kk, dtype=np.int64)
+                t_d = np.zeros(kk)
+                seen = np.zeros(kk, dtype=bool)
                 for pdf in batches:
                     if len(pdf) == 0:
                         continue
@@ -401,12 +435,16 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, n_iter: int = 5,
                     d2 = (X ** 2).sum(1)[:, None] - 2 * X @ cents.T + c_sq
                     a = d2.argmin(axis=1)
                     mind = d2[np.arange(len(X)), a]
-                    out = []
                     for c in np.unique(a):
                         m = a == c
-                        out.append({"c": int(c), "s": X[m].sum(0).tolist(),
-                                    "n": int(m.sum()),
-                                    "d": float(mind[m].sum())})
+                        t_sums[c] += X[m].sum(0)
+                        t_counts[c] += int(m.sum())
+                        t_d[c] += float(mind[m].sum())
+                        seen[c] = True
+                out = [{"c": int(c), "s": t_sums[c].tolist(),
+                        "n": int(t_counts[c]), "d": float(t_d[c])}
+                       for c in range(kk) if seen[c]]
+                if out:
                     yield pd.DataFrame(out)
 
             mp = emb.mapInPandas(
@@ -549,10 +587,15 @@ def ivf_topk_kmeans(queries: DataFrame, corpus: DataFrame, k: int = 5,
     cells."""
     cents, _ = kmeans_fit(corpus, k=n_clusters, n_iter=n_iter,
                           normalize=True)
-    c = (corpus.join(kmeans_assign(corpus, cents, normalize=True),
-                     "vec_id")
+    # carry_vec (r11, guide §2.4 — the same single-pass fix the IVFPQ
+    # residual builder got in r10): the assignment pass carries the
+    # double-cast raw vector through, so the labeled corpus comes out
+    # of ONE Arrow pass instead of corpus ⨝ assignment — that join
+    # re-scanned the corpus and paid a sort-merge exchange to reunite
+    # each row with its own label
+    c = (kmeans_assign(corpus, cents, normalize=True, carry_vec=True)
          .select(F.col("vec_id").alias("neighbor_id"),
-                 F.col("embedding").cast("array<double>").alias("c_emb"),
+                 F.col("_v").alias("c_emb"),
                  F.col("cluster_id").alias("label")))
     cents_df = queries.sparkSession.createDataFrame(
         [(i, c_) for i, c_ in enumerate(cents)],
@@ -683,6 +726,8 @@ def hard_negatives(queries: DataFrame, corpus: DataFrame, k: int = 5,
 
 def pq_fit(corpus: DataFrame, m: int = 4, ks: int = 8, n_iter: int = 3,
            id_col: str = "vec_id", vec_col: str = "embedding",
+           init_vecs: list[list[float]] | None = None,
+           pre_persisted: bool = False,
            ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jegou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): split the vector into
@@ -714,30 +759,36 @@ def pq_fit(corpus: DataFrame, m: int = 4, ks: int = 8, n_iter: int = 3,
     import numpy as np
     import pandas as pd
 
-    from ..functions.text import md5_long
-
     spark = corpus.sparkSession
     emb = corpus.select(F.col(id_col).alias("_id"),
                         F.col(vec_col).cast("array<double>").alias("_v"))
-    emb = emb.persist()
+    # ``pre_persisted``: the caller's input is already a persisted
+    # slot (the IVFADC residual frame) — a second .persist() of the
+    # renamed projection would cache the same bytes twice (r11)
+    if not pre_persisted:
+        emb = emb.persist()
     try:
-        init = (emb.select(
-                    "_id", "_v",
-                    md5_long(F.col("_id").cast("string")).alias("_h"))
-                .orderBy("_h", "_id").limit(ks).collect())
-        if not init:
+        if init_vecs is None:
+            init_vecs = _md5_init_vecs(emb, ks, id_col="_id",
+                                       vec_col="_v")
+        else:
+            init_vecs = init_vecs[:ks]
+        if not init_vecs:
             raise ValueError("pq_fit: empty corpus — nothing to train on")
         # dim rides the init rows (full vectors) — no separate head job
-        dim = len(init[0]._v)
+        dim = len(init_vecs[0])
         if dim % m:
             raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
         sub = dim // m
-        k = len(init)            # fewer rows than ks: k clamps
-        X0 = np.vstack([np.asarray(r._v, dtype="float64") for r in init])
+        k = len(init_vecs)       # fewer rows than ks: k clamps
+        X0 = np.vstack([np.asarray(v, dtype="float64")
+                        for v in init_vecs])
         C = [X0[:, j * sub:(j + 1) * sub].copy() for j in range(m)]
-        # same partial-reduction route as kmeans_fit: <= npart x m x k
-        # codebook-sized partial rows — collect directly under the
-        # budget, grouped reduction past it
+        # same partial-reduction route as kmeans_fit: each task
+        # accumulates its batches IN the generator and emits
+        # <= m x k rows per TASK (r11, round-10 advice — the budget
+        # must bound what actually reaches the driver) — collect
+        # directly under the budget, grouped reduction past it
         npart = emb.rdd.getNumPartitions()
         direct = npart * m * k <= 65536
         for _ in range(n_iter):
@@ -745,11 +796,13 @@ def pq_fit(corpus: DataFrame, m: int = 4, ks: int = 8, n_iter: int = 3,
 
             def partials(batches):
                 books = bc.value
+                t_sums = np.zeros((m, k, sub))
+                t_counts = np.zeros((m, k), dtype=np.int64)
+                seen = np.zeros((m, k), dtype=bool)
                 for pdf in batches:
                     if len(pdf) == 0:
                         continue
                     X = np.vstack(pdf["_v"].to_numpy()).astype("float64")
-                    out = []
                     for j, cents in enumerate(books):
                         Xj = X[:, j * sub:(j + 1) * sub]
                         d2 = ((Xj ** 2).sum(1)[:, None]
@@ -757,9 +810,15 @@ def pq_fit(corpus: DataFrame, m: int = 4, ks: int = 8, n_iter: int = 3,
                         a = d2.argmin(axis=1)
                         for c in np.unique(a):
                             msk = a == c
-                            out.append({"j": int(j), "c": int(c),
-                                        "s": Xj[msk].sum(0).tolist(),
-                                        "n": int(msk.sum())})
+                            t_sums[j, c] += Xj[msk].sum(0)
+                            t_counts[j, c] += int(msk.sum())
+                            seen[j, c] = True
+                out = [{"j": int(j), "c": int(c),
+                        "s": t_sums[j, c].tolist(),
+                        "n": int(t_counts[j, c])}
+                       for j in range(m) for c in range(k)
+                       if seen[j, c]]
+                if out:
                     yield pd.DataFrame(out)
 
             mp = emb.mapInPandas(
@@ -792,7 +851,8 @@ def pq_fit(corpus: DataFrame, m: int = 4, ks: int = 8, n_iter: int = 3,
         return [[[round(float(x), 9) for x in c] for c in C[j]]
                 for j in range(m)]
     finally:
-        emb.unpersist()
+        if not pre_persisted:
+            emb.unpersist()
 
 
 def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]],
@@ -845,6 +905,47 @@ def pq_encode(corpus: DataFrame, codebooks: list[list[list[float]]],
             .mapInPandas(encode, schema))
 
 
+def _sql_double(x: float) -> str:
+    """Exact SQL double literal: repr() is the shortest round-trip
+    decimal, so the parser recovers the identical double; plain
+    decimals get the D suffix (undecorated they parse as DECIMAL),
+    scientific notation is already DOUBLE in Spark SQL."""
+    r = repr(float(x))
+    return r if ("e" in r or "E" in r or "n" in r) else r + "D"
+
+
+def _sql_double_array(vals) -> str:
+    return "array(" + ", ".join(_sql_double(v) for v in vals) + ")"
+
+
+def _adc_tables_sql(books: list, src: str) -> str:
+    """SQL text of the per-row ADC distance-table expression over
+    subvectors of the column expression ``src`` — semantically the
+    exact tree the old per-literal builder produced
+    (round(self_dot - 2*dot + ||cent||^2, 6) per (subspace, centroid),
+    same operator order, same left-fold aggregates), built as ONE
+    parsed string instead of ~m x ks x sub ``F.lit`` Py4J round trips
+    (r11, guide §1.2 — the literal build cost ~1.5 s of DRIVER time
+    per call at the fixture codebook sizes, most of a warm query's
+    latency; equivalence pinned by
+    ``test_sql_adc_tables_match_literal_builder``)."""
+    m = len(books)
+    sub = len(books[0][0])
+    outer = []
+    for j in range(m):
+        sv = f"slice({src}, {j * sub + 1}, {sub})"
+        entries = []
+        for cent in books[j]:
+            dot = (f"aggregate(zip_with({sv}, {_sql_double_array(cent)}, "
+                   f"(a, b) -> a * b), 0.0D, (acc, x) -> acc + x)")
+            self_dot = (f"aggregate(transform({sv}, x -> x * x), 0.0D, "
+                        f"(acc, x) -> acc + x)")
+            csq = _sql_double(float(sum(x * x for x in cent)))
+            entries.append(f"round({self_dot} - 2 * {dot} + {csq}, 6)")
+        outer.append("array(" + ", ".join(entries) + ")")
+    return "array(" + ", ".join(outer) + ")"
+
+
 def ann_pq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
                 m: int = 4, ks: int = 8, n_iter: int = 3) -> DataFrame:
     """ANN by asymmetric distance computation over PQ codes (Jegou et
@@ -886,29 +987,15 @@ def _pq_candidates(queries: DataFrame, corpus: DataFrame, m: int,
     fit, encode, broadcast per-query distance tables, fixed-order
     lookup fold. Self-pairs excluded."""
     books = pq_fit(corpus, m=m, ks=ks, n_iter=n_iter)
-    sub = len(books[0][0])
     codes = pq_encode(corpus, books)
-
-    def dot_lit(vec, cent):
-        lits = F.array(*[F.lit(x) for x in cent])
-        return F.aggregate(F.zip_with(vec, lits, lambda a, b: a * b),
-                           F.lit(0.0), lambda acc, x: acc + x)
-
-    def self_dot(vec):
-        return F.aggregate(F.transform(vec, lambda x: x * x),
-                           F.lit(0.0), lambda acc, x: acc + x)
 
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("q_emb"))
-    subvecs = [F.slice(F.col("q_emb"), j * sub + 1, sub) for j in range(m)]
-    tables = F.array(*[
-        F.array(*[
-            F.round(self_dot(subvecs[j]) - 2 * dot_lit(subvecs[j], cent)
-                    + F.lit(float(sum(x * x for x in cent))), 6)
-            for cent in books[j]])
-        for j in range(m)])
-    qt = q.select("query_id", tables.alias("_t"))
+    # one parsed SQL string instead of m*ks*sub F.lit round trips
+    # (r11 — see _adc_tables_sql)
+    qt = q.select("query_id",
+                  F.expr(_adc_tables_sql(books, "q_emb")).alias("_t"))
 
     adist = F.aggregate(
         F.sequence(F.lit(1), F.lit(m)), F.lit(0.0),
@@ -956,10 +1043,43 @@ def ann_ivfpq_topk(queries: DataFrame, corpus: DataFrame, k: int = 5,
     Output: (query_id, neighbor_id, rank, adist) — approximate
     distances over probed cells only.
     """
+    import hashlib
+    import json
+
     coarse, books, codes = ivfpq_fit_encode(corpus, n_cells=n_cells,
                                             m=m, ks=ks, n_iter=n_iter)
     probes = _ivfpq_probes(queries, coarse, nprobe)
-    return _ivfpq_rank(codes, probes, coarse, books, k)
+    # memoize the rank Columns on the CODEBOOK CONTENT (r11): repeated
+    # in-memory builds over the same corpus train identical (9dp-
+    # rounded) codebooks, so the expression build — like the landed
+    # searchers' — need only happen once per session per index
+    ckey = ("inmem", hashlib.md5(
+        json.dumps([coarse, books]).encode()).hexdigest())
+    exprs = _rank_exprs_cached(queries.sparkSession, ckey, coarse, books)
+    return _ivfpq_rank(codes, probes, coarse, books, k, exprs=exprs)
+
+
+def _residual_init_vecs(init_vecs: list[list[float]],
+                        coarse: list) -> list[list[float]]:
+    """Driver-side twin of ``_ivfpq_residuals`` for the (tiny) init
+    rows: assign each vector to its nearest coarse centroid with the
+    SAME expanded-form float64 arithmetic as the ``kmeans_assign``
+    kernel, then 9dp-round the residual with ``_spark_round_py`` (the
+    bit-exact HALF_UP twin of Spark's round). Lets ``ivfpq_fit_encode``
+    derive the PQ sub-fit's init rows from the ONE shared init collect
+    instead of a second takeOrdered job over the full residual frame
+    (r11 — one init barrier in the IVFADC build, not two); equality
+    with the cluster-computed residuals is pinned by
+    ``test_ivfpq_driver_init_matches_cluster_residuals``."""
+    import numpy as np
+
+    X = np.asarray(init_vecs, dtype="float64")
+    C = np.asarray(coarse, dtype="float64")
+    d2 = (X ** 2).sum(1)[:, None] - 2 * X @ C.T + (C ** 2).sum(1)
+    cells = d2.argmin(axis=1)
+    return [[_spark_round_py(float(a) - float(b), 9)
+             for a, b in zip(vec, C[cell])]
+            for vec, cell in zip(X, cells)]
 
 
 def ivfpq_fit_encode(corpus: DataFrame, n_cells: int = 8, m: int = 4,
@@ -968,11 +1088,25 @@ def ivfpq_fit_encode(corpus: DataFrame, n_cells: int = 8, m: int = 4,
     """Train the IVFADC index and encode the corpus: returns
     (coarse codebook, residual PQ codebooks, codes DataFrame with
     (vec_id, cell, codes)) — the compressed index a 100 TB deployment
-    lands partitioned by cell (``land_ivfpq_index``)."""
-    coarse, _ = kmeans_fit(corpus, k=n_cells, n_iter=n_iter)
+    lands partitioned by cell (``land_ivfpq_index``).
+
+    Job chain (r11 — guide §1.2, fewer sequential barriers): ONE
+    md5-init collect of max(n_cells, ks) rows feeds BOTH fits (the
+    init ordering is content-independent, so the coarse and residual
+    fits pick the same rows; the PQ fit's init residuals are derived
+    driver-side from the collected vectors + the final coarse
+    codebook — ``_residual_init_vecs``), so the build runs
+    1 + n_iter + n_iter sequential jobs instead of the former
+    2 + 2 x n_iter; the residual persist materializes inside the PQ
+    fit's first iteration rather than under its own init barrier."""
+    init = _md5_init_vecs(corpus, max(n_cells, ks))
+    coarse, _ = kmeans_fit(corpus, k=n_cells, n_iter=n_iter,
+                           init_vecs=init)
     coarse = [[round(x, 9) for x in c] for c in coarse]
     res = _ivfpq_residuals(corpus, coarse, slot="ivfpq_res_fit")
-    books = pq_fit(res, m=m, ks=ks, n_iter=n_iter)
+    books = pq_fit(res, m=m, ks=ks, n_iter=n_iter,
+                   init_vecs=_residual_init_vecs(init[:ks], coarse),
+                   pre_persisted=True)
     codes = (pq_encode(res, books, carry_cols=("cluster_id",))
              .select("vec_id", F.col("cluster_id").alias("cell"), "codes"))
     return coarse, books, codes
@@ -992,14 +1126,16 @@ def _ivfpq_residuals(corpus: DataFrame, coarse: list,
 
     # carry_vec: assignment and vector come out of ONE corpus pass —
     # the former corpus.join(assign) shape re-scanned the corpus and
-    # paid a sort-merge exchange to reunite a row with its own label
+    # paid a sort-merge exchange to reunite a row with its own label.
+    # The coarse codebook rides as one parsed SQL array literal (r11 —
+    # n_cells x dim F.lit round trips removed, see _adc_tables_sql)
     assign = kmeans_assign(corpus, coarse, carry_vec=True)
-    coarse_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in coarse])
+    coarse_sql = ("array(" + ", ".join(_sql_double_array(c)
+                                       for c in coarse) + ")")
     res = (assign.select("vec_id", "cluster_id",
-                         F.zip_with(F.col("_v"),
-                                    F.element_at(coarse_lit,
-                                                 F.col("cluster_id") + 1),
-                                    lambda a, b: F.round(a - b, 9))
+                         F.expr(f"zip_with(_v, element_at({coarse_sql}, "
+                                f"cluster_id + 1), "
+                                f"(a, b) -> round(a - b, 9))")
                          .alias("embedding")))
     return swap_persisted(slot, res.persist(StorageLevel.MEMORY_AND_DISK))
 
@@ -1044,37 +1180,21 @@ def _ivfpq_probes(queries: DataFrame, coarse: list,
 def _ivfpq_rank_exprs(coarse: list, books: list) -> tuple[Column, Column]:
     """(qres, tables): the query-INDEPENDENT Column expressions of the
     ADC rank — the coarse-centroid residual and the per-(query, cell)
-    distance tables over the residual subvectors. Building them costs
+    distance tables over the residual subvectors. Built from ONE
+    parsed SQL string each (r11): the former per-literal build cost
     n_cells*dim + m*ks*sub ``F.lit`` Py4J round-trips (~1.5 s measured
-    at the fixture codebook sizes), which is most of a warm
-    single-query's latency — so ``search_ivfpq_index`` /
-    ``search_ivfpq_index_local`` memoize the built Columns per
-    (session, codebook sidecar) via ``_rank_exprs_cached``. Columns
-    are immutable unresolved expressions referencing q_emb/cell by
-    name, so reuse across query frames is sound."""
-    m = len(books)
-    sub = len(books[0][0])
-    coarse_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in coarse])
-    qres = F.zip_with(F.col("q_emb"),
-                      F.element_at(coarse_lit, F.col("cell") + 1),
-                      lambda a, b: a - b)
-    subvecs = [F.slice(F.col("_qr"), j * sub + 1, sub) for j in range(m)]
-
-    def dot_lit(vec, cent):
-        lits = F.array(*[F.lit(x) for x in cent])
-        return F.aggregate(F.zip_with(vec, lits, lambda a, b: a * b),
-                           F.lit(0.0), lambda acc, x: acc + x)
-
-    def self_dot(vec):
-        return F.aggregate(F.transform(vec, lambda x: x * x),
-                           F.lit(0.0), lambda acc, x: acc + x)
-
-    tables = F.array(*[
-        F.array(*[
-            F.round(self_dot(subvecs[j]) - 2 * dot_lit(subvecs[j], cent)
-                    + F.lit(float(sum(x * x for x in cent))), 6)
-            for cent in books[j]])
-        for j in range(m)])
+    at the fixture codebook sizes), which was most of a warm
+    single-query's latency; ``search_ivfpq_index`` /
+    ``search_ivfpq_index_local`` / ``ann_ivfpq_topk`` additionally
+    memoize the built Columns per (session, codebook identity) via
+    ``_rank_exprs_cached``. Columns are immutable unresolved
+    expressions referencing q_emb/cell by name, so reuse across query
+    frames is sound."""
+    coarse_sql = ("array(" + ", ".join(_sql_double_array(c)
+                                       for c in coarse) + ")")
+    qres = F.expr(f"zip_with(q_emb, element_at({coarse_sql}, cell + 1), "
+                  f"(a, b) -> a - b)")
+    tables = F.expr(_adc_tables_sql(books, "_qr"))
     return qres, tables
 
 

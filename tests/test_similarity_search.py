@@ -843,3 +843,71 @@ def test_sq8_topk_precomputed_stats_identical(spark):
                         sq8_topk(queries, emb, k=3,
                                  stats=sq8_fit(emb)).collect()))
     assert fresh == reused
+
+
+def test_ivfpq_driver_init_matches_cluster_residuals(spark):
+    """r11: the PQ sub-fit's init rows are derived DRIVER-side from
+    the one shared md5-init collect (assign + 9dp HALF_UP round twin)
+    — they must equal the residual rows the old second takeOrdered
+    job collected from the cluster-computed residual frame."""
+    from database_convertor_spark.functions.text import md5_long
+    from database_convertor_spark.operators.similarity_search import (
+        _ivfpq_residuals,
+        _md5_init_vecs,
+        _residual_init_vecs,
+        kmeans_fit,
+    )
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    ks, n_cells = 8, 8
+    init = _md5_init_vecs(emb, max(n_cells, ks))
+    coarse, _ = kmeans_fit(emb, k=n_cells, n_iter=3, init_vecs=init)
+    coarse = [[round(x, 9) for x in c] for c in coarse]
+    got = _residual_init_vecs(init[:ks], coarse)
+    res = _ivfpq_residuals(emb, coarse, slot="test_res_init")
+    want = [list(r._v) for r in
+            (res.select(F.col("vec_id").alias("_id"),
+                        F.col("embedding").alias("_v"),
+                        md5_long(F.col("vec_id").cast("string"))
+                        .alias("_h"))
+             .orderBy("_h", "_id").limit(ks).collect())]
+    assert got == want
+
+
+def test_sql_adc_tables_match_literal_builder(spark):
+    """r11: the one-parse SQL text of the ADC distance tables must
+    produce cell-identical values to the per-F.lit builder it
+    replaced (same operator order, same rounding)."""
+    from database_convertor_spark.operators.similarity_search import (
+        _adc_tables_sql,
+        pq_fit,
+    )
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    books = pq_fit(emb, m=4, ks=8, n_iter=2)
+    m, sub = len(books), len(books[0][0])
+    q = emb.filter(emb.vec_id < 5).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("q_emb"))
+
+    def dot_lit(vec, cent):
+        lits = F.array(*[F.lit(x) for x in cent])
+        return F.aggregate(F.zip_with(vec, lits, lambda a, b: a * b),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    def self_dot(vec):
+        return F.aggregate(F.transform(vec, lambda x: x * x),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    subvecs = [F.slice(F.col("q_emb"), j * sub + 1, sub) for j in range(m)]
+    lit_tables = F.array(*[
+        F.array(*[
+            F.round(self_dot(subvecs[j]) - 2 * dot_lit(subvecs[j], cent)
+                    + F.lit(float(sum(x * x for x in cent))), 6)
+            for cent in books[j]])
+        for j in range(m)])
+    want = {r.vec_id: [list(a) for a in r.t] for r in
+            q.select("vec_id", lit_tables.alias("t")).collect()}
+    got = {r.vec_id: [list(a) for a in r.t] for r in
+           q.select("vec_id", F.expr(_adc_tables_sql(books, "q_emb"))
+                    .alias("t")).collect()}
+    assert got == want
