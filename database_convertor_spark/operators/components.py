@@ -180,6 +180,38 @@ def _local_components(e0: DataFrame) -> DataFrame | None:
     return e0.sparkSession.createDataFrame(out, schema)
 
 
+def _within_local_budget(e0: DataFrame, local_edges_budget: int) -> bool:
+    """Budget gate for the driver-side components path, sized in ONE
+    job that doubles as the checkpoint's materialization (r11 — the
+    gate previously ran checkpoint-then-count, a second fixed job on
+    EVERY call including the past-budget distributed path; ``e0``
+    arrives lazily checkpointed, so this aggregate both truncates the
+    lineage and measures it).
+
+    Byte-aware (round-10 advice): the row budget was calibrated for
+    fixed-width numeric ids (~16 bytes/edge driver-side); wide string
+    node ids multiply the collected + DuckDB-symmetrized footprint, so
+    for non-integral id types the same aggregate also measures the
+    average id width and the gate admits only
+    rows x max(width, 16) <= budget x 16 — a 5M budget keeps its
+    meaning of "about 80 MB of edge payload" whatever the id type."""
+    from pyspark.sql import types as T
+
+    integral = all(isinstance(f.dataType,
+                              (T.LongType, T.IntegerType,
+                               T.ShortType, T.ByteType))
+                   for f in e0.schema.fields)
+    if integral:
+        return e0.count() <= local_edges_budget
+    row = e0.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.octet_length(F.col("a").cast("string"))
+              + F.octet_length(F.col("b").cast("string"))).alias("w")
+    ).first()
+    width = max(float(row["w"] or 0.0), 16.0)
+    return row["n"] * width <= local_edges_budget * 16.0
+
+
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
                          max_iterations: int = 20,
                          local_edges_budget: int = 5_000_000) -> DataFrame:
@@ -204,8 +236,8 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     # (measured 11.4s -> ~1s for round 0 on 458k ngram pairs at sf0.1)
     e0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
           .distinct()
-          .checkpoint(eager=True))
-    if local_edges_budget and e0.count() <= local_edges_budget:
+          .checkpoint(eager=not local_edges_budget))
+    if local_edges_budget and _within_local_budget(e0, local_edges_budget):
         local = _local_components(e0)
         if local is not None:
             return local

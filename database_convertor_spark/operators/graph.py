@@ -24,17 +24,33 @@ from pyspark.sql import functions as F
 
 def shared_supplier_pairs(lineitem: DataFrame, min_shared: int = 3) -> DataFrame:
     """Pairs of suppliers sharing >= min_shared distinct parts.
-    Port of the shared-officer edge computation (J3 + A8 + HAVING)."""
-    edges = lineitem.select("l_partkey", "l_suppkey").distinct()
-    a = edges.alias("a")
-    b = edges.alias("b")
-    pairs = a.join(b, (F.col("a.l_partkey") == F.col("b.l_partkey"))
-                   & (F.col("a.l_suppkey") < F.col("b.l_suppkey")))
-    # edges is distinct on (part, supp), so each (supp_a, supp_b, part)
-    # triple appears exactly once after the join: count(*) equals
-    # COUNT(DISTINCT part) but skips the two-phase distinct aggregate
-    return (pairs.groupBy(F.col("a.l_suppkey").alias("supp_a"),
-                          F.col("b.l_suppkey").alias("supp_b"))
+    Port of the shared-officer edge computation (J3 + A8 + HAVING).
+
+    Shape (r11, guide §2.4 — remove shuffles outright): ONE scan into
+    a map-side-combining ``collect_set`` per part (the distinct and
+    the per-part grouping share one exchange), then the within-part
+    pairs are GENERATED from the sorted supplier array (posexplode x
+    tail-slice explode — codegen'd Generates, no join), then one
+    pair-keyed count. Two exchanges total where the former
+    distinct + self-join + count paid the distinct exchange, two join
+    exchanges over a re-computed scan subtree, and the count exchange.
+    Pair mass is identical (each within-part pair materializes exactly
+    once, supp_a < supp_b by the array sort); a celebrity part
+    concentrates its C(s,2) pairs in one task exactly as the join's
+    hash partition did — the documented skew lever stays AQE.
+    Null-part rows are dropped up front: the join's equality predicate
+    never matched them (and TPC-H has none)."""
+    supps = (lineitem
+             .filter(F.col("l_partkey").isNotNull())
+             .groupBy("l_partkey")
+             .agg(F.array_sort(F.collect_set("l_suppkey")).alias("_s"))
+             .filter(F.size("_s") >= 2))
+    pairs = (supps
+             .select(F.posexplode("_s").alias("_i", "supp_a"), "_s")
+             .select("supp_a",
+                     F.explode(F.slice(F.col("_s"), F.col("_i") + 2,
+                                       F.size("_s"))).alias("supp_b")))
+    return (pairs.groupBy("supp_a", "supp_b")
             .agg(F.count(F.lit(1)).alias("shared_parts"))
             .filter(F.col("shared_parts") >= min_shared))
 

@@ -312,8 +312,29 @@ def land_text_index(documents: DataFrame, path: str,
     import json
     import os
 
+    from pyspark.sql import Observation
+
     _require_local_text_index_path(path)
     post = _postings(documents, n_buckets)
+    # sumdl / nd observed ON the postings write itself (r11, guide
+    # §1.2 — the stats formerly cost a THIRD job that re-READ the
+    # just-landed parquet end to end): sum(tf) is the total token
+    # count, and the per-doc first-row indicator (row_number over the
+    # doc partition the dl window already establishes — same exchange,
+    # one extra in-partition sort key) sums to the exact
+    # distinct-doc count without a DISTINCT aggregate (which
+    # CollectMetrics disallows). Same accumulator-backed caveat as
+    # n_docs below: a shuffle-map retry can double-count; acceptable
+    # for the local/bench sidecar, a production deployment keeps these
+    # in the table's catalog statistics.
+    rn = F.row_number().over(Window.partitionBy("doc_id").orderBy("term"))
+    obs_p = Observation()
+    post = (post.withColumn("_rn", rn)
+            .observe(obs_p,
+                     F.coalesce(F.sum("tf"), F.lit(0)).alias("sumdl"),
+                     F.coalesce(F.sum((F.col("_rn") == 1).cast("long")),
+                                F.lit(0)).alias("nd"))
+            .drop("_rn"))
     post.write.mode("overwrite").partitionBy("bucket").parquet(path)
     # doc-id MANIFEST sidecar (underscore dir — invisible to the
     # postings read): the streaming ingest guard anti-joins arrivals
@@ -328,24 +349,19 @@ def land_text_index(documents: DataFrame, path: str,
     # was a separate corpus-scan job into this one; sumdl re-derives
     # from the landed postings (sum of tf == total token count; empty
     # docs contribute 0 either way)
-    from pyspark.sql import Observation
-
     obs = Observation()
     (documents.select("doc_id")
      .observe(obs, F.count(F.lit(1)).alias("n"))
      .distinct()
      .write.mode("overwrite").parquet(os.path.join(path, "_manifest")))
     n_docs = int(obs.get["n"])
-    spark = documents.sparkSession
-    spark.catalog.refreshByPath(path)
-    agg = (spark.read.parquet(path)
-           .agg(F.coalesce(F.sum("tf"), F.lit(0)).alias("sumdl"),
-                F.countDistinct("doc_id").alias("nd")).head())
+    documents.sparkSession.catalog.refreshByPath(path)
+    pm = obs_p.get
     # token-less docs leave no postings but count in bm25's N; carry
     # the residual so compact_text_index can recompute N later
-    stats = {"n_docs": int(n_docs), "sumdl": int(agg["sumdl"]),
+    stats = {"n_docs": int(n_docs), "sumdl": int(pm["sumdl"]),
              "n_buckets": int(n_buckets),
-             "n_tokenless": int(n_docs) - int(agg["nd"])}
+             "n_tokenless": int(n_docs) - int(pm["nd"])}
     with open(os.path.join(path, "_stats.json"), "w") as fh:
         json.dump(stats, fh)
     return stats
