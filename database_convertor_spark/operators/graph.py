@@ -45,6 +45,16 @@ def shared_supplier_pairs(lineitem: DataFrame, min_shared: int = 3) -> DataFrame
              .groupBy("l_partkey")
              .agg(F.array_sort(F.collect_set("l_suppkey")).alias("_s"))
              .filter(F.size("_s") >= 2))
+    # The per-part frame is bytes-tiny (one array row per part), so
+    # AQE coalesces it to ~1 post-shuffle partition — and the ~C(s,2)
+    # pair explosion below then runs on ONE task (measured 2.9 s of a
+    # 3.8 s query at sf0.1 in a single-task explode+aggregate). An
+    # explicit round-robin repartition of the small aggregated rows
+    # (guide §2.5 — repartition immediately after the skew-creating
+    # step) spreads the explosion across the cluster for the cost of
+    # shuffling parts-count rows.
+    supps = supps.repartition(
+        lineitem.sparkSession.sparkContext.defaultParallelism)
     pairs = (supps
              .select(F.posexplode("_s").alias("_i", "supp_a"), "_s")
              .select("supp_a",

@@ -317,6 +317,175 @@ def _norm_rows(mat):
     return mat / np.where(n == 0, 1.0, n)
 
 
+#: row budget for the driver-local fit path (guide §1.2 — the
+#: distributed loop is the wrong algorithm under a size threshold,
+#: the same argument as components.local_edges_budget): under it the
+#: vectors are collected ONCE and every Lloyd/PQ iteration runs as
+#: local numpy — one job instead of 1 + n_iter sequential
+#: collect-barrier jobs per fit. 65,536 rows x 64 dims is ~32 MB of
+#: driver floats; the element cap below bounds wide-vector corpora.
+#: A 100 TB corpus blows the limit probe and falls back to the
+#: distributed loop — it never collects.
+LOCAL_FIT_ROWS_BUDGET = 65_536
+_LOCAL_FIT_MAX_ELEMENTS = 8_388_608
+
+
+def _arrow_batch_rows(spark) -> int:
+    """The session's Arrow batch size — the local fit chunks the
+    collected rows at the same boundaries the mapInPandas generators
+    see, so on a single-partition input (every driver fixture) the
+    local fold is BIT-identical to the distributed one."""
+    try:
+        return int(spark.conf.get(
+            "spark.sql.execution.arrow.maxRecordsPerBatch"))
+    except Exception:  # pragma: no cover - conf absent
+        return 10_000
+
+
+def _collect_vectors_local(emb: DataFrame, budget_rows: int):
+    """Collect the (_id, _v) projection when it fits the local-fit
+    budget; None past it (or on any collect failure, e.g.
+    spark.driver.maxResultSize) — callers fall back to the
+    distributed loop. The limit(budget+1) probe bounds what a
+    past-budget corpus can ship: one row over the budget proves the
+    fallback without counting first."""
+    if not budget_rows:
+        return None
+    try:
+        pdf = emb.limit(budget_rows + 1).toPandas()
+    except Exception:
+        return None
+    if len(pdf) > budget_rows:
+        return None
+    if len(pdf):
+        head = pdf["_v"].iloc[0]
+        dim = 0 if head is None else len(head)
+        if len(pdf) * dim > _LOCAL_FIT_MAX_ELEMENTS:
+            return None
+    return pdf
+
+
+_LOCAL_INIT_ID_TYPES = ("bigint", "int", "smallint", "tinyint", "string")
+
+
+def _md5_init_local(pdf, emb: DataFrame, n: int):
+    """Driver-side twin of ``_md5_init_vecs`` over the collected
+    rows: the n smallest (md5_60(str(id)), id). Python's str() of an
+    integer and a UTF-8 string compare exactly as Spark's string cast
+    + binary ordering do for the integral/string id types this is
+    gated on; other id types fall back to the one-job selection."""
+    import hashlib
+
+    if dict(emb.dtypes)["_id"] not in _LOCAL_INIT_ID_TYPES:
+        return None
+
+    def h(x) -> int:
+        return int(hashlib.md5(str(x).encode("utf-8"))
+                   .hexdigest()[:15], 16)
+
+    order = sorted(((h(i), i, pos) for pos, i in
+                    enumerate(pdf["_id"].tolist())))[:n]
+    return [list(pdf["_v"].iloc[pos]) for _, _, pos in order]
+
+
+def _vec_chunks(vs, batch_rows: int):
+    """The collected vector column as float64 matrices chunked at the
+    Arrow batch size — the exact per-batch shapes the distributed
+    generators GEMM over (BLAS results can differ at the ulp across
+    matrix shapes, so the chunking IS part of the equivalence)."""
+    import numpy as np
+
+    return [np.vstack(vs.iloc[i:i + batch_rows].to_numpy())
+            .astype("float64")
+            for i in range(0, len(vs), batch_rows)]
+
+
+def _kmeans_iterations_local(chunks, C, n_iter: int, normalize: bool
+                             ) -> tuple[list[list[float]], list[float]]:
+    """Driver-local twin of kmeans_fit's distributed loop: per chunk
+    the SAME GEMM/argmin/masked-sum ops as the mapInPandas generator,
+    folded in the same (ascending cluster) order the direct-collect
+    driver fold applies — bit-identical to the distributed path on a
+    single-partition input (pinned by test)."""
+    import numpy as np
+
+    k, dim = C.shape
+    inertia: list[float] = []
+    for _ in range(n_iter):
+        c_sq = (C ** 2).sum(axis=1)
+        t_sums = np.zeros((k, dim))
+        t_counts = np.zeros(k, dtype=np.int64)
+        t_d = np.zeros(k)
+        seen = np.zeros(k, dtype=bool)
+        for X0 in chunks:
+            X = _norm_rows(X0) if normalize else X0
+            d2 = (X ** 2).sum(1)[:, None] - 2 * X @ C.T + c_sq
+            a = d2.argmin(axis=1)
+            mind = d2[np.arange(len(X)), a]
+            for c in np.unique(a):
+                m_ = a == c
+                t_sums[c] += X[m_].sum(0)
+                t_counts[c] += int(m_.sum())
+                t_d[c] += float(mind[m_].sum())
+                seen[c] = True
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k)
+        sq_sum = 0.0
+        for c in range(k):
+            if seen[c]:
+                sums[c] += t_sums[c]
+                counts[c] += int(t_counts[c])
+                sq_sum += float(t_d[c])
+        newC = C.copy()
+        nz = counts > 0
+        newC[nz] = sums[nz] / counts[nz, None]
+        if normalize:
+            newC = _norm_rows(newC)
+        C = newC
+        inertia.append(sq_sum)
+    return [row.tolist() for row in C], inertia
+
+
+def _pq_iterations_local(chunks, C: list, n_iter: int
+                         ) -> list[list[list[float]]]:
+    """Driver-local twin of pq_fit's distributed loop — same per-chunk
+    subspace GEMMs, same (subspace asc, cluster asc) fold order as the
+    direct-collect path, same 9dp-rounded return."""
+    import numpy as np
+
+    m = len(C)
+    k, sub = C[0].shape
+    for _ in range(n_iter):
+        t_sums = np.zeros((m, k, sub))
+        t_counts = np.zeros((m, k), dtype=np.int64)
+        seen = np.zeros((m, k), dtype=bool)
+        for X in chunks:
+            for j, cents in enumerate(C):
+                Xj = X[:, j * sub:(j + 1) * sub]
+                d2 = ((Xj ** 2).sum(1)[:, None]
+                      - 2 * Xj @ cents.T + (cents ** 2).sum(1))
+                a = d2.argmin(axis=1)
+                for c in np.unique(a):
+                    msk = a == c
+                    t_sums[j, c] += Xj[msk].sum(0)
+                    t_counts[j, c] += int(msk.sum())
+                    seen[j, c] = True
+        sums = np.zeros((m, k, sub))
+        counts = np.zeros((m, k))
+        for j in range(m):
+            for c in range(k):
+                if seen[j, c]:
+                    sums[j, c] += t_sums[j, c]
+                    counts[j, c] += int(t_counts[j, c])
+        for j in range(m):
+            newC = C[j].copy()
+            nz = counts[j] > 0
+            newC[nz] = sums[j][nz] / counts[j][nz, None]
+            C[j] = newC
+    return [[[round(float(x), 9) for x in c] for c in C[j]]
+            for j in range(m)]
+
+
 def _md5_init_vecs(corpus: DataFrame, n: int, id_col: str = "vec_id",
                    vec_col: str = "embedding") -> list[list[float]]:
     """The deterministic k-means init selection as its own job: the
@@ -340,6 +509,7 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, n_iter: int = 5,
                id_col: str = "vec_id", vec_col: str = "embedding",
                normalize: bool = False,
                init_vecs: list[list[float]] | None = None,
+               local_rows_budget: int = LOCAL_FIT_ROWS_BUDGET,
                ) -> tuple[list[list[float]], list[float]]:
     """Lloyd's k-means over the embedding column — trains the IVF
     coarse quantizer instead of trusting a precomputed ``label``
@@ -376,6 +546,27 @@ def kmeans_fit(corpus: DataFrame, k: int = 8, n_iter: int = 5,
     spark = corpus.sparkSession
     emb = corpus.select(F.col(id_col).alias("_id"),
                         F.col(vec_col).cast("array<double>").alias("_v"))
+    # Local-fit route (guide §1.2 — one job instead of 1 + n_iter
+    # collect barriers): under the row budget the vectors collect ONCE
+    # and every iteration is driver-local numpy, chunk-for-chunk the
+    # same fold as the distributed generator (bit-identical on
+    # single-partition inputs — pinned by
+    # test_kmeans_local_fit_matches_distributed).
+    pdf = _collect_vectors_local(emb, local_rows_budget)
+    if pdf is not None:
+        local_init = (init_vecs[:k] if init_vecs is not None
+                      else _md5_init_local(pdf, emb, k))
+        if local_init is not None:
+            if not local_init:
+                raise ValueError(
+                    "kmeans_fit: empty corpus — nothing to train on")
+            C = np.vstack([np.asarray(v, dtype="float64")
+                           for v in local_init])
+            if normalize:
+                C = _norm_rows(C)
+            return _kmeans_iterations_local(
+                _vec_chunks(pdf["_v"], _arrow_batch_rows(spark)),
+                C, n_iter, normalize)
     emb = emb.persist()
     try:
         if init_vecs is None:
@@ -728,6 +919,7 @@ def pq_fit(corpus: DataFrame, m: int = 4, ks: int = 8, n_iter: int = 3,
            id_col: str = "vec_id", vec_col: str = "embedding",
            init_vecs: list[list[float]] | None = None,
            pre_persisted: bool = False,
+           local_rows_budget: int = LOCAL_FIT_ROWS_BUDGET,
            ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jegou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): split the vector into
@@ -762,6 +954,30 @@ def pq_fit(corpus: DataFrame, m: int = 4, ks: int = 8, n_iter: int = 3,
     spark = corpus.sparkSession
     emb = corpus.select(F.col(id_col).alias("_id"),
                         F.col(vec_col).cast("array<double>").alias("_v"))
+    # Local-fit route — same budget/equivalence contract as
+    # kmeans_fit's (one collect job, per-chunk generator twin,
+    # (j asc, c asc) fold order; pinned by
+    # test_pq_local_fit_matches_distributed).
+    pdf = _collect_vectors_local(emb, local_rows_budget)
+    if pdf is not None:
+        local_init = (init_vecs[:ks] if init_vecs is not None
+                      else _md5_init_local(pdf, emb, ks))
+        if local_init is not None:
+            if not local_init:
+                raise ValueError(
+                    "pq_fit: empty corpus — nothing to train on")
+            import numpy as np
+            dim = len(local_init[0])
+            if dim % m:
+                raise ValueError(
+                    f"pq_fit: dim {dim} not divisible by m={m}")
+            sub = dim // m
+            X0 = np.vstack([np.asarray(v, dtype="float64")
+                            for v in local_init])
+            C = [X0[:, j * sub:(j + 1) * sub].copy() for j in range(m)]
+            return _pq_iterations_local(
+                _vec_chunks(pdf["_v"], _arrow_batch_rows(spark)),
+                C, n_iter)
     # ``pre_persisted``: the caller's input is already a persisted
     # slot (the IVFADC residual frame) — a second .persist() of the
     # renamed projection would cache the same bytes twice (r11)
@@ -1084,32 +1300,81 @@ def _residual_init_vecs(init_vecs: list[list[float]],
 
 def ivfpq_fit_encode(corpus: DataFrame, n_cells: int = 8, m: int = 4,
                      ks: int = 8, n_iter: int = 3,
+                     local_rows_budget: int = LOCAL_FIT_ROWS_BUDGET,
                      ) -> tuple[list, list, DataFrame]:
     """Train the IVFADC index and encode the corpus: returns
     (coarse codebook, residual PQ codebooks, codes DataFrame with
     (vec_id, cell, codes)) — the compressed index a 100 TB deployment
     lands partitioned by cell (``land_ivfpq_index``).
 
-    Job chain (r11 — guide §1.2, fewer sequential barriers): ONE
-    md5-init collect of max(n_cells, ks) rows feeds BOTH fits (the
-    init ordering is content-independent, so the coarse and residual
-    fits pick the same rows; the PQ fit's init residuals are derived
-    driver-side from the collected vectors + the final coarse
-    codebook — ``_residual_init_vecs``), so the build runs
-    1 + n_iter + n_iter sequential jobs instead of the former
-    2 + 2 x n_iter; the residual persist materializes inside the PQ
-    fit's first iteration rather than under its own init barrier."""
-    init = _md5_init_vecs(corpus, max(n_cells, ks))
-    coarse, _ = kmeans_fit(corpus, k=n_cells, n_iter=n_iter,
-                           init_vecs=init)
-    coarse = [[round(x, 9) for x in c] for c in coarse]
+    Job chain (r11 — guide §1.2, fewer sequential barriers): under
+    ``local_rows_budget`` the vectors collect ONCE and the whole
+    train — coarse Lloyd iterations, per-row residuals (the exact
+    kmeans_assign arithmetic + HALF_UP 9dp round twin), PQ
+    iterations — runs driver-local, so the build is ONE job plus the
+    lazy encode; the residual FRAME stays a distributed persist slot
+    that materializes inside the first consumer's job (the encode
+    scans the corpus — that never collects). Past the budget: one
+    md5-init collect feeds both fits (init ordering is
+    content-independent; the PQ init residuals are derived driver-side
+    via ``_residual_init_vecs``), 1 + 2 x n_iter sequential jobs."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    emb = corpus.select(F.col("vec_id").alias("_id"),
+                        F.col("embedding").cast("array<double>")
+                        .alias("_v"))
+    pdf = _collect_vectors_local(emb, local_rows_budget)
+    local_init = (_md5_init_local(pdf, emb, max(n_cells, ks))
+                  if pdf is not None else None)
+    if local_init:
+        batch = _arrow_batch_rows(spark)
+        chunks = _vec_chunks(pdf["_v"], batch)
+        C0 = np.vstack([np.asarray(v, dtype="float64")
+                        for v in local_init[:n_cells]])
+        coarse, _ = _kmeans_iterations_local(chunks, C0, n_iter,
+                                             normalize=False)
+        coarse = [[round(x, 9) for x in c] for c in coarse]
+        # per-chunk residuals: same GEMM shapes + argmin as the
+        # kmeans_assign kernel, same 9dp HALF_UP round as the
+        # zip_with expression (vectorized twin — _spark_round_np)
+        Cc = np.asarray(coarse, dtype="float64")
+        c_sq = (Cc ** 2).sum(axis=1)
+        res_chunks = []
+        for X in chunks:
+            d2 = (X ** 2).sum(1)[:, None] - 2 * X @ Cc.T + c_sq
+            res_chunks.append(_spark_round_np(X - Cc[d2.argmin(axis=1)]))
+        books = _pq_iterations_local(
+            res_chunks,
+            _pq_init_books(_residual_init_vecs(local_init[:ks], coarse),
+                           m),
+            n_iter)
+    else:
+        init = _md5_init_vecs(corpus, max(n_cells, ks))
+        coarse, _ = kmeans_fit(corpus, k=n_cells, n_iter=n_iter,
+                               init_vecs=init, local_rows_budget=0)
+        coarse = [[round(x, 9) for x in c] for c in coarse]
+        res_fit = _ivfpq_residuals(corpus, coarse, slot="ivfpq_res_fit")
+        books = pq_fit(res_fit, m=m, ks=ks, n_iter=n_iter,
+                       init_vecs=_residual_init_vecs(init[:ks], coarse),
+                       pre_persisted=True, local_rows_budget=0)
     res = _ivfpq_residuals(corpus, coarse, slot="ivfpq_res_fit")
-    books = pq_fit(res, m=m, ks=ks, n_iter=n_iter,
-                   init_vecs=_residual_init_vecs(init[:ks], coarse),
-                   pre_persisted=True)
     codes = (pq_encode(res, books, carry_cols=("cluster_id",))
              .select("vec_id", F.col("cluster_id").alias("cell"), "codes"))
     return coarse, books, codes
+
+
+def _pq_init_books(init_vecs: list[list[float]], m: int) -> list:
+    """Slice full init vectors into the m per-subspace init codebooks
+    (the same shapes pq_fit builds from its init rows)."""
+    import numpy as np
+
+    dim = len(init_vecs[0])
+    if dim % m:
+        raise ValueError(f"pq_fit: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    X0 = np.vstack([np.asarray(v, dtype="float64") for v in init_vecs])
+    return [X0[:, j * sub:(j + 1) * sub].copy() for j in range(m)]
 
 
 def _ivfpq_residuals(corpus: DataFrame, coarse: list,
@@ -1386,6 +1651,32 @@ def _spark_round_py(x: float, scale: int = 6) -> float:
 
     return float(Decimal(repr(float(x))).quantize(
         Decimal(1).scaleb(-scale), rounding=ROUND_HALF_UP))
+
+
+def _spark_round_np(arr, scale: int = 9):
+    """Vectorized ``_spark_round_py``: the fast path rounds to nearest
+    via floor(x*10^s + 0.5) — for values whose scaled fraction is at
+    least 1e-4 from the .5 boundary this EQUALS HALF_UP on the
+    shortest-roundtrip decimal (the float scaling error is below 1e-6
+    at embedding magnitudes, so only boundary-adjacent values can
+    disagree, and ties-away-from-zero vs ties-up differ only AT the
+    boundary); boundary-adjacent elements take the exact Decimal
+    fallback. Bit-equality with the scalar twin pinned by
+    test_spark_round_np_matches_py."""
+    import numpy as np
+
+    p = 10.0 ** scale
+    s = arr * p
+    frac = s - np.floor(s)
+    out = np.floor(s + 0.5) / p
+    suspect = np.abs(frac - 0.5) < 1e-4
+    if suspect.any():
+        flat_out = out.reshape(-1)
+        flat_in = np.asarray(arr, dtype="float64").reshape(-1)
+        for i in np.flatnonzero(suspect.reshape(-1)):
+            flat_out[i] = _spark_round_py(float(flat_in[i]), scale)
+        out = flat_out.reshape(out.shape)
+    return out
 
 
 def _probe_cells_py(qvecs: list, coarse: list, nprobe: int) -> list:

@@ -911,3 +911,75 @@ def test_sql_adc_tables_match_literal_builder(spark):
            q.select("vec_id", F.expr(_adc_tables_sql(books, "q_emb"))
                     .alias("t")).collect()}
     assert got == want
+
+
+def test_spark_round_np_matches_py(spark):
+    """r11: the vectorized HALF_UP round twin must equal the scalar
+    Decimal twin element for element — fixture residual magnitudes
+    plus adversarial boundary values."""
+    import numpy as np
+
+    from database_convertor_spark.operators.similarity_search import (
+        _spark_round_np,
+        _spark_round_py,
+    )
+
+    rng = [x / 7.0 for x in range(-500, 500)]
+    adversarial = [0.0000000005, -0.0000000005, 0.1234567895,
+                   -0.1234567895, 1.0000000015, -1.0000000015,
+                   0.12345678949999, 0.1234567895000001, 2.5e-10,
+                   -2.5e-10, 123.4567890125, -123.4567890125]
+    vals = np.asarray(rng + adversarial, dtype="float64")
+    got = _spark_round_np(vals, 9)
+    want = np.asarray([_spark_round_py(float(v), 9) for v in vals])
+    assert got.tolist() == want.tolist()
+
+
+def test_kmeans_local_fit_matches_distributed(spark):
+    """r11: the driver-local Lloyd loop (budget path) must be
+    BIT-identical to the distributed loop on the single-partition
+    fixture — centroids and inertia, normalize on and off."""
+    from database_convertor_spark.operators.similarity_search import (
+        kmeans_fit,
+    )
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    for normalize in (False, True):
+        c_local, i_local = kmeans_fit(emb, k=8, n_iter=5,
+                                      normalize=normalize)
+        c_dist, i_dist = kmeans_fit(emb, k=8, n_iter=5,
+                                    normalize=normalize,
+                                    local_rows_budget=0)
+        assert c_local == c_dist
+        assert i_local == i_dist
+
+
+def test_pq_local_fit_matches_distributed(spark):
+    """r11: local PQ loop == distributed loop, bit for bit."""
+    from database_convertor_spark.operators.similarity_search import (
+        pq_fit,
+    )
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    assert (pq_fit(emb, m=4, ks=8, n_iter=3)
+            == pq_fit(emb, m=4, ks=8, n_iter=3, local_rows_budget=0))
+
+
+def test_ivfpq_local_fit_matches_distributed(spark):
+    """r11: the fully-local IVFADC train (coarse + residuals + PQ)
+    must reproduce the distributed build's codebooks and codes."""
+    from database_convertor_spark.operators.similarity_search import (
+        ivfpq_fit_encode,
+    )
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    cl, bl, codl = ivfpq_fit_encode(emb, n_cells=8, m=4, ks=8, n_iter=3)
+    cd, bd, codd = ivfpq_fit_encode(emb, n_cells=8, m=4, ks=8, n_iter=3,
+                                    local_rows_budget=0)
+    assert cl == cd
+    assert bl == bd
+    rows_l = sorted((r.vec_id, r.cell, list(r.codes))
+                    for r in codl.collect())
+    rows_d = sorted((r.vec_id, r.cell, list(r.codes))
+                    for r in codd.collect())
+    assert rows_l == rows_d
