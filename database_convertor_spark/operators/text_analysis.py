@@ -667,8 +667,15 @@ def top_terms_heavy_hitters(documents: DataFrame, k: int = 5,
               .select("lang", F.col("total_tokens").alias("_N")))
     kth = (topk.groupBy("lang").agg(F.min("n").alias("_kth"),
                                     F.count(F.lit(1)).alias("_got")))
-    cert = {r.lang: (r._kth, r._got) for r in kth.collect()}
-    alln = {r.lang: r._N for r in totals.collect()}
+    # ONE certificate job, not two sequential ones (r11, guide §1.2):
+    # every kth lang appears in totals (token_stats groups ALL docs),
+    # and totals' NULL-lang row survives the left join unmatched —
+    # the two per-lang scalars ride one collect whose independent
+    # scan subtrees the scheduler overlaps inside the job.
+    cert_rows = totals.join(kth, ["lang"], "left").collect()
+    cert = {r.lang: (r._kth, r._got) for r in cert_rows
+            if r._kth is not None}
+    alln = {r.lang: r._N for r in cert_rows}
     certified = [lang for lang, (kth_n, got) in cert.items()
                  if lang is not None and got >= k
                  and kth_n > alln[lang] / (capacity + 1)]
@@ -1180,19 +1187,29 @@ def bpe_merges(documents: DataFrame, n_merges: int = 8,
         wc = wc.filter(F.col("cnt") >= min_count)
     if word_cap is not None:
         wc = wc.orderBy(F.desc("cnt"), F.asc("w")).limit(word_cap)
+    # gate and collect in ONE job (r11, guide §1.2 — the count ran a
+    # separate full aggregate before an identical collect): the
+    # limit(budget+1) probe bounds what a past-budget vocabulary can
+    # ship to the driver, and one extra row proves the overflow. The
+    # trainer is insensitive to row order (integer pair counts summed
+    # over distinct words; ties broken on symbols), so the limited
+    # collect feeding it is set-identical to the unlimited one.
+    words = wc.select("w", "cnt")
     if max_train_words is not None:
-        n = wc.count()
-        if n > max_train_words:
+        rows_in = words.limit(max_train_words + 1).collect()
+        if len(rows_in) > max_train_words:
             raise ValueError(
-                f"bpe_merges: {n:,} distinct training words exceed "
-                f"max_train_words={max_train_words:,} (driver working "
+                f"bpe_merges: more than {max_train_words:,} distinct "
+                f"training words (max_train_words; driver working "
                 f"set ~a few hundred bytes/word incl. the pair index). "
                 f"Remedies: min_count>=2 (drops hapaxes, typically "
                 f"half the distinct words), word_cap=1_000_000 (top-K "
                 f"by count covers >99.9% of token mass under Zipf), "
                 f"or raise max_train_words on a bigger driver")
+    else:
+        rows_in = words.collect()
     rows = _fast_bpe(
-        ((r["w"], int(r["cnt"])) for r in wc.select("w", "cnt").collect()),
+        ((r["w"], int(r["cnt"])) for r in rows_in),
         n_merges, symbolizer=_byte_syms if byte_level else None)
     return documents.sparkSession.createDataFrame(
         rows, "rank int, left_sym string, right_sym string, "

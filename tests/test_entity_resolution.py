@@ -215,3 +215,44 @@ def test_duckdb_rescue_rung_matches_expression_rung(spark, monkeypatch):
                          "c_custkey", "s_suppkey", top_k=1).collect()
     assert sorted(map(tuple, fast)) == sorted(map(tuple, slow))
     assert len(fast) > 0
+
+
+def test_duckdb_lev_rung_matches_expression_rung_adversarial(spark):
+    """r11 (round-10 advice): the native DuckDB levenshtein rescue and
+    its JVM expression twin must produce identical rows on adversarial
+    inputs — unicode (accents, CJK, emoji, NBSP), empty and NULL
+    norms, and 32-char names engineered so confidence lands on exact
+    .xxxx5 midpoints of the 4dp rounding (1 - k/32 is binary-exact) —
+    not just on fixture names."""
+    from database_convertor_spark.operators import entity_resolution as er
+
+    left = spark.createDataFrame(
+        [(1, "café münchen gmbh"), (2, "smith & jönes 株式会社"),
+         (3, ""), (4, None),
+         (5, "aaaaaaaaaaaaaaaabbbbbbbbbbbbbbbb"), (6, "ab"),
+         (7, "ZWISCHENRAUM AG"), (8, "emoji 🚀 logistics"),
+         (9, "x" * 31 + "q")],
+        "lid long, lname string")
+    right = spark.createDataFrame(
+        [(101, "cafe munchen gmbh"), (102, "smith & jones kk"),
+         (103, "zzz"), (104, "aaaaaaaaaaaaaaaacccccccccccccccc"),
+         (105, "aaaaaaaaaaaaaaabbbbbbbbbbbbbbbbb"), (106, None),
+         (107, "zwischenraum ag"), (108, "emoji 🚀 logistic"),
+         (109, "x" * 32), (110, "q" * 17 + "x" * 15)],
+        "rid long, rname string")
+
+    def run():
+        df = er.fuzzy_join(left, right, "lname", "rname", "lid", "rid",
+                           threshold=0.1, top_k=1)
+        return sorted(map(tuple, df.collect()))
+
+    native = run()
+    orig = er._duckdb_available
+    er._duckdb_available = lambda: False
+    try:
+        expression = run()
+    finally:
+        er._duckdb_available = orig
+    assert native == expression
+    # the midpoint-bait pair must be present and 4dp-stable: 1 - 1/32
+    assert any(r[0] == 5 and r[2] == 0.9688 for r in native)
