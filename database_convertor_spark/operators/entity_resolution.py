@@ -386,7 +386,8 @@ def _duckdb_available() -> bool:
 
 def _duckdb_lev_rescue(residual: DataFrame, rnorm: DataFrame,
                        left_key: str, right_key: str,
-                       threshold: float, par: int) -> DataFrame:
+                       threshold: float, par: int,
+                       rights_pdf=None) -> DataFrame:
     """Exact nested-loop levenshtein rescue executed NATIVELY inside
     Arrow-batched tasks (guide §4.2: hand whole batches to vectorized
     native code): each task cross-joins its residual-left batch against
@@ -411,7 +412,11 @@ def _duckdb_lev_rescue(residual: DataFrame, rnorm: DataFrame,
     (<= exact_rescue_limit rows of (key, normalized name)) is collected
     once and broadcast; each task holds it plus one Arrow batch."""
     spark = residual.sparkSession
-    rights = rnorm.select(right_key, "_rnorm").toPandas()
+    # ``rights_pdf``: the caller already collected the dimension (the
+    # size gate's limit probe doubles as this collect — r11, one job
+    # instead of count-then-toPandas); None = collect here
+    rights = (rights_pdf if rights_pdf is not None
+              else rnorm.select(right_key, "_rnorm").toPandas())
     b_rights = spark.sparkContext.broadcast(rights)
     lk_t = dict(residual.dtypes)[left_key]
     rk_t = dict(rnorm.dtypes)[right_key]
@@ -566,7 +571,27 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
 
             rnorm = rnorm.persist(StorageLevel.MEMORY_AND_DISK)
             swap_persisted("fuzzy_rescue_dim", rnorm)
-            n_right = rnorm.count()
+            # The size gate's count doubles as the rescue dimension's
+            # collect when the native rung will run (r11, guide §1.2 —
+            # count-then-toPandas was two sequential jobs over the
+            # same persisted dimension): a limit(limit+1) probe either
+            # returns the WHOLE dimension (len IS the exact count,
+            # and the rows feed _duckdb_lev_rescue directly) or
+            # proves it past the gate with one over-budget row. The
+            # probe also materializes the persist, exactly as the
+            # count did.
+            rights_pdf = None
+            if (agg_top1 and not use_difflib and _duckdb_available()
+                    and exact_rescue_limit):
+                probe = (rnorm.select(right_key, "_rnorm")
+                         .limit(exact_rescue_limit + 1).toPandas())
+                if len(probe) <= exact_rescue_limit:
+                    rights_pdf = probe
+                    n_right = len(probe)
+                else:
+                    n_right = rnorm.count()
+            else:
+                n_right = rnorm.count()
             # worst-case residual count for the pair budget: a count
             # over the bare left (column-pruned scan — the normalize/
             # tokenize projections are dropped by the optimizer), so
@@ -630,7 +655,7 @@ def fuzzy_join(left: DataFrame, right: DataFrame,
                     # pre-aggregated 4-column rows.
                     lev_rung = _duckdb_lev_rescue(
                         residual, rnorm, left_key, right_key,
-                        threshold, par)
+                        threshold, par, rights_pdf=rights_pdf)
                     ltok = residual.select(
                         left_key, "_lnorm", "_ltoks",
                         F.explode_outer("_ltoks").alias("_tok"))

@@ -43,7 +43,19 @@ def curate_corpus(documents: DataFrame, threshold: float = 0.5,
     if keep not in ("min_id", "best_quality"):
         raise ValueError(f"keep={keep!r}: expected 'min_id' or "
                          "'best_quality'")
-    kept = documents.filter(gopher_passes(F.col("text")))
+    # persist the filtered frame (r11 — the same guide §5 fix
+    # prepare_training_corpus got in r10): it feeds BOTH sides of the
+    # pair self-join (materialized inside the components checkpoint)
+    # and the final anti-join, each of which otherwise re-runs the
+    # gopher predicate from a fresh scan. Slot-bounded per session.
+    from pyspark.storagelevel import StorageLevel
+
+    from ..plans.persist_slots import swap_persisted
+
+    kept = swap_persisted(
+        "curate_kept",
+        documents.filter(gopher_passes(F.col("text")))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     # budget-estimate on the raw scan: the filtered frame would re-run
     # the gopher predicate for the gate's histogram, and the raw
     # histogram upper-bounds the filtered one (same n_chars band key)
