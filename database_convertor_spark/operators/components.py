@@ -118,7 +118,7 @@ def _fingerprint(e: DataFrame) -> tuple[int, int]:
     return row.n, row.x
 
 
-def _local_components(e0: DataFrame) -> DataFrame | None:
+def _local_components(e0: DataFrame, pdf=None) -> DataFrame | None:
     """Driver-side connected components for edge sets under the local
     budget: label propagation with pointer doubling, executed as
     native hash joins in an embedded DuckDB (O(log n) rounds). Output
@@ -128,7 +128,10 @@ def _local_components(e0: DataFrame) -> DataFrame | None:
     minimum, so the fixpoint IS the minimum. Returns None (caller
     falls back to the distributed rounds) on asymmetric src/dst types
     or null endpoints — the star rounds' coalesce semantics for those
-    are not worth reproducing locally."""
+    are not worth reproducing locally.
+
+    ``pdf``: the already-collected edge frame (the budget probe's
+    collect doubles as this one — r11); None collects here."""
     try:
         import duckdb
     except ImportError:  # pragma: no cover - env without duckdb
@@ -137,7 +140,8 @@ def _local_components(e0: DataFrame) -> DataFrame | None:
 
     if e0.schema[0].dataType != e0.schema[1].dataType:
         return None
-    pdf = e0.toPandas()
+    if pdf is None:
+        pdf = e0.toPandas()
     if len(pdf) and (pdf["a"].isna().any() or pdf["b"].isna().any()):
         return None
     con = duckdb.connect()
@@ -180,36 +184,48 @@ def _local_components(e0: DataFrame) -> DataFrame | None:
     return e0.sparkSession.createDataFrame(out, schema)
 
 
-def _within_local_budget(e0: DataFrame, local_edges_budget: int) -> bool:
-    """Budget gate for the driver-side components path, sized in ONE
-    job that doubles as the checkpoint's materialization (r11 — the
-    gate previously ran checkpoint-then-count, a second fixed job on
-    EVERY call including the past-budget distributed path; ``e0``
-    arrives lazily checkpointed, so this aggregate both truncates the
-    lineage and measures it).
+def _collect_within_budget(e0: DataFrame, local_edges_budget: int):
+    """Budget gate AND collect for the driver-side components path in
+    ONE action (r11 — the former shape was checkpoint-then-count-then-
+    toPandas: three jobs and TWO full computations of the upstream
+    pair join, since a reliable checkpoint re-computes its final stage
+    to write the files): a ``limit(probe+1).toPandas()`` either
+    returns the WHOLE edge list (len <= probe proves it, and the rows
+    ARE the local solver's input) or proves the overflow with the one
+    extra row — the caller then checkpoints and runs the distributed
+    star rounds, having paid one bounded probe.
 
-    Byte-aware (round-10 advice): the row budget was calibrated for
+    Byte-aware (round-10 advice): the row budget is calibrated for
     fixed-width numeric ids (~16 bytes/edge driver-side); wide string
     node ids multiply the collected + DuckDB-symmetrized footprint, so
-    for non-integral id types the same aggregate also measures the
-    average id width and the gate admits only
-    rows x max(width, 16) <= budget x 16 — a 5M budget keeps its
-    meaning of "about 80 MB of edge payload" whatever the id type."""
+    for non-integral id types the PROBE row cap is budget/4 (a 64-byte
+    floor per edge) and the true byte gate — rows x max(width, 16) <=
+    budget x 16, width measured exactly over the collected rows —
+    applies after the collect; "about 80 MB of edge payload" whatever
+    the id type. Any collect failure (spark.driver.maxResultSize)
+    falls back to the distributed path."""
     from pyspark.sql import types as T
 
     integral = all(isinstance(f.dataType,
                               (T.LongType, T.IntegerType,
                                T.ShortType, T.ByteType))
                    for f in e0.schema.fields)
-    if integral:
-        return e0.count() <= local_edges_budget
-    row = e0.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.avg(F.octet_length(F.col("a").cast("string"))
-              + F.octet_length(F.col("b").cast("string"))).alias("w")
-    ).first()
-    width = max(float(row["w"] or 0.0), 16.0)
-    return row["n"] * width <= local_edges_budget * 16.0
+    probe = (local_edges_budget if integral
+             else max(local_edges_budget // 4, 1))
+    try:
+        pdf = e0.limit(probe + 1).toPandas()
+    except Exception:  # pragma: no cover - maxResultSize guard
+        return None
+    if len(pdf) > probe:
+        return None
+    if not integral and len(pdf):
+        width = float(
+            (pdf["a"].astype(str).str.encode("utf-8").str.len()
+             + pdf["b"].astype(str).str.encode("utf-8").str.len())
+            .mean())
+        if len(pdf) * max(width, 16.0) > local_edges_budget * 16.0:
+            return None
+    return pdf
 
 
 def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
@@ -229,18 +245,27 @@ def connected_components(edges: DataFrame, src: str = "src", dst: str = "dst",
     collects. 0 disables the local path."""
     sc = edges.sparkSession.sparkContext
     ensure_checkpoint_dir(sc)
-    # materialize the input ONCE: the edge list is usually the output
-    # of an expensive pairwise operator (blocked near-dup join), and
-    # the first star round references it four times — without this
-    # checkpoint the whole upstream pipeline re-executes per reference
-    # (measured 11.4s -> ~1s for round 0 on 458k ngram pairs at sf0.1)
     e0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-          .distinct()
-          .checkpoint(eager=not local_edges_budget))
-    if local_edges_budget and _within_local_budget(e0, local_edges_budget):
-        local = _local_components(e0)
-        if local is not None:
-            return local
+          .distinct())
+    if local_edges_budget:
+        # budget probe + collect in ONE action (see
+        # _collect_within_budget) — the local path never checkpoints:
+        # the driver copy IS the materialization, so the common
+        # under-budget case pays one computation of the upstream pair
+        # join instead of the checkpoint's compute + re-compute-to-
+        # write + read-back
+        pdf = _collect_within_budget(e0, local_edges_budget)
+        if pdf is not None:
+            local = _local_components(e0, pdf=pdf)
+            if local is not None:
+                return local
+    # materialize the input ONCE for the star rounds: the edge list is
+    # usually the output of an expensive pairwise operator (blocked
+    # near-dup join), and the first round references it four times —
+    # without this checkpoint the whole upstream pipeline re-executes
+    # per reference (measured 11.4s -> ~1s for round 0 on 458k ngram
+    # pairs at sf0.1)
+    e0 = e0.checkpoint(eager=True)
     nodes = (e0.select(F.col("a").alias("node"))
              .unionByName(e0.select(F.col("b").alias("node")))
              .distinct())

@@ -37,7 +37,7 @@ def main() -> int:
     # wrap connected_components to time its internals
     orig_cc = comp.connected_components
     orig_local = comp._local_components
-    orig_budget = comp._within_local_budget
+    orig_budget = comp._collect_within_budget
 
     def cc_timed(*a, **k):
         t0 = time.perf_counter()
@@ -48,18 +48,18 @@ def main() -> int:
     def budget_timed(e0, b):
         t0 = time.perf_counter()
         out = orig_budget(e0, b)
-        marks.append(("cc: checkpoint+budget job", time.perf_counter() - t0))
+        marks.append(("cc: budget probe+collect job", time.perf_counter() - t0))
         return out
 
-    def local_timed(e0):
+    def local_timed(e0, pdf=None):
         t0 = time.perf_counter()
-        out = orig_local(e0)
+        out = orig_local(e0, pdf=pdf)
         marks.append(("cc: local resolve (toPandas+duckdb+createDF)",
                       time.perf_counter() - t0))
         return out
 
     comp.connected_components = cc_timed
-    comp._within_local_budget = budget_timed
+    comp._collect_within_budget = budget_timed
     comp._local_components = local_timed
 
     orig_pairs = dd.ngram_jaccard_pairs
