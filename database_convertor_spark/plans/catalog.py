@@ -5124,14 +5124,19 @@ def _hybrid_indexed_many_demo(spark: SparkSession, sf: str) -> DataFrame:
     tpath = f"/tmp/dcs_hybrid_many_text/{slug}"
     apath = f"/tmp/dcs_hybrid_many_ivfpq/{slug}"
     # independent builds overlapped — same rationale as the single-
-    # query twin above
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    # query twin above; the query-vector fetch is a third independent
+    # job, so it rides the pool too (r11 — it back-fills the builds'
+    # stragglers instead of running as its own barrier after them)
+    with ThreadPoolExecutor(max_workers=3) as pool:
         ft = pool.submit(search_ops.land_text_index, docs, tpath)
         fa = pool.submit(ss_ops.land_ivfpq_index, emb, apath,
                          n_cells=8, m=4, ks=8, n_iter=3)
+        fv = pool.submit(
+            lambda: [[float(x) for x in r["embedding"]] for r in
+                     emb.filter("vec_id < 3").orderBy("vec_id")
+                     .collect()])
         ft.result(), fa.result()
-    vecs = [[float(x) for x in r["embedding"]] for r in
-            emb.filter("vec_id < 3").orderBy("vec_id").collect()]
+        vecs = fv.result()
     return search_ops.hybrid_search_rrf_indexed_many(
         spark, tpath, apath, _MANY_QUERIES, vecs, emb,
         top_k=25, candidates=50, nprobe=4, shortlist=200)
@@ -5232,12 +5237,18 @@ def _hybrid_indexed_demo(spark: SparkSession, sf: str) -> DataFrame:
     # the two index builds touch DIFFERENT tables and paths — overlap
     # them (guide §2.6: independent jobs back-fill each other's
     # stragglers; measured ~2s off the build at sf0.1)
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
         ft = pool.submit(search_ops.land_text_index, docs, tpath)
         fa = pool.submit(ss_ops.land_ivfpq_index, emb, apath,
                          n_cells=8, m=4, ks=8, n_iter=3)
+        # the query-vector fetch is a third independent job — it
+        # back-fills the builds' stragglers instead of barriering
+        # after them (r11, guide §2.6)
+        fq = pool.submit(
+            lambda: [float(x) for x in
+                     emb.filter("vec_id = 0").head()["embedding"]])
         ft.result(), fa.result()
-    qv = [float(x) for x in emb.filter("vec_id = 0").head()["embedding"]]
+        qv = fq.result()
     return search_ops.hybrid_search_rrf_indexed(
         spark, tpath, apath, "dup join scan", qv, emb,
         top_k=25, candidates=50, nprobe=4, shortlist=200)
